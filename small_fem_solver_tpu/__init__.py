@@ -1,0 +1,20 @@
+"""small_fem_solver_tpu — TPU-native offshore-jacket structural analysis.
+
+A from-scratch JAX/XLA/Pallas framework with the full capabilities of the
+reference tool `JK-hqy/Small-FEM-Solver-based-on-a-lot-of-assumption`
+(wave kinematics -> Morison loading -> 3D Timoshenko beam FEM -> stresses),
+redesigned for TPU: batched XLA programs, vmapped phase scans and design
+sweeps, block-sparse assembly and preconditioned-CG solves, and
+`jax.sharding` device-mesh scaling.
+"""
+
+from .api import AnalysisResults, LoadCase, analyze, analyze_phase_batch
+from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
+                        DEFAULT_RHO_WATER, G_GRAV)
+from .models.model import JacketModel, build_model, refine_model
+from .models.presets import DEFAULT_STORM, default_3leg_jacket
+from .ops.morison import MorisonLoads, morison_loads, phase_scan
+from .ops.sections import TubeSections, tube_sections
+from .ops.waves import FourierWave, airy_wave, kinematics, surface_elevation
+
+__version__ = "0.1.0"

@@ -1,0 +1,311 @@
+"""End-to-end analysis driver: wave -> Morison -> FEM -> stresses.
+
+Capability parity with the reference orchestrator
+``JacketAnalysisGUI.run_analysis`` (`/root/reference/JacketAnalysisGUI_v2.py:1827-2082`),
+redesigned TPU-first: the whole pipeline — hydrodynamic loading, interface
+loads, self-weight, assembly, solve, reactions, member internal forces and
+von Mises utilization — is ONE jitted XLA program.  Phase scans vmap the
+time axis over a single stiffness factorization (K does not depend on t),
+and design sweeps vmap over batched wave-case pytrees.
+
+Load application parity:
+
+- topside interface loads distributed equally over the top nodes, shear along
+  the wave heading, axial as -Z, torsion/overturning moments split per node
+  (`JacketAnalysisGUI_v2.py:1962-1977`);
+- Morison nodal forces enter translation DOFs only (`:1986-1989`);
+- self-weight: 'calculated' lumps half of each member's weight to each end
+  node's -Z (`:1995-2007`); 'custom' spreads (tonnes * 1000 * g) / n_nodes to
+  every node (`:2008-2013`); 'none' skips (`:2014-2015`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import G_GRAV
+from .models.model import JacketModel
+from .ops import solve as solve_mod
+from .ops.assembly import (assemble_bcsr, assemble_dense, bcsr_block_diagonal,
+                           bcsr_matvec, build_bcsr_pattern)
+from .ops.beams import element_stiffness, internal_forces
+from .ops.morison import MorisonLoads, morison_loads
+from .ops.sections import von_mises_8pt
+from .ops.waves import FourierWave
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LoadCase:
+    """Scalar load-case parameters (traced; a pytree so cases batch/vmap).
+
+    Mirrors the GUI's Material/Wave/Loads tab fields
+    (`JacketAnalysisGUI_v2.py:1835-1863`); the wave itself is carried
+    separately as a :class:`FourierWave`.
+    """
+
+    E: jnp.ndarray = 210000.0            # MPa
+    nu: jnp.ndarray = 0.3
+    fy: jnp.ndarray = 355.0              # MPa
+    rho_water: jnp.ndarray = 1025.0      # kg/m^3
+    wave_dir_deg: jnp.ndarray = 0.0      # compass, deg from North clockwise
+    current_dir_deg: jnp.ndarray = 0.0
+    Cd: jnp.ndarray = 0.7
+    Cm: jnp.ndarray = 2.0
+    F_axial_kN: jnp.ndarray = 0.0        # topside axial (compression +down)
+    F_shear_kN: jnp.ndarray = 0.0        # topside shear along wave heading
+    M_moment_kNm: jnp.ndarray = 0.0      # overturning moment
+    M_torsion_kNm: jnp.ndarray = 0.0     # torsion
+    custom_sw_tonnes: jnp.ndarray = 0.0  # used when sw_mode == 'custom'
+    t_analysis: jnp.ndarray = 0.0        # wave phase time [s]
+    # static:
+    sw_mode: str = dataclasses.field(default="custom", metadata=dict(static=True))
+
+    def cast(self, dtype):
+        vals = {f.name: jnp.asarray(getattr(self, f.name), dtype=dtype)
+                for f in dataclasses.fields(self) if f.name != "sw_mode"}
+        return dataclasses.replace(self, **vals)
+
+
+class AnalysisResults(NamedTuple):
+    """Full result pytree of one analysis (units noted per field)."""
+
+    U: jnp.ndarray                 # [n_dof] displacements, mm / rad
+    reactions: jnp.ndarray         # [n_fixed_nodes, 6] N / N*mm
+    F_applied: jnp.ndarray         # [n_dof] assembled load vector, N / N*mm
+    F1_local: jnp.ndarray          # [M, 6] member end forces at node1 (local), N / N*mm
+    F2_local: jnp.ndarray          # [M, 6] member end forces at node2 (local)
+    von_mises: jnp.ndarray         # [M] max over 8 points at node1, MPa
+    utilization: jnp.ndarray       # [M] von_mises / fy
+    length_m: jnp.ndarray          # [M]
+    morison: MorisonLoads
+    max_displacement_mm: jnp.ndarray
+    max_displacement_node: jnp.ndarray  # int index
+    total_reaction: jnp.ndarray    # [6] sums of reaction components
+
+
+# ---------------------------------------------------------------------------
+# Load assembly
+# ---------------------------------------------------------------------------
+
+def assemble_loads(model: JacketModel, case: LoadCase, morison_nodal: jnp.ndarray,
+                   L_m: jnp.ndarray) -> jnp.ndarray:
+    """Global load vector [n_dof] in N / N*mm."""
+    dtype = model.coords.dtype
+    n_nodes = model.n_nodes
+    F = jnp.zeros((n_nodes, 6), dtype=dtype)
+
+    # -- topside interface loads (`:1962-1977`) --
+    top = model.top_mask.astype(dtype)
+    n_top = jnp.sum(top)
+    theta = jnp.deg2rad(90.0 - case.wave_dir_deg)
+    F_axial_N = case.F_axial_kN * 1000.0
+    F_shear_N = case.F_shear_kN * 1000.0
+    M_moment = case.M_moment_kNm * 1e6
+    M_torsion = case.M_torsion_kNm * 1e6
+    per_top = jnp.stack([
+        F_shear_N * jnp.cos(theta) / n_top,
+        F_shear_N * jnp.sin(theta) / n_top,
+        -F_axial_N / n_top,
+        M_torsion / n_top,
+        M_moment / n_top,
+        jnp.zeros_like(theta),
+    ])
+    F = F + top[:, None] * per_top[None, :]
+
+    # -- Morison nodal forces, translations only (`:1986-1989`) --
+    F = F.at[:, :3].add(morison_nodal)
+
+    # -- self-weight (`:1995-2013`) --
+    if case.sw_mode == "calculated":
+        mass_per_m = model.sections.mass_per_m[model.sect_id]
+        member_weight = mass_per_m * G_GRAV * L_m          # N
+        half = member_weight / 2.0
+        contrib = jnp.concatenate([half, half])
+        nodes = jnp.concatenate([model.conn[:, 0], model.conn[:, 1]])
+        wz = jax.ops.segment_sum(contrib, nodes, num_segments=n_nodes)
+        F = F.at[:, 2].add(-wz)
+    elif case.sw_mode == "custom":
+        total = case.custom_sw_tonnes * 1000.0 * G_GRAV
+        F = F.at[:, 2].add(-total / n_nodes)
+    elif case.sw_mode != "none":
+        raise ValueError(f"unknown self-weight mode {case.sw_mode!r}")
+
+    return F.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Core pipeline
+# ---------------------------------------------------------------------------
+
+def _recover(model: JacketModel, case: LoadCase, K, U, F, fixed_dofs,
+             K_local, T, L_m, mor) -> AnalysisResults:
+    """Reactions, member forces, stresses (`:492-533`)."""
+    dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
+                            6 * model.conn[:, 1:2] + jnp.arange(6)], axis=-1)
+    u_elem = U[dofs]                                        # [M, 12]
+    F1, F2 = internal_forces(K_local, T, u_elem)
+
+    # von Mises from node-1 forces only, as the reference does (`:514-519`)
+    vm = von_mises_8pt(model.sections, model.sect_id,
+                       F1[:, 0], F1[:, 1], F1[:, 2],
+                       F1[:, 3], F1[:, 4], F1[:, 5])
+    util = vm / case.fy
+
+    R = K @ U - F if K is not None else None
+    reac = R[jnp.asarray(fixed_dofs)].reshape(-1, 6)
+
+    disp = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+    imax = jnp.argmax(disp)
+
+    return AnalysisResults(
+        U=U, reactions=reac, F_applied=F,
+        F1_local=F1, F2_local=F2,
+        von_mises=vm, utilization=util, length_m=L_m,
+        morison=mor,
+        max_displacement_mm=disp[imax], max_displacement_node=imax,
+        total_reaction=jnp.sum(reac, axis=0),
+    )
+
+
+def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
+            solver: str = "chol", n_gauss: int = 15, accel: str = "fd",
+            pcg_tol: float = 1e-10, pcg_maxiter: int = 2000,
+            _jit: bool = True) -> AnalysisResults:
+    """Single linear static analysis — the reference RUN-ANALYSIS pipeline
+    (`JacketAnalysisGUI_v2.py:1827-2082`) as one compiled program.
+
+    solver: 'lu' (reference-identical dense LU), 'chol' (dense Cholesky,
+    SPD fast path), 'pcg' (matrix-free block-Jacobi PCG on BCSR; scales to
+    1e5+ DOF where dense assembly is impossible).
+    """
+    free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
+    free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
+    pattern = build_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
+    fn = _analyze_jit if _jit else _analyze_impl
+    return fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
+              accel, free, fixed, pattern, pcg_tol, pcg_maxiter)
+
+
+@partial(jax.jit, static_argnames=("solver", "n_gauss", "accel",
+                                   "pcg_tol", "pcg_maxiter"))
+def _analyze_jit(model, wave, case, solver, n_gauss, accel, free, fixed,
+                 pattern, pcg_tol, pcg_maxiter):
+    return _analyze_impl(model, wave, case, solver, n_gauss, accel, free,
+                         fixed, pattern, pcg_tol, pcg_maxiter)
+
+
+def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
+                  pattern, pcg_tol, pcg_maxiter):
+    G = case.E / (2.0 * (1.0 + case.nu))                    # (`:443`)
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0    # (`:610`)
+
+    mor = morison_loads(wave, model.coords, model.conn, D_m,
+                        case.wave_dir_deg, case.current_dir_deg,
+                        case.Cd, case.Cm, case.rho_water, case.t_analysis,
+                        n_gauss=n_gauss, accel=accel)
+
+    Kg, K_local, T, L_m = element_stiffness(
+        model.coords, model.conn, model.sections, model.sect_id, case.E, G)
+
+    F = assemble_loads(model, case, mor.nodal_forces, L_m)
+
+    if solver in ("lu", "chol"):
+        K = assemble_dense(Kg, model.conn, model.n_dof)
+        if solver == "lu":
+            U = solve_mod.solve_dense(K, F, free)
+        else:
+            fac = solve_mod.factor_dense(K, free)
+            U = solve_mod.solve_factored(fac, F)
+        return _recover(model, case, K, U, F, fixed,
+                        K_local, T, L_m, mor)
+    elif solver == "pcg":
+        A = assemble_bcsr(Kg, pattern)
+        fmask = solve_mod.dof_free_mask(model.fixed_mask).astype(F.dtype)
+        op = solve_mod.projected_operator(lambda x: bcsr_matvec(A, x), fmask)
+        pre = solve_mod.block_jacobi_preconditioner(bcsr_block_diagonal(A), fmask)
+        res = solve_mod.pcg(op, fmask * F, precond=pre, tol=pcg_tol,
+                            maxiter=pcg_maxiter)
+        U = fmask * res.x
+        R = bcsr_matvec(A, U) - F
+        return _recover_sparse(model, case, U, F, R, fixed,
+                               K_local, T, L_m, mor)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
+
+def _recover_sparse(model, case, U, F, R, fixed_dofs, K_local, T, L_m, mor):
+    dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
+                            6 * model.conn[:, 1:2] + jnp.arange(6)], axis=-1)
+    u_elem = U[dofs]
+    F1, F2 = internal_forces(K_local, T, u_elem)
+    vm = von_mises_8pt(model.sections, model.sect_id,
+                       F1[:, 0], F1[:, 1], F1[:, 2],
+                       F1[:, 3], F1[:, 4], F1[:, 5])
+    util = vm / case.fy
+    reac = R[fixed_dofs].reshape(-1, 6)
+    disp = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+    imax = jnp.argmax(disp)
+    return AnalysisResults(
+        U=U, reactions=reac, F_applied=F,
+        F1_local=F1, F2_local=F2,
+        von_mises=vm, utilization=util, length_m=L_m,
+        morison=mor,
+        max_displacement_mm=disp[imax], max_displacement_node=imax,
+        total_reaction=jnp.sum(reac, axis=0),
+    )
+
+
+def analyze_phase_batch(model: JacketModel, wave: FourierWave, case: LoadCase,
+                        n_steps: int = 36, n_gauss: int = 15,
+                        accel: str = "fd") -> tuple[jnp.ndarray, AnalysisResults]:
+    """Solve the FULL structural problem at every phase of one wave period.
+
+    This is the capability upgrade over the reference: its phase scan
+    (`JacketAnalysisGUI_v2.py:684-724`) only tracks total Morison force and
+    the subsequent FEM solve still uses the user's single ``t``; here the
+    stiffness is factored ONCE and all ``n_steps`` phases are solved as one
+    multi-RHS triangular solve, so displacements/stresses at the true
+    critical phase come for free.
+
+    Returns (ts [S], batched AnalysisResults with leading phase axis).
+    """
+    free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
+    return _phase_batch_jit(model, wave, case.cast(model.coords.dtype),
+                            n_steps, n_gauss, accel,
+                            jnp.asarray(free_np), jnp.asarray(fixed_np))
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_gauss", "accel"))
+def _phase_batch_jit(model, wave, case, n_steps, n_gauss, accel, free, fixed):
+    G = case.E / (2.0 * (1.0 + case.nu))
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    dtype = model.coords.dtype
+    ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
+
+    Kg, K_local, T, L_m = element_stiffness(
+        model.coords, model.conn, model.sections, model.sect_id, case.E, G)
+    K = assemble_dense(Kg, model.conn, model.n_dof)
+    fac = solve_mod.factor_dense(K, free)
+
+    def loads_at(t):
+        mor = morison_loads(wave, model.coords, model.conn, D_m,
+                            case.wave_dir_deg, case.current_dir_deg,
+                            case.Cd, case.Cm, case.rho_water, t,
+                            n_gauss=n_gauss, accel=accel)
+        return assemble_loads(model, case, mor.nodal_forces, L_m), mor
+
+    F_batch, mor_batch = jax.vmap(loads_at)(ts)            # [S, n_dof]
+    U_batch = solve_mod.solve_factored(fac, F_batch)        # [S, n_dof]
+
+    def recover(U, F, mor):
+        return _recover(model, case, K, U, F, fixed,
+                        K_local, T, L_m, mor)
+
+    results = jax.vmap(recover)(U_batch, F_batch, mor_batch)
+    return ts, results

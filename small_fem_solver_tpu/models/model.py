@@ -1,0 +1,210 @@
+"""Array-based structural model (mesh) for jacket space frames.
+
+Capability parity with the reference ``CustomJacketStructure``
+(`/root/reference/JacketAnalysisGUI_v2.py:302-354`), redesigned TPU-first:
+the reference stores a dict of named nodes and a list of member dicts and
+loops over them in Python; here the model is a pytree of packed arrays
+(float coordinates, int32 connectivity, per-member section ids, boolean
+node masks) so that element-stiffness construction, Morison integration and
+assembly are single batched XLA ops.  Node/member *names* are kept host-side
+only (static metadata) for I/O, reporting and CSV-export parity.
+
+Conventions (identical to the reference, documented in its Geometry tab at
+`JacketAnalysisGUI_v2.py:876-883`): x east, y north, z up, z=0 at mean water
+level; coordinates in metres; DOF ordering is 6 per node
+(ux, uy, uz, rx, ry, rz), node-major — DOF ``6*i + c`` like the reference's
+assembly indexing (`JacketAnalysisGUI_v2.py:462-464`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sections import TubeSections, tube_sections
+
+# Member type vocabulary of the reference GUI combo
+# (`JacketAnalysisGUI_v2.py:1163`); 'leg' binds the leg section, everything
+# else binds the brace section (`JacketAnalysisGUI_v2.py:329`).
+MEMBER_TYPES = ("leg", "h_brace", "x_brace", "brace")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class JacketModel:
+    """Packed structural model.
+
+    Traced array fields:
+      coords     [n_nodes, 3]  node coordinates [m]
+      conn       [n_members, 2] int32 node indices (node1, node2)
+      sect_id    [n_members]   int32 index into ``sections`` fields
+      sections   TubeSections  stacked section properties (mm units)
+      fixed_mask [n_nodes]     bool, fully clamped support nodes
+      top_mask   [n_nodes]     bool, topside interface nodes
+
+    Static metadata: node/member names and member type strings (host lists).
+    """
+
+    coords: jnp.ndarray
+    conn: jnp.ndarray
+    sect_id: jnp.ndarray
+    sections: TubeSections
+    fixed_mask: jnp.ndarray
+    top_mask: jnp.ndarray
+    node_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    member_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    member_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+
+    # ---------------- sizes ----------------
+    @property
+    def n_nodes(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_members(self) -> int:
+        return self.conn.shape[0]
+
+    @property
+    def n_dof(self) -> int:
+        return 6 * self.n_nodes
+
+    # ---------------- geometry ----------------
+    def member_geometry(self):
+        """(coord1, coord2, dL, L) for every member; L in metres.
+
+        Batched version of ``CustomJacketStructure.get_member_geometry``
+        (`JacketAnalysisGUI_v2.py:342-348`).
+        """
+        c1 = self.coords[self.conn[:, 0]]
+        c2 = self.coords[self.conn[:, 1]]
+        dL = c2 - c1
+        L = jnp.linalg.norm(dL, axis=-1)
+        return c1, c2, dL, L
+
+    # ---------------- host-side index helpers ----------------
+    def node_index(self, name: str) -> int:
+        return self.node_names.index(name)
+
+    def fixed_node_names(self):
+        m = np.asarray(self.fixed_mask)
+        return [n for n, f in zip(self.node_names, m) if f]
+
+    def top_node_names(self):
+        m = np.asarray(self.top_mask)
+        return [n for n, f in zip(self.node_names, m) if f]
+
+
+def build_model(
+    nodes: dict,
+    members: Sequence[dict],
+    fixed_nodes: Sequence[str],
+    top_nodes: Sequence[str],
+    leg_section=(2000.0, 75.0),
+    brace_section=(800.0, 30.0),
+    rho_steel: float = 7850.0,
+    dtype=jnp.float64,
+) -> JacketModel:
+    """Build a packed model from the reference-style inputs.
+
+    ``nodes`` maps name -> (x, y, z) in metres; ``members`` is a sequence of
+    dicts with keys name/node1/node2/type (the reference member-list schema,
+    `JacketAnalysisGUI_v2.py:327-336`); members of type 'leg' use
+    ``leg_section`` = (D_mm, t_mm), all other types use ``brace_section``
+    (`JacketAnalysisGUI_v2.py:329`).
+    """
+    node_names = tuple(nodes.keys())
+    index = {n: i for i, n in enumerate(node_names)}
+    coords = jnp.asarray(np.array([nodes[n] for n in node_names], dtype=np.float64), dtype=dtype)
+
+    conn = np.array([[index[m["node1"]], index[m["node2"]]] for m in members], dtype=np.int32)
+    member_types = tuple(m.get("type", "brace") for m in members)
+    member_names = tuple(m["name"] for m in members)
+    sect_id = np.array([0 if t == "leg" else 1 for t in member_types], dtype=np.int32)
+
+    (D_leg, t_leg), (D_brace, t_brace) = leg_section, brace_section
+    sections = tube_sections(
+        jnp.asarray([D_leg, D_brace], dtype=dtype),
+        jnp.asarray([t_leg, t_brace], dtype=dtype),
+        rho_steel,
+    )
+
+    fixed_mask = np.zeros(len(node_names), dtype=bool)
+    top_mask = np.zeros(len(node_names), dtype=bool)
+    for n in fixed_nodes:
+        fixed_mask[index[n]] = True
+    for n in top_nodes:
+        top_mask[index[n]] = True
+
+    return JacketModel(
+        coords=coords,
+        conn=jnp.asarray(conn),
+        sect_id=jnp.asarray(sect_id),
+        sections=sections,
+        fixed_mask=jnp.asarray(fixed_mask),
+        top_mask=jnp.asarray(top_mask),
+        node_names=node_names,
+        member_names=member_names,
+        member_types=member_types,
+    )
+
+
+def refine_model(model: JacketModel, n_seg: int) -> JacketModel:
+    """Subdivide every member into ``n_seg`` equal beam elements.
+
+    This is the mesh-refinement axis the reference cannot reach (its dense
+    Python assembly is O(n_dof^2) memory and O(n^3) solve,
+    `JacketAnalysisGUI_v2.py:444,485`); used to build the 10k-100k DOF
+    benchmark configurations.  New interior nodes are unnamed (generated
+    names), carry no fixed/top flags, and inherit the parent member's
+    section and type.
+    """
+    if n_seg <= 1:
+        return model
+    coords = np.asarray(model.coords)
+    conn = np.asarray(model.conn)
+    sect_id = np.asarray(model.sect_id)
+    n_nodes = coords.shape[0]
+
+    new_coords = [coords]
+    new_conn = []
+    new_sect = []
+    new_types = []
+    new_names = []
+    node_names = list(model.node_names)
+    next_node = n_nodes
+    for e in range(conn.shape[0]):
+        i, j = int(conn[e, 0]), int(conn[e, 1])
+        c1, c2 = coords[i], coords[j]
+        interior = [c1 + (c2 - c1) * (s / n_seg) for s in range(1, n_seg)]
+        ids = [i] + list(range(next_node, next_node + n_seg - 1)) + [j]
+        if interior:
+            new_coords.append(np.stack(interior))
+            node_names += [f"_R{e}_{s}" for s in range(1, n_seg)]
+            next_node += n_seg - 1
+        base = model.member_names[e] if model.member_names else f"M{e}"
+        for s in range(n_seg):
+            new_conn.append([ids[s], ids[s + 1]])
+            new_sect.append(sect_id[e])
+            new_types.append(model.member_types[e] if model.member_types else "brace")
+            new_names.append(f"{base}#{s}")
+
+    coords = np.concatenate(new_coords, axis=0)
+    fixed = np.zeros(coords.shape[0], dtype=bool)
+    top = np.zeros(coords.shape[0], dtype=bool)
+    fixed[:n_nodes] = np.asarray(model.fixed_mask)
+    top[:n_nodes] = np.asarray(model.top_mask)
+
+    return JacketModel(
+        coords=jnp.asarray(coords, dtype=model.coords.dtype),
+        conn=jnp.asarray(np.array(new_conn, dtype=np.int32)),
+        sect_id=jnp.asarray(np.array(new_sect, dtype=np.int32)),
+        sections=model.sections,
+        fixed_mask=jnp.asarray(fixed),
+        top_mask=jnp.asarray(top),
+        node_names=tuple(node_names),
+        member_names=tuple(new_names),
+        member_types=tuple(new_types),
+    )

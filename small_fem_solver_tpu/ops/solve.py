@@ -1,0 +1,201 @@
+"""Linear static solvers: dense (LU / Cholesky) and matrix-free PCG.
+
+Capability parity with ``FEMSolver.solve`` / ``get_reactions``
+(`/root/reference/JacketAnalysisGUI_v2.py:473-502`), redesigned TPU-first:
+
+- Boundary conditions: the reference partitions free/fixed DOFs with numpy
+  ``setdiff1d`` and solves the dense free-free block.  The partition depends
+  only on the (static) fixed-node mask, so it is computed host-side once and
+  the gathered submatrix solve jits with static shapes.
+- Small systems: one LAPACK-style dense solve.  ``solve_dense`` mirrors the
+  reference's ``np.linalg.solve`` (LU); ``factor_dense``/``solve_factored``
+  expose a Cholesky factor-once path so a 360-point phase scan is ONE
+  factorization plus a single multi-RHS triangular solve (an MXU-shaped op)
+  instead of 360 dense solves.
+- Large systems: matrix-free preconditioned conjugate gradients on the BCSR
+  operator with Jacobi or block-Jacobi (6x6 node block) preconditioning.
+  Dirichlet BCs are imposed by orthogonal projection (zeroing fixed DOFs in
+  the operator and RHS), which keeps the operator SPD without re-indexing
+  the sparsity pattern.
+- The reference falls back to least-squares when K_ff is singular
+  (`JacketAnalysisGUI_v2.py:484-487`); ``solve_dense(..., lstsq_fallback=True)``
+  replicates that semantic with a jit-compatible residual check.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Boundary conditions (host-side, static)
+# ---------------------------------------------------------------------------
+
+def free_fixed_dofs(fixed_mask) -> tuple[np.ndarray, np.ndarray]:
+    """(free_dofs, fixed_dofs) int arrays from a boolean node mask.
+
+    All 6 DOFs of a fixed node are clamped, like the reference's
+    ``apply_boundary_conditions`` (`JacketAnalysisGUI_v2.py:473-479`).
+    """
+    fixed_mask = np.asarray(fixed_mask)
+    dof_fixed = np.repeat(fixed_mask, 6)
+    all_dofs = np.arange(dof_fixed.shape[0])
+    return all_dofs[~dof_fixed], all_dofs[dof_fixed]
+
+
+def dof_free_mask(fixed_mask) -> jnp.ndarray:
+    """[n_dof] float mask: 1.0 on free DOFs, 0.0 on fixed (for projection)."""
+    m = jnp.repeat(jnp.logical_not(jnp.asarray(fixed_mask)), 6)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Dense path
+# ---------------------------------------------------------------------------
+
+def solve_dense(K, F, free_dofs, lstsq_fallback: bool = False):
+    """U (full-length, zeros at fixed DOFs) from dense K and load vector F.
+
+    Matches ``FEMSolver.solve`` (`JacketAnalysisGUI_v2.py:481-490`): gather
+    K_ff and F_f, LU solve.  With ``lstsq_fallback`` the result is replaced
+    by a least-squares solution when the LU solution is non-finite (the
+    jit-compatible analogue of the reference's try/except).
+    """
+    free = jnp.asarray(free_dofs)
+    K_ff = K[jnp.ix_(free, free)]
+    F_f = F[free]
+    U_f = jnp.linalg.solve(K_ff, F_f)
+    if lstsq_fallback:
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(U_f)))
+        U_ls = jnp.linalg.lstsq(K_ff, F_f)[0]
+        U_f = jnp.where(bad, U_ls, U_f)
+    U = jnp.zeros_like(F)
+    return U.at[free].set(U_f)
+
+
+class DenseFactor(NamedTuple):
+    chol: jnp.ndarray       # lower Cholesky factor of K_ff
+    free_dofs: jnp.ndarray
+    n_dof: int
+
+
+def factor_dense(K, free_dofs) -> DenseFactor:
+    """Cholesky-factor the free-free block once (K_ff is SPD for a
+    supported structure)."""
+    free = jnp.asarray(free_dofs)
+    K_ff = K[jnp.ix_(free, free)]
+    L = jnp.linalg.cholesky(K_ff)
+    return DenseFactor(chol=L, free_dofs=free, n_dof=K.shape[0])
+
+
+def solve_factored(fac: DenseFactor, F):
+    """Solve for one RHS [n_dof] or a batch [B, n_dof] with one factor.
+
+    The phase-scan fast path: K is time-independent, so 360 wave phases are
+    one triangular solve with a [n_free, 360] RHS matrix.
+    """
+    batched = F.ndim == 2
+    Fb = F if batched else F[None]
+    F_f = Fb[:, fac.free_dofs].T                       # [n_free, B]
+    y = jax.scipy.linalg.solve_triangular(fac.chol, F_f, lower=True)
+    U_f = jax.scipy.linalg.solve_triangular(fac.chol.T, y, lower=False)
+    U = jnp.zeros_like(Fb)
+    U = U.at[:, fac.free_dofs].set(U_f.T)
+    return U if batched else U[0]
+
+
+def reactions_dense(K, U, F, fixed_dofs):
+    """R = K U - F at the fixed DOFs, reshaped [n_fixed_nodes, 6]
+    (`JacketAnalysisGUI_v2.py:492-502`)."""
+    R = K @ U - F
+    return R[jnp.asarray(fixed_dofs)].reshape(-1, 6)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free PCG (for BCSR / large meshes)
+# ---------------------------------------------------------------------------
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray
+    n_iter: jnp.ndarray
+    residual: jnp.ndarray
+
+
+def pcg(matvec: Callable, b, precond: Callable = None, x0=None,
+        tol: float = 1e-10, maxiter: int = 1000) -> PCGResult:
+    """Preconditioned conjugate gradients (lax.while_loop; call under jit).
+
+    ``matvec`` and ``precond`` must be closures over already-masked
+    (BC-projected) operators; convergence on relative residual ||r||/||b||.
+    """
+    if precond is None:
+        precond = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+
+    def cond(state):
+        x, r, p, rz, it = state
+        return jnp.logical_and(it < maxiter, jnp.linalg.norm(r) / bnorm > tol)
+
+    def body(state):
+        x, r, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, p, rz_new, it + 1
+
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    return PCGResult(x=x, n_iter=it, residual=jnp.linalg.norm(r) / bnorm)
+
+
+def projected_operator(matvec: Callable, free_mask: jnp.ndarray) -> Callable:
+    """Impose U=0 on fixed DOFs by projection: A_c x = P A P x + (I-P) x.
+
+    Keeps the operator SPD; the solution of A_c x = P b has exact zeros on
+    fixed DOFs and equals the reference's partitioned solve on free DOFs.
+    """
+    def op(x):
+        y = free_mask * matvec(free_mask * x)
+        return y + (1.0 - free_mask) * x
+    return op
+
+
+def block_jacobi_preconditioner(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray) -> Callable:
+    """6x6 block-Jacobi preconditioner from BCSR diagonal blocks.
+
+    Fixed DOFs get identity rows so the projected system stays well-posed.
+    ``diag_blocks``: [n_nodes, 6, 6].
+    """
+    n = diag_blocks.shape[0]
+    mask = free_mask.reshape(n, 6)
+    eye = jnp.eye(6, dtype=diag_blocks.dtype)
+    # zero fixed rows/cols of each block, put 1 on their diagonal
+    D = diag_blocks * mask[:, :, None] * mask[:, None, :]
+    D = D + eye * (1.0 - mask)[:, :, None]
+    D_inv = jnp.linalg.inv(D)
+
+    def precond(r):
+        rb = r.reshape(n, 6)
+        zb = jnp.einsum("nij,nj->ni", D_inv, rb)
+        return zb.reshape(-1)
+    return precond
+
+
+def jacobi_preconditioner(diag: jnp.ndarray, free_mask: jnp.ndarray) -> Callable:
+    """Scalar Jacobi preconditioner; fixed DOFs use 1."""
+    d = jnp.where(free_mask > 0, diag, 1.0)
+    d = jnp.where(d == 0, 1.0, d)
+    inv = 1.0 / d
+    return lambda r: inv * r

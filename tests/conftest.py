@@ -1,0 +1,35 @@
+"""Test configuration: CPU platform, 8 virtual devices, float64.
+
+Parity with the NumPy reference requires float64; multi-chip sharding tests
+use a virtual 8-device CPU mesh (`--xla_force_host_platform_device_count`),
+mirroring SURVEY.md section 4's "distributed tests without a cluster" plan.
+The axon sitecustomize pins JAX_PLATFORMS=axon (TPU), so we override the
+platform through jax.config before any backend is initialized.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import json  # noqa: E402
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def golden_default():
+    return json.loads((GOLDEN_DIR / "default_case.json").read_text())
+
+
+@pytest.fixture(scope="session")
+def golden_variant():
+    return json.loads((GOLDEN_DIR / "variant_case.json").read_text())

@@ -1,0 +1,135 @@
+"""End-to-end pipeline parity vs the reference at 1e-8 relative, plus
+solver cross-checks (LU vs Cholesky vs PCG) and the batched phase scan."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+
+
+def _case_from_params(p):
+    return sf.LoadCase(
+        E=p["E"], nu=p["nu"], fy=p["fy"], rho_water=p["rho_water"],
+        wave_dir_deg=p["wave_dir"], current_dir_deg=p["current_dir"],
+        Cd=p["Cd"], Cm=p["Cm"],
+        F_axial_kN=p["F_axial_kN"], F_shear_kN=p["F_shear_kN"],
+        M_moment_kNm=p["M_moment_kNm"], M_torsion_kNm=p["M_torsion_kNm"],
+        custom_sw_tonnes=p.get("custom_sw_tonnes", 0.0),
+        t_analysis=p["t_analysis"], sw_mode=p["sw_mode"],
+    )
+
+
+def _run(golden, solver="lu"):
+    p = golden["params"]
+    model = sf.default_3leg_jacket(leg_section=(p["D_leg"], p["t_leg"]),
+                                   brace_section=(p["D_brace"], p["t_brace"]),
+                                   rho_steel=p["rho_steel"])
+    wave = sf.airy_wave(p["H"], p["T"], p["d"], p["U_c"])
+    res = sf.analyze(model, wave, _case_from_params(p), solver=solver)
+    return model, res
+
+
+@pytest.mark.parametrize("which", ["golden_default", "golden_variant"])
+def test_load_vector_matches_reference(which, request):
+    g = request.getfixturevalue(which)
+    model, res = _run(g)
+    F_ref = np.array(g["fem"]["F_global"])
+    scale = np.abs(F_ref).max()
+    np.testing.assert_allclose(np.asarray(res.F_applied), F_ref,
+                               rtol=1e-8, atol=1e-8 * scale)
+
+
+@pytest.mark.parametrize("which", ["golden_default", "golden_variant"])
+@pytest.mark.parametrize("solver", ["lu", "chol"])
+def test_displacements_match_reference(which, solver, request):
+    g = request.getfixturevalue(which)
+    model, res = _run(g, solver=solver)
+    U_ref = np.array(g["fem"]["U"])
+    scale = np.abs(U_ref).max()
+    np.testing.assert_allclose(np.asarray(res.U), U_ref, rtol=1e-8,
+                               atol=1e-8 * scale)
+
+
+@pytest.mark.parametrize("which", ["golden_default", "golden_variant"])
+def test_reactions_match_reference(which, request):
+    g = request.getfixturevalue(which)
+    model, res = _run(g)
+    fixed_names = [n for n in model.node_names if n in g["fem"]["reactions"]]
+    assert fixed_names == model.fixed_node_names()
+    R_ref = np.array([g["fem"]["reactions"][n] for n in fixed_names])
+    scale = np.abs(R_ref).max()
+    np.testing.assert_allclose(np.asarray(res.reactions), R_ref,
+                               rtol=1e-8, atol=1e-8 * scale)
+
+
+@pytest.mark.parametrize("which", ["golden_default", "golden_variant"])
+def test_member_forces_and_vm_match_reference(which, request):
+    g = request.getfixturevalue(which)
+    model, res = _run(g)
+    ref = g["fem"]["internal_forces"]
+    assert [m["member"] for m in ref] == list(model.member_names)
+
+    F1 = np.asarray(res.F1_local)
+    F2 = np.asarray(res.F2_local)
+    for col, key, scale in [(0, "Fx_max_kN", 1e3), (1, "Fy_max_kN", 1e3),
+                            (2, "Fz_max_kN", 1e3), (4, "My_max_kNm", 1e6),
+                            (5, "Mz_max_kNm", 1e6)]:
+        ours = np.maximum(np.abs(F1[:, col]), np.abs(F2[:, col])) / scale
+        refs = np.array([m[key] for m in ref])
+        np.testing.assert_allclose(ours, refs, rtol=1e-8, atol=1e-8 * max(refs.max(), 1))
+
+    vm_ref = np.array([m["von_mises_max_MPa"] for m in ref])
+    np.testing.assert_allclose(np.asarray(res.von_mises), vm_ref, rtol=1e-8)
+    util_ref = np.array([m["utilization"] for m in ref])
+    np.testing.assert_allclose(np.asarray(res.utilization), util_ref, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.length_m),
+                               [m["length_m"] for m in ref], rtol=1e-10)
+
+
+def test_reaction_equilibrium(golden_default):
+    """Support reactions balance the applied loads (physics invariant the
+    reference surfaces in its log, `JacketAnalysisGUI_v2.py:2027-2033`)."""
+    model, res = _run(golden_default)
+    F = np.asarray(res.F_applied).reshape(-1, 6)
+    R = np.asarray(res.total_reaction)
+    np.testing.assert_allclose(R[:3], -F[:, :3].sum(0), rtol=1e-9)
+
+
+def test_pcg_matches_dense(golden_default):
+    g = golden_default
+    model, res_lu = _run(g, solver="lu")
+    _, res_pcg = _run(g, solver="pcg")
+    U_ref = np.asarray(res_lu.U)
+    scale = np.abs(U_ref).max()
+    np.testing.assert_allclose(np.asarray(res_pcg.U), U_ref, rtol=1e-6,
+                               atol=1e-8 * scale)
+    np.testing.assert_allclose(np.asarray(res_pcg.von_mises),
+                               np.asarray(res_lu.von_mises), rtol=1e-6)
+
+
+def test_phase_batch_consistent_with_single_solves(golden_default):
+    """The factored multi-RHS phase batch equals per-phase analyze()."""
+    g = golden_default
+    p = g["params"]
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(p["H"], p["T"], p["d"], p["U_c"])
+    case = _case_from_params(p)
+    ts, batch = sf.analyze_phase_batch(model, wave, case, n_steps=8)
+    for i in [0, 3, 7]:
+        case_i = sf.LoadCase(**{**{f.name: getattr(case, f.name)
+                                   for f in case.__dataclass_fields__.values()},
+                                "t_analysis": float(ts[i])})
+        res_i = sf.analyze(model, wave, case_i, solver="chol")
+        np.testing.assert_allclose(np.asarray(batch.U[i]), np.asarray(res_i.U),
+                                   rtol=1e-9, atol=1e-9 * abs(np.asarray(res_i.U)).max())
+        np.testing.assert_allclose(np.asarray(batch.von_mises[i]),
+                                   np.asarray(res_i.von_mises), rtol=1e-9)
+
+
+def test_max_displacement_report(golden_default):
+    g = golden_default
+    model, res = _run(g)
+    U_ref = np.array(g["fem"]["U"]).reshape(-1, 6)
+    disp = np.linalg.norm(U_ref[:, :3], axis=1)
+    assert int(res.max_displacement_node) == int(np.argmax(disp))
+    np.testing.assert_allclose(float(res.max_displacement_mm), disp.max(), rtol=1e-8)
