@@ -13,8 +13,11 @@ from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)
 from .models.model import JacketModel, build_model, refine_model
 from .models.presets import DEFAULT_STORM, default_3leg_jacket
+from .ops.fenton import fenton_wave
 from .ops.morison import MorisonLoads, morison_loads, phase_scan
 from .ops.sections import TubeSections, tube_sections
+from .ops.stokes import stokes_wave
+from .ops.wave_models import make_wave, validate_wave
 from .ops.waves import FourierWave, airy_wave, kinematics, surface_elevation
 
 __version__ = "0.1.0"
