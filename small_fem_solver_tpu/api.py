@@ -30,6 +30,7 @@ import numpy as np
 
 from .constants import G_GRAV
 from .models.model import JacketModel
+from .ops import condense as condense_mod
 from .ops import solve as solve_mod
 from .ops.assembly import (assemble_bcsr, assemble_dense, bcsr_block_diagonal,
                            bcsr_matvec, build_bcsr_pattern)
@@ -196,8 +197,12 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
                                    "pcg_tol", "pcg_maxiter"))
 def _analyze_jit(model, wave, case, solver, n_gauss, accel, free, fixed,
                  pattern, pcg_tol, pcg_maxiter):
-    return _analyze_impl(model, wave, case, solver, n_gauss, accel, free,
-                         fixed, pattern, pcg_tol, pcg_maxiter)
+    # XLA:TPU lowers f32 matmuls to bf16 MXU passes by default, which is
+    # catastrophic for stiffness algebra; force full-precision accumulation
+    # for everything inside the solver pipeline.
+    with jax.default_matmul_precision("highest"):
+        return _analyze_impl(model, wave, case, solver, n_gauss, accel, free,
+                             fixed, pattern, pcg_tol, pcg_maxiter)
 
 
 def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
@@ -283,6 +288,12 @@ def analyze_phase_batch(model: JacketModel, wave: FourierWave, case: LoadCase,
 
 @partial(jax.jit, static_argnames=("n_steps", "n_gauss", "accel"))
 def _phase_batch_jit(model, wave, case, n_steps, n_gauss, accel, free, fixed):
+    with jax.default_matmul_precision("highest"):
+        return _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel,
+                                 free, fixed)
+
+
+def _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel, free, fixed):
     G = case.E / (2.0 * (1.0 + case.nu))
     D_m = model.sections.D_outer[model.sect_id] / 1000.0
     dtype = model.coords.dtype
@@ -309,3 +320,135 @@ def _phase_batch_jit(model, wave, case, n_steps, n_gauss, accel, free, fixed):
 
     results = jax.vmap(recover)(U_batch, F_batch, mor_batch)
     return ts, results
+
+
+class CondensedScanResults(NamedTuple):
+    """Results of a condensed multi-phase scan (leading axis = phase)."""
+
+    ts: jnp.ndarray               # [S] phase times
+    U: jnp.ndarray                # [S, n_dof_refined] displacements (mm/rad)
+    von_mises: jnp.ndarray        # [S, M_refined] MPa
+    utilization: jnp.ndarray      # [S, M_refined]
+    reactions: jnp.ndarray        # [S, n_fixed, 6]
+    total_morison: jnp.ndarray    # [S, 3] N
+    critical_index: jnp.ndarray   # argmax_s max_m utilization
+
+
+def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
+                         n_seg: int, wave, case: LoadCase,
+                         n_steps: int = 360, n_gauss: int = 15,
+                         accel: str = "analytic",
+                         solve_dtype=jnp.float64) -> CondensedScanResults:
+    """Full FEM phase scan of a refined jacket via exact chain condensation.
+
+    The flagship large-mesh path (see ops/condense.py): interior DOFs of all
+    refined member chains are eliminated exactly, so each phase's solve acts
+    on the original interface DOFs only.  Hydrodynamic loads are evaluated in
+    the model dtype (float32 on TPU — bandwidth-heavy, precision-insensitive)
+    while the condensation/solve/recovery chain runs in ``solve_dtype``
+    (float64 by default — negligible FLOPs, and immune to the
+    refinement-induced conditioning that breaks float32 dense solvers).
+
+    ``refined`` must come from ``refine_model(coarse, n_seg)`` (member-major
+    interior node layout).
+    """
+    free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    return _phase_scan_condensed_jit(
+        coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
+        n_gauss, accel, solve_dtype, jnp.asarray(free_np),
+        jnp.asarray(fixed_np))
+
+
+@partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss", "accel",
+                                   "solve_dtype"))
+def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
+                              n_gauss, accel, solve_dtype, free, fixed):
+    with jax.default_matmul_precision("highest"):
+        return _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg,
+                                          n_steps, n_gauss, accel,
+                                          solve_dtype, free, fixed)
+
+
+def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
+                               n_gauss, accel, solve_dtype, free, fixed):
+    nc = coarse.n_nodes
+    Mc = coarse.n_members
+    n_int = n_seg - 1
+    G = case.E / (2.0 * (1.0 + case.nu))
+
+    # ---- element stiffness + chain factorization (solve precision) ----
+    coords64 = refined.coords.astype(solve_dtype)
+    Kg, K_local, T, L_m = element_stiffness(
+        coords64, refined.conn, jax.tree.map(lambda x: x.astype(solve_dtype),
+                                             refined.sections),
+        refined.sect_id, case.E, G)
+    fac = condense_mod.factor_chains(Kg, n_seg)
+
+    # interface stiffness on the coarse connectivity
+    K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
+    dfac = solve_mod.factor_dense(K_I, free)
+
+    # ---- loads at all phases (model dtype), then condense ----
+    ldtype = refined.coords.dtype
+    ts = jnp.arange(n_steps, dtype=ldtype) * wave.T.astype(ldtype) / n_steps
+    D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+
+    def loads_at(t):
+        mor = morison_loads(wave, refined.coords, refined.conn, D_m,
+                            case.wave_dir_deg.astype(ldtype),
+                            case.current_dir_deg.astype(ldtype),
+                            case.Cd.astype(ldtype), case.Cm.astype(ldtype),
+                            case.rho_water.astype(ldtype), t,
+                            n_gauss=n_gauss, accel=accel)
+        F = assemble_loads(refined, case.cast(ldtype), mor.nodal_forces, L_m.astype(ldtype))
+        return F, mor.total_morison
+
+    F_all, total_morison = jax.vmap(loads_at)(ts)          # [S, n_dof_ref]
+    F_all = F_all.astype(solve_dtype)
+    Fn = F_all.reshape(n_steps, -1, 6)
+    F_interface = Fn[:, :nc]                               # [S, nc, 6]
+    g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
+
+    fI, fJ, v_g = condense_mod.condense_loads(fac, g)
+    node1 = coarse.conn[:, 0]
+    node2 = coarse.conn[:, 1]
+    F_cond = F_interface
+    F_cond = F_cond.at[:, node1].add(fI)
+    F_cond = F_cond.at[:, node2].add(fJ)
+    F_cond_flat = F_cond.reshape(n_steps, -1)
+
+    # ---- interface solve for all phases at once ----
+    U_I = solve_mod.solve_factored(dfac, F_cond_flat)      # [S, 6 nc]
+    U_In = U_I.reshape(n_steps, nc, 6)
+
+    # ---- back-substitute interiors, rebuild full displacement vector ----
+    u1 = U_In[:, node1]                                    # [S, Mc, 6]
+    u2 = U_In[:, node2]
+    v = condense_mod.back_substitute(fac, v_g, u1, u2)     # [S, n_int, Mc, 6]
+    U = jnp.concatenate([
+        U_In.reshape(n_steps, -1),
+        v.swapaxes(1, 2).reshape(n_steps, -1),
+    ], axis=1)                                             # [S, n_dof_ref]
+
+    # ---- recovery on every refined element ----
+    dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
+                            6 * refined.conn[:, 1:2] + jnp.arange(6)], axis=-1)
+    u_elem = U[:, dofs]                                    # [S, Mr, 12]
+    u_loc = jnp.einsum("mij,smj->smi", T, u_elem)
+    F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
+    F1 = -F_loc[:, :, :6]
+    vm = von_mises_8pt(jax.tree.map(lambda x: x.astype(solve_dtype),
+                                    refined.sections), refined.sect_id,
+                       F1[..., 0], F1[..., 1], F1[..., 2],
+                       F1[..., 3], F1[..., 4], F1[..., 5])
+    util = vm / case.fy
+
+    # ---- reactions from the condensed interface system (exact) ----
+    R = U_I @ K_I.T - F_cond_flat                          # [S, 6 nc]
+    reac = R[:, fixed].reshape(n_steps, -1, 6)
+
+    crit = jnp.argmax(jnp.max(util, axis=1))
+    return CondensedScanResults(
+        ts=ts, U=U, von_mises=vm, utilization=util, reactions=reac,
+        total_morison=total_morison, critical_index=crit,
+    )

@@ -167,44 +167,44 @@ def refine_model(model: JacketModel, n_seg: int) -> JacketModel:
     conn = np.asarray(model.conn)
     sect_id = np.asarray(model.sect_id)
     n_nodes = coords.shape[0]
+    M = conn.shape[0]
+    n_int = n_seg - 1  # interior nodes per member
 
-    new_coords = [coords]
-    new_conn = []
-    new_sect = []
-    new_types = []
-    new_names = []
-    node_names = list(model.node_names)
-    next_node = n_nodes
-    for e in range(conn.shape[0]):
-        i, j = int(conn[e, 0]), int(conn[e, 1])
-        c1, c2 = coords[i], coords[j]
-        interior = [c1 + (c2 - c1) * (s / n_seg) for s in range(1, n_seg)]
-        ids = [i] + list(range(next_node, next_node + n_seg - 1)) + [j]
-        if interior:
-            new_coords.append(np.stack(interior))
-            node_names += [f"_R{e}_{s}" for s in range(1, n_seg)]
-            next_node += n_seg - 1
-        base = model.member_names[e] if model.member_names else f"M{e}"
-        for s in range(n_seg):
-            new_conn.append([ids[s], ids[s + 1]])
-            new_sect.append(sect_id[e])
-            new_types.append(model.member_types[e] if model.member_types else "brace")
-            new_names.append(f"{base}#{s}")
+    # interior node coordinates: [M, n_int, 3], laid out member-major so the
+    # condensation solver can treat member e's chain as a contiguous block
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    s = (np.arange(1, n_seg) / n_seg)[None, :, None]
+    interior = c1[:, None, :] + (c2 - c1)[:, None, :] * s
 
-    coords = np.concatenate(new_coords, axis=0)
-    fixed = np.zeros(coords.shape[0], dtype=bool)
-    top = np.zeros(coords.shape[0], dtype=bool)
+    new_coords = np.concatenate([coords, interior.reshape(-1, 3)], axis=0)
+
+    # chain node ids per member: [M, n_seg+1] = [i, interior..., j]
+    int_ids = n_nodes + np.arange(M * n_int).reshape(M, n_int)
+    chain = np.concatenate([conn[:, 0:1], int_ids, conn[:, 1:2]], axis=1)
+    new_conn = np.stack([chain[:, :-1], chain[:, 1:]], axis=-1).reshape(-1, 2)
+    new_sect = np.repeat(sect_id, n_seg)
+
+    fixed = np.zeros(new_coords.shape[0], dtype=bool)
+    top = np.zeros(new_coords.shape[0], dtype=bool)
     fixed[:n_nodes] = np.asarray(model.fixed_mask)
     top[:n_nodes] = np.asarray(model.top_mask)
 
+    node_names = tuple(model.node_names) + tuple(
+        f"_R{e}_{k}" for e in range(M) for k in range(1, n_seg))
+    base = model.member_names if model.member_names else tuple(f"M{e}" for e in range(M))
+    member_names = tuple(f"{base[e]}#{k}" for e in range(M) for k in range(n_seg))
+    types = model.member_types if model.member_types else ("brace",) * M
+    member_types = tuple(types[e] for e in range(M) for _ in range(n_seg))
+
     return JacketModel(
-        coords=jnp.asarray(coords, dtype=model.coords.dtype),
-        conn=jnp.asarray(np.array(new_conn, dtype=np.int32)),
-        sect_id=jnp.asarray(np.array(new_sect, dtype=np.int32)),
+        coords=jnp.asarray(new_coords, dtype=model.coords.dtype),
+        conn=jnp.asarray(new_conn.astype(np.int32)),
+        sect_id=jnp.asarray(new_sect.astype(np.int32)),
         sections=model.sections,
         fixed_mask=jnp.asarray(fixed),
         top_mask=jnp.asarray(top),
-        node_names=tuple(node_names),
-        member_names=tuple(new_names),
-        member_types=tuple(new_types),
+        node_names=node_names,
+        member_names=member_names,
+        member_types=member_types,
     )

@@ -24,6 +24,7 @@ Element formulation details replicated exactly (required for 1e-8 parity):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .sections import TubeSections
 
@@ -72,11 +73,41 @@ def transformation_matrices(R):
     return T
 
 
+# Constant 12x12 pattern matrices: K_local = sum_c coeff_c(m) * _KPAT[c].
+# One per independent stiffness coefficient of `JacketAnalysisGUI_v2.py:400-421`
+# (axial; 12bz, 6bzL, (4+Phi_y)bzL^2, (2-Phi_y)bzL^2; same for y-bending with
+# the reference's sign pattern; torsion).  Expressing K_local as a single
+# [M, 10] x [10, 144] contraction turns element-stiffness construction into
+# one MXU matmul instead of ~40 scattered writes.
+def _build_kpat():
+    P = np.zeros((10, 12, 12))
+
+    def sym(c, i, j, v):
+        P[c, i, j] = v
+        P[c, j, i] = v
+
+    sym(0, 0, 0, 1); sym(0, 6, 6, 1); sym(0, 0, 6, -1)              # alpha
+    sym(1, 1, 1, 1); sym(1, 7, 7, 1); sym(1, 1, 7, -1)              # 12 bz
+    sym(2, 1, 5, 1); sym(2, 1, 11, 1); sym(2, 7, 5, -1); sym(2, 7, 11, -1)  # 6 bz L
+    sym(3, 5, 5, 1); sym(3, 11, 11, 1)                               # (4+Phi_y) bz L^2
+    sym(4, 5, 11, 1)                                                 # (2-Phi_y) bz L^2
+    sym(5, 2, 2, 1); sym(5, 8, 8, 1); sym(5, 2, 8, -1)              # 12 by
+    sym(6, 2, 4, -1); sym(6, 2, 10, -1); sym(6, 8, 4, 1); sym(6, 8, 10, 1)  # 6 by L
+    sym(7, 4, 4, 1); sym(7, 10, 10, 1)                               # (4+Phi_z) by L^2
+    sym(8, 4, 10, 1)                                                 # (2-Phi_z) by L^2
+    sym(9, 3, 3, 1); sym(9, 9, 9, 1); sym(9, 3, 9, -1)              # torsion
+    return P.reshape(10, 144)
+
+
+_KPAT = _build_kpat()
+
+
 def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool = True):
     """Stacked local stiffness ``K_local[M, 12, 12]`` in N/mm units.
 
     Vectorized form of ``BeamElement3D._compute_local_stiffness``
-    (`JacketAnalysisGUI_v2.py:389-422`).
+    (`JacketAnalysisGUI_v2.py:389-422`) expressed as one coefficient-by-
+    pattern matmul (see ``_build_kpat``).
     """
     L = L_mm
     A = sec.Ax[sect_id]
@@ -98,46 +129,16 @@ def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool 
     by = E * Iy / ((1.0 + Phi_z) * L**3)
     tors = G * Ix / L
 
-    Mn = L.shape[0]
-    K = jnp.zeros((Mn, 12, 12), dtype=L.dtype)
-
-    def sym_set(K, i, j, v):
-        K = K.at[:, i, j].set(v)
-        if i != j:
-            K = K.at[:, j, i].set(v)
-        return K
-
-    # axial (`:407`)
-    K = sym_set(K, 0, 0, alpha)
-    K = sym_set(K, 6, 6, alpha)
-    K = sym_set(K, 0, 6, -alpha)
-    # bending about local z (translations along local y) (`:408-413`)
-    K = sym_set(K, 1, 1, 12.0 * bz)
-    K = sym_set(K, 7, 7, 12.0 * bz)
-    K = sym_set(K, 1, 7, -12.0 * bz)
-    K = sym_set(K, 1, 5, 6.0 * bz * L)
-    K = sym_set(K, 1, 11, 6.0 * bz * L)
-    K = sym_set(K, 7, 5, -6.0 * bz * L)
-    K = sym_set(K, 7, 11, -6.0 * bz * L)
-    K = sym_set(K, 5, 5, (4.0 + Phi_y) * bz * L**2)
-    K = sym_set(K, 11, 11, (4.0 + Phi_y) * bz * L**2)
-    K = sym_set(K, 5, 11, (2.0 - Phi_y) * bz * L**2)
-    # bending about local y (translations along local z) (`:414-419`)
-    K = sym_set(K, 2, 2, 12.0 * by)
-    K = sym_set(K, 8, 8, 12.0 * by)
-    K = sym_set(K, 2, 8, -12.0 * by)
-    K = sym_set(K, 2, 4, -6.0 * by * L)
-    K = sym_set(K, 2, 10, -6.0 * by * L)
-    K = sym_set(K, 8, 4, 6.0 * by * L)
-    K = sym_set(K, 8, 10, 6.0 * by * L)
-    K = sym_set(K, 4, 4, (4.0 + Phi_z) * by * L**2)
-    K = sym_set(K, 10, 10, (4.0 + Phi_z) * by * L**2)
-    K = sym_set(K, 4, 10, (2.0 - Phi_z) * by * L**2)
-    # torsion (`:420-421`)
-    K = sym_set(K, 3, 3, tors)
-    K = sym_set(K, 9, 9, tors)
-    K = sym_set(K, 3, 9, -tors)
-    return K
+    coeffs = jnp.stack([
+        alpha,
+        12.0 * bz, 6.0 * bz * L, (4.0 + Phi_y) * bz * L**2,
+        (2.0 - Phi_y) * bz * L**2,
+        12.0 * by, 6.0 * by * L, (4.0 + Phi_z) * by * L**2,
+        (2.0 - Phi_z) * by * L**2,
+        tors,
+    ], axis=-1)                                            # [M, 10]
+    pat = jnp.asarray(_KPAT, dtype=L.dtype)                # [10, 144]
+    return (coeffs @ pat).reshape(-1, 12, 12)
 
 
 def element_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,

@@ -1,0 +1,243 @@
+"""Exact substructure condensation for refined jacket models.
+
+This is the TPU-native large-mesh *direct* solver.  ``refine_model(m, n_seg)``
+subdivides every member into a chain of ``n_seg`` beam elements whose
+interior nodes couple only along the chain.  Eliminating those interior DOFs
+exactly (block-tridiagonal Gaussian elimination, i.e. the block Thomas
+algorithm) reduces the refined system to a superelement problem on the
+ORIGINAL interface nodes — for the default jacket, 126 DOF regardless of
+refinement level.  The elimination is:
+
+- *batched* over members (a ``vmap``'d ``lax.scan`` over the chain — 51
+  members march their 31 interior nodes in lockstep);
+- *multi-RHS*: all wave phases of a scan are condensed/back-substituted as
+  one tensor, so a 360-phase scan costs one sweep;
+- *exact* (a direct method): no iteration count, no preconditioner, and the
+  refinement-induced ill-conditioning that breaks float32 dense Cholesky at
+  10k+ DOF never materializes because each chain is eliminated locally.
+
+This replaces the role the reference's dense LAPACK solve plays
+(`/root/reference/JacketAnalysisGUI_v2.py:481-490`) at mesh sizes the
+reference cannot reach (its assembly is O(n^2) memory,
+`JacketAnalysisGUI_v2.py:444`); the interface problem is solved by the
+same partitioned dense Cholesky as the small-model path, so results match
+the generic solvers to solver precision (see tests/test_condense.py).
+
+Chain block structure for one member (n = n_seg elements, chain nodes
+0..n where 0, n are interface nodes):
+
+    element p (0-based) has 12x12 K split into A_p B_p / C_p E_p
+    interior diagonal    D_p     = E_{p-1} + A_p          (p = 1..n-1)
+    interior off-diag    T[p,p+1] = B_p,  T[p+1,p] = C_p
+    interface coupling   row 1 <- C_0 u_I,  row n-1 <- B_{n-1} u_J
+
+Schur complement onto (u_I, u_J):
+
+    K_super = [[A_0, 0], [0, E_{n-1}]]
+              - [[B_0 Z0_1,      B_0 Zn_1],
+                 [C_{n-1} Z0_{n-1}, C_{n-1} Zn_{n-1}]]
+    with Z0 = T^{-1} [C_0; 0; ...],  Zn = T^{-1} [...; 0; B_{n-1}]
+
+and condensed loads f_super = (f_I - B_0 (T^{-1} g)_1,
+                               f_J - C_{n-1} (T^{-1} g)_{n-1}).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def spd_inv6(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of SPD 6x6 blocks via unrolled Cholesky.
+
+    Every pivot block eliminated by the chain sweep is a Schur complement of
+    a principal submatrix of the (clamped-interface) chain stiffness, hence
+    SPD — so Cholesky is safe.  Written in basic arithmetic because XLA:TPU
+    implements LuDecomposition (``jnp.linalg.inv``) only for f32, while this
+    solver deliberately runs in f64.
+    """
+    n = A.shape[-1]
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        s = A[..., j, j] - jnp.sum(L[..., j, :j] ** 2, axis=-1)
+        Ljj = jnp.sqrt(s)
+        L = L.at[..., j, j].set(Ljj)
+        for i in range(j + 1, n):
+            v = A[..., i, j] - jnp.sum(L[..., i, :j] * L[..., j, :j], axis=-1)
+            L = L.at[..., i, j].set(v / Ljj)
+    # forward-substitute L X = I, then L^T A^{-1} = X
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    X = jnp.zeros_like(A)
+    for i in range(n):
+        r = eye[..., i, :] - jnp.einsum("...k,...kj->...j", L[..., i, :i], X[..., :i, :])
+        X = X.at[..., i, :].set(r / L[..., i, i][..., None])
+    Y = jnp.zeros_like(A)
+    for i in reversed(range(n)):
+        r = X[..., i, :] - jnp.einsum("...k,...kj->...j", L[..., i + 1:, i], Y[..., i + 1:, :])
+        Y = Y.at[..., i, :].set(r / L[..., i, i][..., None])
+    return Y
+
+
+class ChainFactor(NamedTuple):
+    """Factorized interior chains + superelement matrices.
+
+    Mc = number of original (coarse) members, n_int = n_seg - 1 interior
+    nodes per chain.
+    """
+
+    K_super: jnp.ndarray    # [Mc, 12, 12] condensed superelement stiffness
+    Cprime: jnp.ndarray     # [n_int, Mc, 6, 6] Thomas upper factors
+    DinvL: jnp.ndarray      # [n_int, Mc, 6, 6] denom^{-1} L_p (for rhs sweep)
+    Dinv: jnp.ndarray       # [n_int, Mc, 6, 6] denom^{-1}
+    Z0: jnp.ndarray         # [n_int, Mc, 6, 6] T^{-1} L0 columns
+    Zn: jnp.ndarray         # [n_int, Mc, 6, 6] T^{-1} Ln columns
+    B0: jnp.ndarray         # [Mc, 6, 6] element-0 coupling (K_01)
+    Cn: jnp.ndarray         # [Mc, 6, 6] element-(n-1) coupling (K_10)
+
+
+def factor_chains(K_elems: jnp.ndarray, n_seg: int) -> ChainFactor:
+    """Factor all member chains at once.
+
+    ``K_elems``: [Mc * n_seg, 12, 12] refined-element global-frame stiffness
+    matrices in the member-major order produced by ``refine_model``.
+    """
+    Mc = K_elems.shape[0] // n_seg
+    Ke = K_elems.reshape(Mc, n_seg, 12, 12)
+    A = Ke[:, :, 0:6, 0:6]
+    B = Ke[:, :, 0:6, 6:12]
+    C = Ke[:, :, 6:12, 0:6]
+    E = Ke[:, :, 6:12, 6:12]
+
+    n_int = n_seg - 1
+    # interior diagonal blocks D_p = E_{p-1} + A_p, p = 1..n_int
+    D = E[:, :-1] + A[:, 1:]                     # [Mc, n_int, 6, 6]
+    U = B[:, 1:]                                 # T[p, p+1], p = 1..n_int-1 used
+    L = C[:, 1:]                                 # T[p+1, p]
+
+    # scan over the chain: forward block-Thomas on [L0 | Ln] columns
+    D_t = jnp.moveaxis(D, 1, 0)                  # [n_int, Mc, 6, 6]
+    U_t = jnp.moveaxis(U, 1, 0)
+    L_t = jnp.moveaxis(L, 1, 0)
+
+    eye = jnp.broadcast_to(jnp.eye(6, dtype=K_elems.dtype), (Mc, 6, 6))
+    zeros = jnp.zeros_like(eye)
+    L0_first = C[:, 0]                           # couples row 1 to u_I
+    Ln_last = B[:, -1]                           # couples row n_int to u_J
+
+    def fwd(carry, inp):
+        cprime_prev, z0_prev, zn_prev, p = carry
+        Dp, Up, Lprev = inp
+        # Lprev = T[p, p-1] = C_{p-1} for p >= 2; row 1 has no left neighbor
+        first = p == 0
+        Lp = jnp.where(first, 0.0, 1.0) * Lprev
+        denom = Dp - jnp.einsum("mij,mjk->mik", Lp, cprime_prev)
+        # one batched Cholesky + one stacked 24-column triangular solve pair
+        # per chain level: [Up | rhs0 | rhsn | Lp | I] solved together.
+        # (denom is SPD: a Schur complement of the clamped chain stiffness.)
+        rhs0 = jnp.where(first, 1.0, 0.0) * L0_first \
+            - jnp.einsum("mij,mjk->mik", Lp, z0_prev)
+        rhsn = -jnp.einsum("mij,mjk->mik", Lp, zn_prev)
+        eyeb = jnp.broadcast_to(jnp.eye(6, dtype=Dp.dtype), Dp.shape)
+        rhs = jnp.concatenate([Up, rhs0, rhsn, Lp, eyeb], axis=-1)
+        # symmetric Jacobi scaling keeps the f32 Cholesky positive-definite:
+        # rotational vs translational DOFs differ by ~L^2 in magnitude and
+        # the unscaled Schur blocks lose definiteness to f32 rounding.
+        dd = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(denom, axis1=-2, axis2=-1)))
+        denom_s = denom * dd[..., :, None] * dd[..., None, :]
+        Ld = jnp.linalg.cholesky(denom_s)
+        y = jax.scipy.linalg.solve_triangular(Ld, dd[..., :, None] * rhs,
+                                              lower=True)
+        x = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Ld, -1, -2), y, lower=False)
+        x = dd[..., :, None] * x
+        cprime, z0, zn, DinvLp, denom_inv = jnp.split(x, 5, axis=-1)
+        return (cprime, z0, zn, p + 1), (cprime, DinvLp, denom_inv, z0, zn)
+
+    # interior row p couples right via T[p, p+1] = B_p (p = 1..n_int-1): the
+    # LAST interior row's B_{n-1} couples to the interface u_J, not the
+    # chain, so zero it here (it enters through Ln_last instead); row p
+    # couples left via T[p, p-1] = C_{p-1} (p = 2..n_int), zero for row 1.
+    U_pad = jnp.concatenate([U_t[:-1], jnp.zeros_like(U_t[:1])], axis=0)
+    L_pad = jnp.concatenate([jnp.zeros_like(L_t[:1]), L_t[:-1]], axis=0)
+    (_, _, _, _), (Cp, DinvL, Dinv, Z0f, Znf) = jax.lax.scan(
+        fwd, (zeros, zeros, zeros, 0), (D_t, U_pad, L_pad))
+
+    # forward sweep gives y = (lower)^(-1)-ish; finish with backward sweep
+    # to get the true Z0 = T^{-1} L0 and Zn = T^{-1} Ln columns, plus the
+    # Ln injection into the last row (it enters the RHS of row n_int):
+    # handle Ln by adding denom^{-1} Ln at the last forward step, which is
+    # equivalent to an extra RHS column that is zero until p = n_int.
+    lastDinv = Dinv[-1]
+    Znf = Znf.at[-1].add(jnp.einsum("mij,mjk->mik", lastDinv, Ln_last))
+
+    def bwd(carry, inp):
+        v0_next, vn_next = carry
+        cprime, y0, yn = inp
+        v0 = y0 - jnp.einsum("mij,mjk->mik", cprime, v0_next)
+        vn = yn - jnp.einsum("mij,mjk->mik", cprime, vn_next)
+        return (v0, vn), (v0, vn)
+
+    (_, _), (Z0b, Znb) = jax.lax.scan(
+        bwd, (zeros, zeros), (Cp, Z0f, Znf), reverse=True)
+
+    B0 = B[:, 0]
+    Cn = C[:, -1]
+    K00 = A[:, 0] - jnp.einsum("mij,mjk->mik", B0, Z0b[0])
+    K01 = -jnp.einsum("mij,mjk->mik", B0, Znb[0])
+    K10 = -jnp.einsum("mij,mjk->mik", Cn, Z0b[-1])
+    K11 = E[:, -1] - jnp.einsum("mij,mjk->mik", Cn, Znb[-1])
+    K_super = jnp.concatenate([
+        jnp.concatenate([K00, K01], axis=-1),
+        jnp.concatenate([K10, K11], axis=-1),
+    ], axis=-2)
+
+    return ChainFactor(K_super=K_super, Cprime=Cp, DinvL=DinvL, Dinv=Dinv,
+                       Z0=Z0b, Zn=Znb, B0=B0, Cn=Cn)
+
+
+def condense_loads(fac: ChainFactor, g):
+    """Condense interior loads onto the interfaces.
+
+    ``g``: [..., n_int, Mc, 6] interior nodal loads (leading batch axes OK,
+    e.g. wave phases).  Returns (f_I_extra, f_J_extra, y) where the extras
+    are [..., Mc, 6] to ADD to the interface nodes' loads and ``y`` is the
+    forward-swept interior RHS (needed for back-substitution).
+    """
+    def fwd(y_prev, inp):
+        DinvLp, Dinvp, gp = inp
+        y = jnp.einsum("mij,...mj->...mi", Dinvp, gp) \
+            - jnp.einsum("mij,...mj->...mi", DinvLp, y_prev)
+        return y, y
+
+    g_t = jnp.moveaxis(g, -3, 0)                # [n_int, ..., Mc, 6]
+    y0 = jnp.zeros_like(g_t[0])
+    _, y = jax.lax.scan(fwd, y0, (fac.DinvL, fac.Dinv, g_t))
+
+    # interface contributions: f_I -= B_0 (T^{-1} g)_1, but the forward sweep
+    # y is not yet T^{-1} g; the 1st block of T^{-1} g needs the backward
+    # sweep. Do it here (cheap; reuses Cprime).
+    def bwd(v_next, inp):
+        cprime, yp = inp
+        v = yp - jnp.einsum("mij,...mj->...mi", cprime, v_next)
+        return v, v
+
+    _, v = jax.lax.scan(bwd, jnp.zeros_like(y[0]), (fac.Cprime, y),
+                        reverse=True)
+    fI = -jnp.einsum("mij,...mj->...mi", fac.B0, v[0])
+    fJ = -jnp.einsum("mij,...mj->...mi", fac.Cn, v[-1])
+    return fI, fJ, jnp.moveaxis(v, 0, -3)
+
+
+def back_substitute(fac: ChainFactor, v_g, u_I, u_J):
+    """Interior displacements from interface solution.
+
+    ``v_g`` is the particular interior solution T^{-1} g returned by
+    :func:`condense_loads` (shape [..., n_int, Mc, 6]); the homogeneous
+    correction uses the stored Z columns:  v = v_g - Z0 u_I - Zn u_J.
+
+    ``u_I``, ``u_J``: [..., Mc, 6]. Returns [..., n_int, Mc, 6].
+    """
+    return v_g - jnp.einsum("pmij,...mj->...pmi", fac.Z0, u_I) \
+        - jnp.einsum("pmij,...mj->...pmi", fac.Zn, u_J)

@@ -1,0 +1,79 @@
+"""Condensed (substructure) solver vs the generic dense path.
+
+The chain condensation is an exact direct method, so on a refined model its
+displacements, stresses and reactions must match the dense Cholesky solver
+to solver precision at every phase.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.api import phase_scan_condensed
+
+
+@pytest.mark.parametrize("n_seg", [2, 4])
+def test_condensed_matches_dense(n_seg):
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=120.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       M_moment_kNm=5000.0, custom_sw_tonnes=1100.0,
+                       sw_mode="custom")
+
+    n_steps = 5
+    scan = phase_scan_condensed(coarse, refined, n_seg, wave, case,
+                                n_steps=n_steps, accel="fd")
+
+    for i in range(n_steps):
+        case_i = sf.LoadCase(**{**{f: getattr(case, f) for f in
+                                   ("E", "nu", "fy", "rho_water",
+                                    "wave_dir_deg", "current_dir_deg", "Cd",
+                                    "Cm", "F_axial_kN", "F_shear_kN",
+                                    "M_moment_kNm", "M_torsion_kNm",
+                                    "custom_sw_tonnes")},
+                                "t_analysis": float(scan.ts[i]),
+                                "sw_mode": "custom"})
+        ref = sf.analyze(refined, wave, case_i, solver="chol")
+        U_ref = np.asarray(ref.U)
+        scale = np.abs(U_ref).max()
+        np.testing.assert_allclose(np.asarray(scan.U[i]), U_ref,
+                                   rtol=1e-8, atol=1e-8 * scale)
+        np.testing.assert_allclose(np.asarray(scan.von_mises[i]),
+                                   np.asarray(ref.von_mises),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(scan.reactions[i]),
+                                   np.asarray(ref.reactions), rtol=1e-7,
+                                   atol=1e-7 * np.abs(np.asarray(ref.reactions)).max())
+
+
+def test_condensed_calculated_self_weight():
+    """Self-weight 'calculated' distributes to interior chain nodes too."""
+    coarse = sf.default_3leg_jacket()
+    n_seg = 3
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.airy_wave(2.0, 9.4, 50.0)
+    case = sf.LoadCase(sw_mode="calculated")
+    scan = phase_scan_condensed(coarse, refined, n_seg, wave, case, n_steps=2,
+                                accel="fd")
+    ref = sf.analyze(refined, wave,
+                     sf.LoadCase(sw_mode="calculated", t_analysis=0.0),
+                     solver="chol")
+    U_ref = np.asarray(ref.U)
+    np.testing.assert_allclose(np.asarray(scan.U[0]), U_ref, rtol=1e-8,
+                               atol=1e-8 * np.abs(U_ref).max())
+
+
+def test_condensed_equilibrium():
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 4)
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=12)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    scan = phase_scan_condensed(coarse, refined, 4, wave, case, n_steps=4)
+    # vertical reaction balances axial + self-weight - morison_z at each phase
+    Fz_applied = -25100e3 - 1100e3 * 9.81 + np.asarray(scan.total_morison)[:, 2]
+    Rz = np.asarray(scan.reactions).sum(axis=1)[:, 2]
+    np.testing.assert_allclose(Rz, -Fz_applied, rtol=1e-9)
