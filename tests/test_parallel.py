@@ -1,0 +1,70 @@
+"""Design sweeps and multi-device sharding on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.parallel.sweep import (critical_case, design_sweep,
+                                                 make_case_batch,
+                                                 make_wave_batch, stack_waves)
+
+
+def _base_case():
+    return sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+
+
+def test_wave_batch_matches_single():
+    Hs = [2.0, 5.0, 8.0]
+    batch = make_wave_batch(Hs, 9.4, 50.0, U_c=1.0, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    for i, H in enumerate(Hs):
+        single = sf.stokes_wave(H, 9.4, 50.0, 1.0, order=5, n_modes=8)
+        np.testing.assert_allclose(float(batch.k[i]), float(single.k), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(batch.E[i]), np.asarray(single.E),
+                                   rtol=1e-12)
+
+
+def test_design_sweep_matches_individual_analyze():
+    model = sf.default_3leg_jacket()
+    Hs = [3.0, 6.0, 9.0, 12.0]
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    cases = make_case_batch(_base_case(), t_analysis=jnp.zeros(4))
+    res = design_sweep(model, waves, cases, accel="fd")
+    assert res.utilization.shape[0] == 4
+    for i, H in enumerate(Hs):
+        w = sf.stokes_wave(H, 9.4, 50.0, 1.7, order=5, n_modes=8)
+        r = sf.analyze(model, w, _base_case(), solver="chol")
+        np.testing.assert_allclose(np.asarray(res.utilization[i]),
+                                   np.asarray(r.utilization), rtol=1e-9)
+
+
+def test_sharded_sweep_on_8_device_mesh():
+    devs = np.array(jax.devices())
+    assert len(devs) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(devs, ("cases",))
+    model = sf.default_3leg_jacket()
+    B = 16
+    Hs = np.linspace(2.0, 14.0, B)
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    cases = make_case_batch(_base_case(), t_analysis=jnp.zeros(B))
+    res = design_sweep(model, waves, cases, mesh=mesh, accel="fd")
+    # sharded result equals unsharded
+    res0 = design_sweep(model, waves, cases, accel="fd")
+    np.testing.assert_allclose(np.asarray(res.utilization),
+                               np.asarray(res0.utilization), rtol=1e-10)
+    crit = critical_case(res)
+    # monotone in H: the critical case is the largest wave
+    assert int(crit["index"]) == B - 1
+
+
+def test_stack_waves_rejects_mixed_clamp():
+    wa = sf.airy_wave(2.0, 9.0, 50.0, n_modes=5)
+    ws = sf.stokes_wave(3.0, 9.0, 50.0, order=5, n_modes=5)
+    with pytest.raises(ValueError):
+        stack_waves([wa, ws])
