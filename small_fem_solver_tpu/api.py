@@ -35,7 +35,7 @@ from .ops import solve as solve_mod
 from .ops.assembly import (assemble_bcsr, assemble_dense, bcsr_block_diagonal,
                            bcsr_matvec, build_bcsr_pattern)
 from .ops.beams import element_stiffness, internal_forces
-from .ops.morison import MorisonLoads, morison_loads
+from .ops.morison import MorisonLoads, morison_loads, morison_phase_batch
 from .ops.sections import von_mises_8pt
 from .ops.waves import FourierWave
 
@@ -338,6 +338,7 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
                          n_seg: int, wave, case: LoadCase,
                          n_steps: int = 360, n_gauss: int = 15,
                          accel: str = "analytic",
+                         kinematics: str = "separable",
                          solve_dtype=jnp.float64) -> CondensedScanResults:
     """Full FEM phase scan of a refined jacket via exact chain condensation.
 
@@ -349,28 +350,35 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     (float64 by default — negligible FLOPs, and immune to the
     refinement-induced conditioning that breaks float32 dense solvers).
 
+    ``kinematics='separable'`` evaluates all phases' wave kinematics through
+    one harmonic matmul (see ``morison_phase_batch``; analytic acceleration,
+    no surface clamp); ``'pointwise'`` re-evaluates per phase with the
+    reference's exact semantics (``accel`` applies there).
+
     ``refined`` must come from ``refine_model(coarse, n_seg)`` (member-major
     interior node layout).
     """
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     return _phase_scan_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
-        n_gauss, accel, solve_dtype, jnp.asarray(free_np),
+        n_gauss, accel, kinematics, solve_dtype, jnp.asarray(free_np),
         jnp.asarray(fixed_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss", "accel",
-                                   "solve_dtype"))
+                                   "kinematics", "solve_dtype"))
 def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
-                              n_gauss, accel, solve_dtype, free, fixed):
+                              n_gauss, accel, kinematics, solve_dtype, free,
+                              fixed):
     with jax.default_matmul_precision("highest"):
         return _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg,
-                                          n_steps, n_gauss, accel,
+                                          n_steps, n_gauss, accel, kinematics,
                                           solve_dtype, free, fixed)
 
 
 def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
-                               n_gauss, accel, solve_dtype, free, fixed):
+                               n_gauss, accel, kinematics, solve_dtype, free,
+                               fixed):
     nc = coarse.n_nodes
     Mc = coarse.n_members
     n_int = n_seg - 1
@@ -393,17 +401,29 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     ts = jnp.arange(n_steps, dtype=ldtype) * wave.T.astype(ldtype) / n_steps
     D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
 
-    def loads_at(t):
-        mor = morison_loads(wave, refined.coords, refined.conn, D_m,
-                            case.wave_dir_deg.astype(ldtype),
-                            case.current_dir_deg.astype(ldtype),
-                            case.Cd.astype(ldtype), case.Cm.astype(ldtype),
-                            case.rho_water.astype(ldtype), t,
-                            n_gauss=n_gauss, accel=accel)
-        F = assemble_loads(refined, case.cast(ldtype), mor.nodal_forces, L_m.astype(ldtype))
-        return F, mor.total_morison
+    case_l = case.cast(ldtype)
+    if kinematics == "separable":
+        mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
+                                 case_l.wave_dir_deg, case_l.current_dir_deg,
+                                 case_l.Cd, case_l.Cm, case_l.rho_water, ts,
+                                 n_gauss=n_gauss)
+        total_morison = mb.total_morison
+        F_all = jax.vmap(
+            lambda nodal: assemble_loads(refined, case_l, nodal,
+                                         L_m.astype(ldtype)))(mb.nodal_forces)
+    elif kinematics == "pointwise":
+        def loads_at(t):
+            mor = morison_loads(wave, refined.coords, refined.conn, D_m,
+                                case_l.wave_dir_deg, case_l.current_dir_deg,
+                                case_l.Cd, case_l.Cm, case_l.rho_water, t,
+                                n_gauss=n_gauss, accel=accel)
+            F = assemble_loads(refined, case_l, mor.nodal_forces,
+                               L_m.astype(ldtype))
+            return F, mor.total_morison
 
-    F_all, total_morison = jax.vmap(loads_at)(ts)          # [S, n_dof_ref]
+        F_all, total_morison = jax.vmap(loads_at)(ts)      # [S, n_dof_ref]
+    else:
+        raise ValueError(f"unknown kinematics mode {kinematics!r}")
     F_all = F_all.astype(solve_dtype)
     Fn = F_all.reshape(n_steps, -1, 6)
     F_interface = Fn[:, :nc]                               # [S, nc, 6]

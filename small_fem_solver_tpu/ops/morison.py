@@ -211,3 +211,149 @@ def phase_scan(
         critical_index=crit,
         nodal_forces=res[3] if keep_nodal else None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Separable phase-batch evaluation (the TPU fast path)
+# ---------------------------------------------------------------------------
+
+class MorisonPhaseBatch(NamedTuple):
+    """Per-phase Morison loads (leading axis = phase). Units: N, m."""
+
+    nodal_forces: jnp.ndarray     # [S, n_nodes, 3]
+    total_drag: jnp.ndarray       # [S, 3]
+    total_inertia: jnp.ndarray    # [S, 3]
+    total_morison: jnp.ndarray    # [S, 3]
+
+
+def morison_phase_batch(
+    wave: FourierWave,
+    coords: jnp.ndarray,
+    conn: jnp.ndarray,
+    D_m: jnp.ndarray,
+    wave_dir_deg,
+    current_dir_deg,
+    Cd,
+    Cm,
+    rho_water,
+    ts: jnp.ndarray,
+    n_gauss: int = 15,
+) -> MorisonPhaseBatch:
+    """All wave phases' Morison loads via a separable harmonic matmul.
+
+    With theta = k x - omega t, every Fourier harmonic factorizes:
+    cos(j theta) = cos(jkx) cos(jwt) + sin(jkx) sin(jwt).  The spatial
+    factors (cos/sin(jkx) and the depth profiles C_j, S_j) depend only on
+    geometry, so they are computed ONCE for all quadrature points, and the
+    kinematics of ALL phases reduce to one [S, N] x [N, P] matmul feeding
+    the MXU — versus the pointwise path re-evaluating transcendentals per
+    phase (an 18-mode, 360-phase scan does 18x fewer sin/cos/exp here).
+
+    Semantics: analytic d/dt (exact for the Fourier representation) and no
+    evaluation-height clamp — i.e. the mathematical kinematics; the
+    reference's raschii clamp (`JacketAnalysisGUI_v2.py:272`) only perturbs
+    a 1 cm band below the instantaneous surface.  Use ``morison_loads`` with
+    ``accel='fd'`` for bit-level reference parity.
+    """
+    dtype = coords.dtype
+    theta_w = jnp.deg2rad(jnp.asarray(90.0 - wave_dir_deg, dtype=dtype))
+    theta_c = jnp.deg2rad(jnp.asarray(90.0 - current_dir_deg, dtype=dtype))
+    cos_w, sin_w = jnp.cos(theta_w), jnp.sin(theta_w)
+    cos_c, sin_c = jnp.cos(theta_c), jnp.sin(theta_c)
+
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    dL = c2 - c1
+    L = jnp.linalg.norm(dL, axis=-1)                       # [M]
+    e = dL / L[:, None]
+
+    s, w = gauss_legendre_01(n_gauss)
+    s = jnp.asarray(s, dtype=dtype)
+    w = jnp.asarray(w, dtype=dtype)
+
+    pos = c1[:, None, :] + s[None, :, None] * dL[:, None, :]   # [M, Q, 3]
+    M, Q = pos.shape[0], n_gauss
+    x_wave = (pos[..., 0] * cos_w + pos[..., 1] * sin_w).reshape(-1)  # [P]
+    z = pos[..., 2].reshape(-1)
+
+    # ---- spatial harmonic factors, once for all phases ----
+    N = wave.E.shape[-1]
+    j = jnp.arange(1, N + 1, dtype=dtype)                  # [N]
+    jkx = j[None, :] * wave.k * x_wave[:, None]            # [P, N]
+    cjx = jnp.cos(jkx)
+    sjx = jnp.sin(jkx)
+    A = j * wave.k * (z[:, None] + wave.d)
+    B = j * wave.k * wave.d
+    Aa = jnp.abs(A)
+    scale = jnp.exp(Aa - B) / (1.0 + jnp.exp(-2.0 * B))
+    Cj = scale * (1.0 + jnp.exp(-2.0 * Aa))                # [P, N]
+    Sj = jnp.sign(A) * scale * (1.0 - jnp.exp(-2.0 * Aa))
+    jw = j * wave.omega
+
+    UC = wave.U * Cj                                       # [P, N]
+    US = wave.U * Sj
+    # five fields x (cos_t, sin_t) spatial coefficient matrices  [P, N]
+    A_eta, B_eta = wave.E * cjx, wave.E * sjx
+    A_u, B_u = UC * cjx, UC * sjx
+    A_w, B_w = US * sjx, -US * cjx
+    A_du, B_du = UC * jw * sjx, -UC * jw * cjx
+    A_dw, B_dw = -US * jw * cjx, -US * jw * sjx
+
+    Acat = jnp.stack([A_eta, A_u, A_w, A_du, A_dw], axis=0)  # [5, P, N]
+    Bcat = jnp.stack([B_eta, B_u, B_w, B_du, B_dw], axis=0)
+
+    ct = jnp.cos(jw * ts[:, None].astype(dtype))           # [S, N]
+    st = jnp.sin(jw * ts[:, None].astype(dtype))
+
+    # the MXU op: [S, N] @ [5, N, P] -> [5, S, P]
+    fields = jnp.einsum("sn,fpn->fsp", ct, Acat) \
+        + jnp.einsum("sn,fpn->fsp", st, Bcat)
+    eta, u_wo, wv, du, dw = fields                         # each [S, P]
+
+    dry = z[None, :] > eta
+    live = jnp.logical_not(dry).astype(dtype)
+
+    # global velocity / acceleration components (`:572-589` semantics)
+    Ux = (u_wo * cos_w + wave.U_c * cos_c) * live
+    Uy = (u_wo * sin_w + wave.U_c * sin_c) * live
+    Uz = wv * live
+    Ax_ = du * cos_w * live
+    Ay_ = du * sin_w * live
+    Az_ = dw * live
+
+    ex = jnp.repeat(e[:, 0], Q)[None, :]                   # [1, P]
+    ey = jnp.repeat(e[:, 1], Q)[None, :]
+    ez = jnp.repeat(e[:, 2], Q)[None, :]
+    Ue = Ux * ex + Uy * ey + Uz * ez
+    Ae = Ax_ * ex + Ay_ * ey + Az_ * ez
+    Upx, Upy, Upz = Ux - Ue * ex, Uy - Ue * ey, Uz - Ue * ez
+    Apx, Apy, Apz = Ax_ - Ae * ex, Ay_ - Ae * ey, Az_ - Ae * ez
+    Umag = jnp.sqrt(Upx**2 + Upy**2 + Upz**2)
+
+    Dp = jnp.repeat(D_m, Q)[None, :]
+    Lw = jnp.repeat(L, Q)[None, :] * jnp.tile(w, M)[None, :]
+    drag_on = (Umag > 1e-10).astype(dtype)
+    cd_fac = 0.5 * rho_water * Cd * Dp * Umag * Lw * drag_on
+    ci_fac = rho_water * Cm * (jnp.pi * Dp**2 / 4.0) * Lw
+    fd = jnp.stack([cd_fac * Upx, cd_fac * Upy, cd_fac * Upz], axis=-1)
+    fi = jnp.stack([ci_fac * Apx, ci_fac * Apy, ci_fac * Apz], axis=-1)
+    f = (fd + fi).reshape(-1, M, Q, 3)                     # [S, M, Q, 3]
+
+    F1 = jnp.einsum("q,smqc->smc", 1.0 - s, f)
+    F2 = jnp.einsum("q,smqc->smc", s, f)
+
+    n_nodes = coords.shape[0]
+    S = ts.shape[0]
+    contrib = jnp.concatenate([F1, F2], axis=1)            # [S, 2M, 3]
+    nodes = jnp.concatenate([conn[:, 0], conn[:, 1]])
+    nodal = jax.vmap(lambda c: jax.ops.segment_sum(c, nodes,
+                                                   num_segments=n_nodes))(contrib)
+
+    total_drag = jnp.sum(fd.reshape(S, -1, 3), axis=1)
+    total_inertia = jnp.sum(fi.reshape(S, -1, 3), axis=1)
+    return MorisonPhaseBatch(
+        nodal_forces=nodal,
+        total_drag=total_drag,
+        total_inertia=total_inertia,
+        total_morison=total_drag + total_inertia,
+    )

@@ -24,7 +24,8 @@ def test_condensed_matches_dense(n_seg):
 
     n_steps = 5
     scan = phase_scan_condensed(coarse, refined, n_seg, wave, case,
-                                n_steps=n_steps, accel="fd")
+                                n_steps=n_steps, accel="fd",
+                                kinematics="pointwise")
 
     for i in range(n_steps):
         case_i = sf.LoadCase(**{**{f: getattr(case, f) for f in
@@ -56,7 +57,7 @@ def test_condensed_calculated_self_weight():
     wave = sf.airy_wave(2.0, 9.4, 50.0)
     case = sf.LoadCase(sw_mode="calculated")
     scan = phase_scan_condensed(coarse, refined, n_seg, wave, case, n_steps=2,
-                                accel="fd")
+                                accel="fd", kinematics="pointwise")
     ref = sf.analyze(refined, wave,
                      sf.LoadCase(sw_mode="calculated", t_analysis=0.0),
                      solver="chol")
@@ -77,3 +78,30 @@ def test_condensed_equilibrium():
     Fz_applied = -25100e3 - 1100e3 * 9.81 + np.asarray(scan.total_morison)[:, 2]
     Rz = np.asarray(scan.reactions).sum(axis=1)[:, 2]
     np.testing.assert_allclose(Rz, -Fz_applied, rtol=1e-9)
+
+
+@pytest.mark.parametrize("model_name,N", [("airy", 1), ("stokes", 5),
+                                          ("fenton", 12)])
+def test_separable_kinematics_matches_pointwise(model_name, N):
+    """The separable harmonic-matmul load path equals the per-phase path.
+
+    Exact for Airy (no clamp); for clamped models the only difference is the
+    1 cm evaluation band below the instantaneous surface (~1e-7 relative).
+    """
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 8)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model=model_name, N=N)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=120.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    sp = phase_scan_condensed(coarse, refined, 8, wave, case, n_steps=12,
+                              kinematics="separable")
+    pw = phase_scan_condensed(coarse, refined, 8, wave, case, n_steps=12,
+                              kinematics="pointwise", accel="analytic")
+    tol = 1e-12 if model_name == "airy" else 2e-6
+    scale = float(np.abs(np.asarray(pw.U)).max())
+    np.testing.assert_allclose(np.asarray(sp.U), np.asarray(pw.U),
+                               rtol=tol, atol=tol * scale)
+    np.testing.assert_allclose(np.asarray(sp.total_morison),
+                               np.asarray(pw.total_morison), rtol=tol,
+                               atol=tol * float(np.abs(np.asarray(pw.total_morison)).max()))
