@@ -25,13 +25,18 @@ import time
 
 
 def measure_flagship(repeats: int = 5):
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
     import small_fem_solver_tpu as sf
     from small_fem_solver_tpu.api import phase_scan_condensed
 
-    with jax.enable_x64(True):
+    # note: the benchmark runs fully in float32 (the Fenton wave setup
+    # manages its own float64 island); enabling x64 globally would make
+    # pallas grid index types int64, which Mosaic cannot lower.
+    with contextlib.nullcontext():
         coarse = sf.default_3leg_jacket(dtype=jnp.float32)
         n_seg = 32
         refined = sf.refine_model(coarse, n_seg)
@@ -43,7 +48,7 @@ def measure_flagship(repeats: int = 5):
 
         def run():
             return phase_scan_condensed(coarse, refined, n_seg, wave, case,
-                                        n_steps=360,
+                                        n_steps=360, kinematics="pallas",
                                         solve_dtype=jnp.float32)
 
         t0 = time.time()

@@ -402,11 +402,20 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
 
     case_l = case.cast(ldtype)
-    if kinematics == "separable":
-        mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
-                                 case_l.wave_dir_deg, case_l.current_dir_deg,
-                                 case_l.Cd, case_l.Cm, case_l.rho_water, ts,
-                                 n_gauss=n_gauss)
+    if kinematics in ("separable", "pallas"):
+        if kinematics == "pallas":
+            from .ops.pallas_kernels import morison_phase_batch_pallas
+            mb = morison_phase_batch_pallas(
+                wave, refined.coords, refined.conn, D_m,
+                case_l.wave_dir_deg, case_l.current_dir_deg,
+                case_l.Cd, case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss)
+            mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
+        else:
+            mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
+                                     case_l.wave_dir_deg,
+                                     case_l.current_dir_deg,
+                                     case_l.Cd, case_l.Cm, case_l.rho_water,
+                                     ts, n_gauss=n_gauss)
         total_morison = mb.total_morison
         F_all = jax.vmap(
             lambda nodal: assemble_loads(refined, case_l, nodal,

@@ -1,0 +1,293 @@
+"""Pallas TPU kernels for the hot ops.
+
+``morison_phase_batch_pallas`` fuses the entire phase-batch Morison load
+evaluation — harmonic field matmuls (MXU), submergence masking, drag/inertia
+integrand (VPU), and the Gauss-quadrature end-force reduction (a second MXU
+matmul against a constant weight matrix) — into ONE kernel.  The XLA
+``morison_phase_batch`` materializes the five kinematic fields
+([5, S, P] floats) plus ~10 elementwise intermediates in HBM; here everything
+lives in VMEM per tile and only the reduced per-member end forces (and
+per-tile drag/inertia partial sums) are written back, cutting HBM traffic by
+roughly an order of magnitude on 100k-DOF scans.
+
+Layout (see also ops/morison.py::morison_phase_batch for the math):
+
+- quadrature axis padded to Q = 16 so one 128-lane tile holds exactly 8
+  members x 16 Gauss points; padded points carry zero weight and z = +inf
+  (always dry), padded members carry zero drag/inertia factors;
+- the five fields' spatial coefficient matrices are stacked as
+  [5 * NPAD, P'] with NPAD = 32 >= n_modes, so each field is one
+  [S, 32] x [32, 128] matmul per tile;
+- the quadrature reduction is f_c @ W_c with three constant [128, 128]
+  matrices W_c whose columns pack, per member m (0..7 in the tile):
+  col m*6 + c     -> F1_c = sum_q (1 - s_q) f_c   (node-1 share)
+  col m*6 + 3 + c -> F2_c = sum_q s_q f_c         (node-2 share)
+  cols 48..53     -> per-tile drag/inertia totals (x, y, z).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .morison import MorisonPhaseBatch, gauss_legendre_01
+from .waves import FourierWave
+
+QPAD = 16         # quadrature lanes per member (>= n_gauss)
+NPAD = 32         # harmonic modes per field slot (>= wave n_modes)
+MEMBERS_PER_TILE = 128 // QPAD   # = 8
+N_FIELDS = 5      # eta, u_wave, w, du/dt, dw/dt
+
+
+def _reduction_weights(s_q: np.ndarray, n_gauss: int) -> np.ndarray:
+    """The three constant [128, 128] quadrature-reduction matrices."""
+    W = np.zeros((3, 128, 128), dtype=np.float32)
+    for c in range(3):
+        for m in range(MEMBERS_PER_TILE):
+            for q in range(n_gauss):
+                lane = m * QPAD + q
+                W[c, lane, m * 6 + c] = 1.0 - s_q[q]
+                W[c, lane, m * 6 + 3 + c] = s_q[q]
+        # columns 48..53: tile-wide totals; rows weighted 1 (the f arrays
+        # already include the quadrature weight through cd/ci factors)
+        W[c, :, 48 + c] = 0.0   # drag total, filled by caller per component
+        W[c, :, 51 + c] = 0.0   # inertia total
+    return W
+
+
+def _kernel(scal_ref, ct_ref, st_ref, A_ref, B_ref, rows_ref, W_ref, o_ref):
+    cosw = scal_ref[0]
+    sinw = scal_ref[1]
+    ucx = scal_ref[2]
+    ucy = scal_ref[3]
+
+    ct = ct_ref[:]                     # [S_pad, NPAD]
+    st = st_ref[:]
+
+    def field(f):
+        A = A_ref[pl.ds(f * NPAD, NPAD), :]   # [NPAD, 128]
+        B = B_ref[pl.ds(f * NPAD, NPAD), :]
+        return (jnp.dot(ct, A, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+                + jnp.dot(st, B, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
+
+    eta = field(0)
+    u_wo = field(1)
+    w = field(2)
+    du = field(3)
+    dw = field(4)
+
+    z = rows_ref[0:1, :]
+    ex = rows_ref[1:2, :]
+    ey = rows_ref[2:3, :]
+    ez = rows_ref[3:4, :]
+    cd = rows_ref[4:5, :]             # 0.5 rho Cd D L w_q  (0 on padding)
+    ci = rows_ref[5:6, :]             # rho Cm pi D^2/4 L w_q
+
+    live = (z <= eta).astype(jnp.float32)
+    Ux = (u_wo * cosw + ucx) * live
+    Uy = (u_wo * sinw + ucy) * live
+    Uz = w * live
+    Axx = du * cosw * live
+    Ayy = du * sinw * live
+    Azz = dw * live
+
+    Ue = Ux * ex + Uy * ey + Uz * ez
+    Ae = Axx * ex + Ayy * ey + Azz * ez
+    Upx = Ux - Ue * ex
+    Upy = Uy - Ue * ey
+    Upz = Uz - Ue * ez
+    Apx = Axx - Ae * ex
+    Apy = Ayy - Ae * ey
+    Apz = Azz - Ae * ez
+
+    Umag = jnp.sqrt(Upx * Upx + Upy * Upy + Upz * Upz)
+    drag_on = (Umag > 1e-10).astype(jnp.float32)
+    cdf = cd * Umag * drag_on
+    fdx, fdy, fdz = cdf * Upx, cdf * Upy, cdf * Upz
+    fix, fiy, fiz = ci * Apx, ci * Apy, ci * Apz
+
+    Wx = W_ref[0]
+    Wy = W_ref[1]
+    Wz = W_ref[2]
+    out = (jnp.dot(fdx + fix, Wx, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+           + jnp.dot(fdy + fiy, Wy, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+           + jnp.dot(fdz + fiz, Wz, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
+    # totals columns (48..53): per-tile sums of drag / inertia components.
+    # (concat into a full-width row block; dynamic-update/scatter is not
+    # available in Mosaic)
+    tot = jnp.stack([
+        jnp.sum(fdx, axis=1), jnp.sum(fdy, axis=1), jnp.sum(fdz, axis=1),
+        jnp.sum(fix, axis=1), jnp.sum(fiy, axis=1), jnp.sum(fiz, axis=1),
+    ], axis=1)                                     # [S_pad, 6]
+    S_pad = out.shape[0]
+    tot_full = jnp.concatenate([
+        jnp.zeros((S_pad, 48), jnp.float32), tot,
+        jnp.zeros((S_pad, 128 - 54), jnp.float32)], axis=1)
+    o_ref[:] = out + tot_full
+
+
+@functools.partial(jax.jit, static_argnames=("n_gauss", "interpret"))
+def morison_phase_batch_pallas(
+    wave: FourierWave,
+    coords: jnp.ndarray,
+    conn: jnp.ndarray,
+    D_m: jnp.ndarray,
+    wave_dir_deg,
+    current_dir_deg,
+    Cd,
+    Cm,
+    rho_water,
+    ts: jnp.ndarray,
+    n_gauss: int = 15,
+    interpret: bool = False,
+) -> MorisonPhaseBatch:
+    """Fused-kernel version of ``morison_phase_batch`` (float32).
+
+    Same semantics (analytic acceleration, no surface clamp); returns the
+    same result pytree.  ``interpret=True`` runs the kernel in the Pallas
+    interpreter (for CPU testing).
+    """
+    if n_gauss > QPAD:
+        raise ValueError(f"n_gauss must be <= {QPAD}")
+    dtype = jnp.float32
+    f32 = lambda v: jnp.asarray(v, dtype=dtype)
+
+    theta_w = jnp.deg2rad(f32(90.0) - f32(wave_dir_deg))
+    theta_c = jnp.deg2rad(f32(90.0) - f32(current_dir_deg))
+    cos_w, sin_w = jnp.cos(theta_w), jnp.sin(theta_w)
+    cos_c, sin_c = jnp.cos(theta_c), jnp.sin(theta_c)
+
+    coords = coords.astype(dtype)
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    dL = c2 - c1
+    L = jnp.linalg.norm(dL, axis=-1)
+    e = dL / L[:, None]
+
+    s_np, w_np = gauss_legendre_01(n_gauss)
+    s = f32(s_np)
+    wq = f32(w_np)
+
+    M = c1.shape[0]
+    M8 = -(-M // MEMBERS_PER_TILE) * MEMBERS_PER_TILE
+    P = M8 * QPAD
+
+    # ---- per-point rows [8, P] (padded members/points inert) ----
+    pos = c1[:, None, :] + s[None, :, None] * dL[:, None, :]   # [M, q, 3]
+
+    def pad_pts(a, fill=0.0):
+        """[M, n_gauss] -> [P] with QPAD/q and M8/M padding."""
+        a = jnp.pad(a, ((0, M8 - M), (0, QPAD - n_gauss)),
+                    constant_values=fill)
+        return a.reshape(-1)
+
+    x_wave = pad_pts(pos[..., 0] * cos_w + pos[..., 1] * sin_w)
+    z = pad_pts(pos[..., 2], fill=1e30)     # padding: always dry
+    exr = pad_pts(jnp.broadcast_to(e[:, 0:1], (M, n_gauss)))
+    eyr = pad_pts(jnp.broadcast_to(e[:, 1:2], (M, n_gauss)))
+    ezr = pad_pts(jnp.broadcast_to(e[:, 2:3], (M, n_gauss)))
+    Lw = L[:, None] * wq[None, :]
+    cd_row = pad_pts(0.5 * f32(rho_water) * f32(Cd) * D_m.astype(dtype)[:, None] * Lw)
+    ci_row = pad_pts(f32(rho_water) * f32(Cm)
+                     * (jnp.pi * D_m.astype(dtype)[:, None] ** 2 / 4.0) * Lw)
+    rows = jnp.stack([z, exr, eyr, ezr, cd_row, ci_row,
+                      jnp.zeros_like(z), jnp.zeros_like(z)])   # [8, P]
+
+    # ---- spatial harmonic coefficients [5*NPAD, P] ----
+    N = wave.E.shape[-1]
+    if N > NPAD:
+        raise ValueError(f"wave n_modes must be <= {NPAD}")
+    j = jnp.arange(1, N + 1, dtype=dtype)
+    k = f32(wave.k)
+    d = f32(wave.d)
+    om = f32(wave.omega)
+    jkx = j[None, :] * k * x_wave[:, None]
+    cjx, sjx = jnp.cos(jkx), jnp.sin(jkx)
+    Aarg = j * k * (z[:, None] + d)
+    Barg = j * k * d
+    Aa = jnp.abs(jnp.clip(Aarg, -80.0, 80.0))
+    scale = jnp.exp(Aa - Barg) / (1.0 + jnp.exp(-2.0 * Barg))
+    Cj = scale * (1.0 + jnp.exp(-2.0 * Aa))
+    Sj = jnp.sign(Aarg) * scale * (1.0 - jnp.exp(-2.0 * Aa))
+    jw = j * om
+    E = f32(wave.E)
+    U = f32(wave.U)
+    UC, US = U * Cj, U * Sj
+    fields_A = [E * cjx, UC * cjx, US * sjx, UC * jw * sjx, -US * jw * cjx]
+    fields_B = [E * sjx, UC * sjx, -US * cjx, -UC * jw * cjx, -US * jw * sjx]
+
+    def stack_fields(fs):
+        out = jnp.zeros((N_FIELDS * NPAD, P), dtype=dtype)
+        for f, arr in enumerate(fs):
+            out = out.at[f * NPAD: f * NPAD + N, :].set(arr.T)
+        return out
+
+    Acat = stack_fields(fields_A)
+    Bcat = stack_fields(fields_B)
+
+    # ---- phase harmonics [S_pad, NPAD] ----
+    S = ts.shape[0]
+    S_pad = -(-S // 8) * 8
+    jt = jw[None, :] * ts.astype(dtype)[:, None]
+    ct = jnp.zeros((S_pad, NPAD), dtype=dtype).at[:S, :N].set(jnp.cos(jt))
+    st = jnp.zeros((S_pad, NPAD), dtype=dtype).at[:S, :N].set(jnp.sin(jt))
+
+    W = jnp.asarray(_reduction_weights(np.asarray(s_np), n_gauss))
+    scal = jnp.stack([cos_w, sin_w,
+                      f32(wave.U_c) * cos_c, f32(wave.U_c) * sin_c])
+
+    n_tiles = P // 128
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # scal
+            pl.BlockSpec((S_pad, NPAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                     # ct
+            pl.BlockSpec((S_pad, NPAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                     # st
+            pl.BlockSpec((N_FIELDS * NPAD, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                     # A
+            pl.BlockSpec((N_FIELDS * NPAD, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                     # B
+            pl.BlockSpec((8, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                     # rows
+            pl.BlockSpec((3, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                     # W
+        ],
+        out_specs=pl.BlockSpec((S_pad, 128), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S_pad, n_tiles * 128), dtype),
+        interpret=interpret,
+    )(scal, ct, st, Acat, Bcat, rows, W)
+
+    # ---- unpack: per-member end forces + totals ----
+    out = out[:S].reshape(S, n_tiles, 128)
+    packed = out[:, :, :48].reshape(S, n_tiles * MEMBERS_PER_TILE, 6)[:, :M]
+    F1 = packed[:, :, 0:3]
+    F2 = packed[:, :, 3:6]
+    totals = out[:, :, 48:54].sum(axis=1)                  # [S, 6]
+    total_drag = totals[:, 0:3]
+    total_inertia = totals[:, 3:6]
+
+    n_nodes = coords.shape[0]
+    contrib = jnp.concatenate([F1, F2], axis=1)
+    nodes = jnp.concatenate([conn[:, 0], conn[:, 1]])
+    nodal = jax.vmap(lambda c: jax.ops.segment_sum(
+        c, nodes, num_segments=n_nodes))(contrib)
+
+    return MorisonPhaseBatch(
+        nodal_forces=nodal,
+        total_drag=total_drag,
+        total_inertia=total_inertia,
+        total_morison=total_drag + total_inertia,
+    )

@@ -1,0 +1,54 @@
+"""Pallas fused Morison kernel vs the XLA separable path (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.ops.morison import morison_phase_batch
+from small_fem_solver_tpu.ops.pallas_kernels import morison_phase_batch_pallas
+
+
+@pytest.mark.parametrize("model_name,N", [("airy", 1), ("stokes", 5),
+                                          ("fenton", 12)])
+def test_pallas_kernel_matches_xla(model_name, N):
+    model = sf.default_3leg_jacket(dtype=jnp.float32)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model=model_name, N=N,
+                        dtype=jnp.float32)
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    ts = jnp.arange(12, dtype=jnp.float32) * jnp.float32(9.4) / 12
+    ref = morison_phase_batch(wave, model.coords, model.conn, D_m,
+                              38.0, 120.0, 0.7, 2.0, 1025.0, ts)
+    out = morison_phase_batch_pallas(wave, model.coords, model.conn, D_m,
+                                     38.0, 120.0, 0.7, 2.0, 1025.0, ts,
+                                     interpret=True)
+    for name in ("nodal_forces", "total_drag", "total_inertia",
+                 "total_morison"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-6 * scale,
+                                   err_msg=name)
+
+
+def test_pallas_kernel_odd_member_count():
+    """Member count not a multiple of 8 exercises the padding path."""
+    model = sf.default_3leg_jacket(dtype=jnp.float32)
+    # take 13 members
+    import dataclasses
+    sub = dataclasses.replace(
+        model, conn=model.conn[:13], sect_id=model.sect_id[:13],
+        member_names=model.member_names[:13],
+        member_types=model.member_types[:13])
+    wave = sf.airy_wave(8.0, 9.4, 50.0, 1.0, dtype=jnp.float32)
+    D_m = sub.sections.D_outer[sub.sect_id] / 1000.0
+    ts = jnp.arange(4, dtype=jnp.float32)
+    ref = morison_phase_batch(wave, sub.coords, sub.conn, D_m,
+                              0.0, 0.0, 0.7, 2.0, 1025.0, ts)
+    out = morison_phase_batch_pallas(wave, sub.coords, sub.conn, D_m,
+                                     0.0, 0.0, 0.7, 2.0, 1025.0, ts,
+                                     interpret=True)
+    scale = np.abs(np.asarray(ref.nodal_forces)).max()
+    np.testing.assert_allclose(np.asarray(out.nodal_forces),
+                               np.asarray(ref.nodal_forces),
+                               atol=2e-6 * scale)
