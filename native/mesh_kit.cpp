@@ -1,0 +1,167 @@
+// mesh_kit: native host-side mesh preprocessing for small_fem_solver_tpu.
+//
+// The TPU owns all numerics (JAX/XLA/Pallas); this library covers the
+// latency-sensitive host-side runtime work that sits in front of it:
+//
+//   * build_bcsr_pattern: block-sparsity pattern of the global stiffness
+//     (unique (row, col) node blocks + per-element destination slots) in
+//     O(M) with a hash map, replacing the numpy sort-based builder for
+//     very large meshes;
+//   * rcm_ordering: reverse Cuthill-McKee node permutation (bandwidth
+//     reduction for banded/direct solvers and cache-friendly gathers);
+//   * refine_members: coordinates + connectivity of chain-subdivided
+//     members (the large-mesh generator) without Python overhead.
+//
+// C ABI only (ctypes-friendly); all buffers caller-allocated unless noted.
+// Build: make -C native   (produces native/libmesh_kit.so)
+
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_map>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// Unique (i,i),(i,j),(j,i),(j,j) blocks over all elements, CSR-ordered.
+// conn: [m, 2] int32. Outputs (caller-allocated, sized by *n_blocks from a
+// first call with blocks_rows == nullptr):
+//   block_rows/block_cols: [n_blocks] int32 (row-major sorted)
+//   row_ptr: [n_nodes + 1] int64
+//   elem_slot: [m, 4] int32
+// Returns 0 on success.
+int64_t bcsr_pattern_count(const int32_t* conn, int64_t m, int64_t n_nodes) {
+    std::unordered_map<int64_t, int32_t> seen;
+    seen.reserve(4 * m);
+    for (int64_t e = 0; e < m; ++e) {
+        int64_t i = conn[2 * e], j = conn[2 * e + 1];
+        const int64_t keys[4] = {i * n_nodes + i, i * n_nodes + j,
+                                 j * n_nodes + i, j * n_nodes + j};
+        for (int64_t k : keys) seen.emplace(k, 0);
+    }
+    return static_cast<int64_t>(seen.size());
+}
+
+int bcsr_pattern_fill(const int32_t* conn, int64_t m, int64_t n_nodes,
+                      int32_t* block_rows, int32_t* block_cols,
+                      int64_t* row_ptr, int32_t* elem_slot,
+                      int64_t n_blocks) {
+    std::vector<int64_t> keys;
+    keys.reserve(4 * m);
+    {
+        std::unordered_map<int64_t, int32_t> seen;
+        seen.reserve(4 * m);
+        for (int64_t e = 0; e < m; ++e) {
+            int64_t i = conn[2 * e], j = conn[2 * e + 1];
+            const int64_t kk[4] = {i * n_nodes + i, i * n_nodes + j,
+                                   j * n_nodes + i, j * n_nodes + j};
+            for (int64_t k : kk)
+                if (seen.emplace(k, 0).second) keys.push_back(k);
+        }
+    }
+    if (static_cast<int64_t>(keys.size()) != n_blocks) return 1;
+    std::sort(keys.begin(), keys.end());
+
+    std::unordered_map<int64_t, int32_t> slot;
+    slot.reserve(keys.size());
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        slot[keys[b]] = static_cast<int32_t>(b);
+        block_rows[b] = static_cast<int32_t>(keys[b] / n_nodes);
+        block_cols[b] = static_cast<int32_t>(keys[b] % n_nodes);
+    }
+    std::memset(row_ptr, 0, sizeof(int64_t) * (n_nodes + 1));
+    for (int64_t b = 0; b < n_blocks; ++b) row_ptr[block_rows[b] + 1]++;
+    for (int64_t r = 0; r < n_nodes; ++r) row_ptr[r + 1] += row_ptr[r];
+    for (int64_t e = 0; e < m; ++e) {
+        int64_t i = conn[2 * e], j = conn[2 * e + 1];
+        elem_slot[4 * e + 0] = slot[i * n_nodes + i];
+        elem_slot[4 * e + 1] = slot[i * n_nodes + j];
+        elem_slot[4 * e + 2] = slot[j * n_nodes + i];
+        elem_slot[4 * e + 3] = slot[j * n_nodes + j];
+    }
+    return 0;
+}
+
+// Reverse Cuthill-McKee ordering. perm: [n_nodes] int32 output
+// (perm[new_index] = old_index).
+int rcm_ordering(const int32_t* conn, int64_t m, int64_t n_nodes,
+                 int32_t* perm) {
+    std::vector<std::vector<int32_t>> adj(n_nodes);
+    for (int64_t e = 0; e < m; ++e) {
+        int32_t i = conn[2 * e], j = conn[2 * e + 1];
+        if (i == j) continue;
+        adj[i].push_back(j);
+        adj[j].push_back(i);
+    }
+    for (auto& a : adj) {
+        std::sort(a.begin(), a.end());
+        a.erase(std::unique(a.begin(), a.end()), a.end());
+    }
+    std::vector<char> visited(n_nodes, 0);
+    std::vector<int32_t> order;
+    order.reserve(n_nodes);
+    auto degree_less = [&](int32_t a, int32_t b) {
+        return adj[a].size() < adj[b].size();
+    };
+    for (;;) {
+        int32_t start = -1;
+        for (int64_t v = 0; v < n_nodes; ++v)
+            if (!visited[v] && (start < 0 || degree_less(v, start)))
+                start = static_cast<int32_t>(v);
+        if (start < 0) break;
+        std::queue<int32_t> q;
+        q.push(start);
+        visited[start] = 1;
+        while (!q.empty()) {
+            int32_t v = q.front();
+            q.pop();
+            order.push_back(v);
+            std::vector<int32_t> nb;
+            for (int32_t u : adj[v])
+                if (!visited[u]) nb.push_back(u);
+            std::sort(nb.begin(), nb.end(), degree_less);
+            for (int32_t u : nb) {
+                visited[u] = 1;
+                q.push(u);
+            }
+        }
+    }
+    std::reverse(order.begin(), order.end());
+    for (int64_t v = 0; v < n_nodes; ++v) perm[v] = order[v];
+    return 0;
+}
+
+// Chain subdivision: coords [n, 3] f64, conn [m, 2] i32, n_seg segments.
+// Outputs: new_coords [n + m*(n_seg-1), 3], new_conn [m*n_seg, 2],
+// new_sect [m*n_seg] (from sect [m]).
+int refine_members(const double* coords, int64_t n,
+                   const int32_t* conn, int64_t m,
+                   const int32_t* sect, int32_t n_seg,
+                   double* new_coords, int32_t* new_conn,
+                   int32_t* new_sect) {
+    std::memcpy(new_coords, coords, sizeof(double) * 3 * n);
+    const int64_t n_int = n_seg - 1;
+    for (int64_t e = 0; e < m; ++e) {
+        const int32_t i = conn[2 * e], j = conn[2 * e + 1];
+        const double* c1 = coords + 3 * i;
+        const double* c2 = coords + 3 * j;
+        for (int64_t k = 1; k < n_seg; ++k) {
+            double* out = new_coords + 3 * (n + e * n_int + (k - 1));
+            const double s = static_cast<double>(k) / n_seg;
+            for (int d = 0; d < 3; ++d) out[d] = c1[d] + (c2[d] - c1[d]) * s;
+        }
+        for (int64_t k = 0; k < n_seg; ++k) {
+            int32_t a = (k == 0) ? i
+                : static_cast<int32_t>(n + e * n_int + (k - 1));
+            int32_t b = (k == n_seg - 1) ? j
+                : static_cast<int32_t>(n + e * n_int + k);
+            new_conn[2 * (e * n_seg + k)] = a;
+            new_conn[2 * (e * n_seg + k) + 1] = b;
+            new_sect[e * n_seg + k] = sect[e];
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -71,8 +71,24 @@ class BCSRPattern:
 
 def build_bcsr_pattern(conn, n_nodes: int) -> BCSRPattern:
     """Host-side pattern construction from int connectivity (runs once per
-    mesh; cheap — numpy sort over 4M block keys)."""
+    mesh).  Uses the native C++ mesh-kit (O(M) hash map) when built,
+    otherwise a numpy sort over the 4M block keys."""
     conn = np.asarray(conn)
+    try:
+        from ..native import bcsr_pattern_native
+        out = bcsr_pattern_native(conn, n_nodes)
+    except Exception:
+        out = None
+    if out is not None:
+        block_rows, block_cols, row_ptr, elem_slot = out
+        return BCSRPattern(
+            block_rows=jnp.asarray(block_rows),
+            block_cols=jnp.asarray(block_cols),
+            row_ptr=jnp.asarray(row_ptr),
+            elem_slot=jnp.asarray(elem_slot),
+            n_nodes=int(n_nodes),
+            n_blocks=int(block_rows.shape[0]),
+        )
     i, j = conn[:, 0].astype(np.int64), conn[:, 1].astype(np.int64)
     # the 4 blocks each element touches: (i,i), (i,j), (j,i), (j,j)
     br = np.concatenate([i, i, j, j])

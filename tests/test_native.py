@@ -1,0 +1,72 @@
+"""Native mesh-kit (C++/ctypes) vs the numpy reference implementations."""
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu import native
+from small_fem_solver_tpu.ops.assembly import build_bcsr_pattern
+
+
+@pytest.fixture(scope="module")
+def have_native():
+    if not native.available():
+        pytest.skip("native mesh_kit not built (no compiler?)")
+    return True
+
+
+def test_bcsr_pattern_matches_numpy(have_native):
+    model = sf.refine_model(sf.default_3leg_jacket(), 4)
+    conn = np.asarray(model.conn)
+    ref = build_bcsr_pattern(conn, model.n_nodes)
+    out = native.bcsr_pattern_native(conn, model.n_nodes)
+    block_rows, block_cols, row_ptr, elem_slot = out
+    np.testing.assert_array_equal(block_rows, np.asarray(ref.block_rows))
+    np.testing.assert_array_equal(block_cols, np.asarray(ref.block_cols))
+    np.testing.assert_array_equal(row_ptr, np.asarray(ref.row_ptr))
+    np.testing.assert_array_equal(elem_slot, np.asarray(ref.elem_slot))
+
+
+def test_rcm_is_valid_permutation_and_reduces_bandwidth(have_native):
+    model = sf.refine_model(sf.default_3leg_jacket(), 8)
+    conn = np.asarray(model.conn)
+    n = model.n_nodes
+    perm = native.rcm_ordering(conn, n)
+    assert sorted(perm.tolist()) == list(range(n))
+
+    def bandwidth(order):
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        return int(np.abs(inv[conn[:, 0]] - inv[conn[:, 1]]).max())
+
+    bw_natural = bandwidth(np.arange(n))
+    bw_rcm = bandwidth(perm)
+    assert bw_rcm < bw_natural
+
+
+def test_refine_members_matches_python(have_native):
+    model = sf.default_3leg_jacket()
+    coords = np.asarray(model.coords)
+    conn = np.asarray(model.conn)
+    sect = np.asarray(model.sect_id)
+    out = native.refine_members_native(coords, conn, sect, 4)
+    new_coords, new_conn, new_sect = out
+    ref = sf.refine_model(model, 4)
+    np.testing.assert_allclose(new_coords, np.asarray(ref.coords), rtol=1e-15)
+    np.testing.assert_array_equal(new_conn, np.asarray(ref.conn))
+    np.testing.assert_array_equal(new_sect, np.asarray(ref.sect_id))
+
+
+def test_python_rcm_fallback_matches_native(have_native):
+    """The pure-Python fallback implements the same algorithm."""
+    model = sf.default_3leg_jacket()
+    conn = np.asarray(model.conn)
+    n = model.n_nodes
+    native_perm = native.rcm_ordering(conn, n)
+    # force the fallback path
+    lib, native._lib = native._lib, None
+    tried, native._tried = native._tried, True
+    try:
+        py_perm = native.rcm_ordering(conn, n)
+    finally:
+        native._lib, native._tried = lib, tried
+    np.testing.assert_array_equal(native_perm, py_perm)
