@@ -481,3 +481,93 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
         ts=ts, U=U, von_mises=vm, utilization=util, reactions=reac,
         total_morison=total_morison, critical_index=crit,
     )
+
+
+class EnvelopeResults(NamedTuple):
+    """Design-envelope results over a case batch (leading axis = case)."""
+
+    ts: jnp.ndarray                # [C, S] phase times (periods differ)
+    utilization: jnp.ndarray       # [C, S, M]
+    max_util_per_case: jnp.ndarray # [C]
+    critical_phase: jnp.ndarray    # [C] phase index of each case's max
+    governing_case: jnp.ndarray    # [] argmax over cases
+    member_envelope: jnp.ndarray   # [M] max utilization over all cases+phases
+    total_morison: jnp.ndarray     # [C, S, 3]
+
+
+def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
+                    n_steps: int = 36, n_gauss: int = 15,
+                    mesh=None) -> EnvelopeResults:
+    """Full-FEM storm envelope: every case x every wave phase, one program.
+
+    The BASELINE 'design envelope' configuration: a batch of (H, T, heading)
+    wave cases, each scanned over its own wave period with the COMPLETE
+    structural solution at every phase (the reference can only scan total
+    force, serially, for one case).  The stiffness is factored once —
+    material properties are shared across cases — so the whole envelope is
+    one multi-RHS solve of C x S load vectors; kinematics use the separable
+    harmonic matmul per case.
+
+    ``waves``/``cases`` carry a leading case axis (see
+    ``parallel.sweep.make_wave_batch`` / ``make_case_batch``).  With ``mesh``
+    (1-D device mesh, axis 'cases') the batch is sharded across chips and
+    the governing-case reduction is an ICI all-reduce.
+    """
+    free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
+    free = jnp.asarray(free_np)
+
+    fn = partial(_design_envelope_jit, n_steps=n_steps, n_gauss=n_gauss)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cs = NamedSharding(mesh, P("cases"))
+        waves = jax.device_put(waves, cs)
+        cases = jax.device_put(cases, cs)
+        model = jax.device_put(model, NamedSharding(mesh, P()))
+    return fn(model, waves, cases.cast(model.coords.dtype), free)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_gauss"))
+def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
+    with jax.default_matmul_precision("highest"):
+        dtype = model.coords.dtype
+        G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
+        Kg, K_local, T, L_m = element_stiffness(
+            model.coords, model.conn, model.sections, model.sect_id,
+            cases.E[0], G)
+        K = assemble_dense(Kg, model.conn, model.n_dof)
+        fac = solve_mod.factor_dense(K, free)
+        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
+                                6 * model.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+
+        def one_case(wave, case):
+            ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
+            mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
+                                     case.wave_dir_deg, case.current_dir_deg,
+                                     case.Cd, case.Cm, case.rho_water, ts,
+                                     n_gauss=n_gauss)
+            F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
+                                                      L_m))(mb.nodal_forces)
+            U = solve_mod.solve_factored(fac, F)           # [S, n_dof]
+            u_elem = U[:, dofs]
+            u_loc = jnp.einsum("mij,smj->smi", T, u_elem)
+            F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
+            F1 = -F_loc[:, :, :6]
+            vm = von_mises_8pt(model.sections, model.sect_id,
+                               F1[..., 0], F1[..., 1], F1[..., 2],
+                               F1[..., 3], F1[..., 4], F1[..., 5])
+            return ts, vm / case.fy, mb.total_morison
+
+        ts, util, tot = jax.vmap(one_case)(waves, cases)   # [C, S, M]
+        per_phase = jnp.max(util, axis=-1)                 # [C, S]
+        crit_phase = jnp.argmax(per_phase, axis=-1)        # [C]
+        max_per_case = jnp.max(per_phase, axis=-1)         # [C]
+        return EnvelopeResults(
+            ts=ts, utilization=util,
+            max_util_per_case=max_per_case,
+            critical_phase=crit_phase,
+            governing_case=jnp.argmax(max_per_case),
+            member_envelope=jnp.max(util, axis=(0, 1)),
+            total_morison=tot,
+        )

@@ -1,0 +1,65 @@
+"""Design-envelope tests: per-case critical phases, governing case,
+consistency with individual phase batches, and mesh sharding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.api import analyze_phase_batch, design_envelope
+from small_fem_solver_tpu.parallel.sweep import make_case_batch, make_wave_batch
+
+
+def _cases(B):
+    base = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    return make_case_batch(base, t_analysis=jnp.zeros(B))
+
+
+def test_envelope_matches_individual_phase_batches():
+    model = sf.default_3leg_jacket()
+    Hs = [4.0, 9.0, 14.0]
+    Ts = [8.0, 9.4, 11.0]
+    waves = make_wave_batch(Hs, Ts, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    env = design_envelope(model, waves, _cases(3), n_steps=8)
+    assert env.utilization.shape == (3, 8, 51)
+
+    base = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    for c, (H, T) in enumerate(zip(Hs, Ts)):
+        w = sf.stokes_wave(H, T, 50.0, 1.7, order=5, n_modes=8)
+        ts, batch = analyze_phase_batch(model, w, base, n_steps=8,
+                                        accel="analytic")
+        # phase-batch path uses pointwise kinematics with clamp; envelope
+        # uses separable (no clamp): equal to ~1e-6
+        np.testing.assert_allclose(np.asarray(env.utilization[c]),
+                                   np.asarray(batch.utilization),
+                                   rtol=2e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(env.ts[c]), np.asarray(ts),
+                                   rtol=1e-12)
+
+    # governing case is the steepest wave
+    assert int(env.governing_case) == int(np.argmax(env.max_util_per_case))
+    np.testing.assert_allclose(np.asarray(env.member_envelope),
+                               np.asarray(env.utilization).max((0, 1)),
+                               rtol=1e-12)
+
+
+def test_envelope_sharded_matches_unsharded():
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("cases",))
+    model = sf.default_3leg_jacket()
+    B = 16
+    Hs = np.linspace(3.0, 15.0, B)
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    cases = _cases(B)
+    env0 = design_envelope(model, waves, cases, n_steps=6)
+    env1 = design_envelope(model, waves, cases, n_steps=6, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(env1.max_util_per_case),
+                               np.asarray(env0.max_util_per_case), rtol=1e-10)
+    assert int(env1.governing_case) == int(env0.governing_case)
