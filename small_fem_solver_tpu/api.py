@@ -571,3 +571,100 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
             member_envelope=jnp.max(util, axis=(0, 1)),
             total_morison=tot,
         )
+
+
+def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
+                              n_seg: int, waves: FourierWave,
+                              cases: LoadCase, n_steps: int = 36,
+                              n_gauss: int = 15,
+                              solve_dtype=jnp.float32,
+                              case_batch: int = 32) -> EnvelopeResults:
+    """Storm envelope on a REFINED mesh: every case x phase, full FEM.
+
+    Combines the two flagship paths: the exact chain condensation (interior
+    DOFs eliminated once — the factorization is case-independent) and the
+    separable per-case phase kinematics.  Cases stream through ``lax.map``
+    in chunks of ``case_batch`` so the refined displacement fields never
+    materialize for the whole envelope at once; only reduced quantities
+    (per-case-phase max utilization, the member envelope) accumulate.
+    """
+    free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    return _design_envelope_condensed_jit(
+        coarse, refined, waves, cases.cast(solve_dtype), n_seg, n_steps,
+        n_gauss, solve_dtype, case_batch, jnp.asarray(free_np))
+
+
+@partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
+                                   "solve_dtype", "case_batch"))
+def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
+                                   n_steps, n_gauss, solve_dtype, case_batch,
+                                   free):
+    with jax.default_matmul_precision("highest"):
+        nc = coarse.n_nodes
+        Mc = coarse.n_members
+        n_int = n_seg - 1
+        G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
+        ldtype = refined.coords.dtype
+
+        coords_s = refined.coords.astype(solve_dtype)
+        sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
+                             refined.sections)
+        Kg, K_local, T, L_m = element_stiffness(
+            coords_s, refined.conn, sec_s, refined.sect_id, cases.E[0], G)
+        fac = condense_mod.factor_chains(Kg, n_seg)
+        K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
+        dfac = solve_mod.factor_dense(K_I, free)
+        D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+        dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
+                                6 * refined.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+        node1 = coarse.conn[:, 0]
+        node2 = coarse.conn[:, 1]
+
+        def one_case(args):
+            wave, case = args
+            case_l = case.cast(ldtype)
+            ts = jnp.arange(n_steps, dtype=ldtype) \
+                * wave.T.astype(ldtype) / n_steps
+            mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
+                                     case_l.wave_dir_deg,
+                                     case_l.current_dir_deg, case_l.Cd,
+                                     case_l.Cm, case_l.rho_water, ts,
+                                     n_gauss=n_gauss)
+            F = jax.vmap(lambda nodal: assemble_loads(
+                refined, case_l, nodal, L_m.astype(ldtype)))(mb.nodal_forces)
+            F = F.astype(solve_dtype)
+            Fn = F.reshape(n_steps, -1, 6)
+            g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
+            fI, fJ, v_g = condense_mod.condense_loads(fac, g)
+            F_cond = Fn[:, :nc].at[:, node1].add(fI).at[:, node2].add(fJ)
+            U_I = solve_mod.solve_factored(dfac, F_cond.reshape(n_steps, -1))
+            U_In = U_I.reshape(n_steps, nc, 6)
+            v = condense_mod.back_substitute(fac, v_g, U_In[:, node1],
+                                             U_In[:, node2])
+            U = jnp.concatenate([U_In.reshape(n_steps, -1),
+                                 v.swapaxes(1, 2).reshape(n_steps, -1)],
+                                axis=1)
+            u_elem = U[:, dofs]
+            u_loc = jnp.einsum("mij,smj->smi", T, u_elem)
+            F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
+            F1 = -F_loc[:, :, :6]
+            vm = von_mises_8pt(sec_s, refined.sect_id,
+                               F1[..., 0], F1[..., 1], F1[..., 2],
+                               F1[..., 3], F1[..., 4], F1[..., 5])
+            util = vm / case.fy
+            return (ts, jnp.max(util, axis=1), jnp.max(util, axis=0),
+                    mb.total_morison.astype(solve_dtype))
+
+        ts, per_phase, member_max, tot = jax.lax.map(
+            one_case, (waves, cases), batch_size=case_batch)
+        crit_phase = jnp.argmax(per_phase, axis=-1)
+        max_per_case = jnp.max(per_phase, axis=-1)
+        return EnvelopeResults(
+            ts=ts, utilization=per_phase[:, :, None],
+            max_util_per_case=max_per_case,
+            critical_phase=crit_phase,
+            governing_case=jnp.argmax(max_per_case),
+            member_envelope=jnp.max(member_max, axis=0),
+            total_morison=tot,
+        )

@@ -226,6 +226,46 @@ def cmd_refined(args):
         print(f"  {refined.member_names[e]:<30} {worst[e]:>8.2%}")
 
 
+def cmd_envelope(args):
+    """Refined-mesh storm envelope: cases x phases, condensed solver."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import small_fem_solver_tpu as sf
+    from .api import design_envelope_condensed
+    from .parallel.sweep import make_case_batch, make_wave_batch
+
+    model, _, case = _setup(args)
+    lo, hi, n = args.H_range
+    Hs = np.linspace(lo, hi, int(n))
+    Ts = np.asarray(args.Ts if args.Ts else [args.T])
+    dirs = np.asarray(args.dirs if args.dirs else [args.wave_dir])
+    HH, TT, DD = (a.ravel() for a in np.meshgrid(Hs, Ts, dirs, indexing="ij"))
+    B = HH.size
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    waves = make_wave_batch(HH, TT, args.d, args.Uc, model="stokes",
+                            N=min(args.N, 5), n_modes=8, dtype=dtype)
+    cases = make_case_batch(case, wave_dir_deg=DD, current_dir_deg=DD,
+                            t_analysis=np.zeros(B))
+    refined = sf.refine_model(model, args.n_seg)
+    print(f"[envelope] {B} cases x {args.phase_steps} phases @ "
+          f"{refined.n_dof} DOF", file=sys.stderr)
+    env = design_envelope_condensed(model, refined, args.n_seg, waves, cases,
+                                    n_steps=args.phase_steps,
+                                    solve_dtype=dtype)
+    g = int(env.governing_case)
+    print(f"governing case: H={HH[g]:.2f} m, T={TT[g]:.2f} s, "
+          f"dir={DD[g]:.0f} deg -> max utilization "
+          f"{float(env.max_util_per_case[g]):.4f} at phase index "
+          f"{int(env.critical_phase[g])}")
+    worst = np.asarray(env.member_envelope)
+    order = np.argsort(worst)[::-1][:10]
+    print(f"  {'Element (envelope)':<30} {'Util':>8}")
+    for e in order:
+        print(f"  {refined.member_names[e]:<30} {worst[e]:>8.2%}")
+
+
 def cmd_save_default(args):
     import small_fem_solver_tpu as sf
     from .utils.io import save_model
@@ -262,6 +302,17 @@ def main(argv=None):
                     help="elements per member")
     rf.add_argument("--phase-steps", type=int, default=360)
     rf.set_defaults(fn=cmd_refined)
+
+    ev = sub.add_parser("envelope",
+                        help="refined-mesh storm envelope (cases x phases)")
+    _add_common(ev)
+    ev.add_argument("--H-range", nargs=3, type=float, metavar=("LO", "HI", "N"),
+                    default=[4.0, 18.0, 8])
+    ev.add_argument("--Ts", nargs="*", type=float, help="periods [s]")
+    ev.add_argument("--dirs", nargs="*", type=float, help="headings [deg]")
+    ev.add_argument("--n-seg", type=int, default=8)
+    ev.add_argument("--phase-steps", type=int, default=36)
+    ev.set_defaults(fn=cmd_envelope)
 
     sd = sub.add_parser("save-default", help="write default jacket JSON")
     sd.add_argument("out")

@@ -63,3 +63,25 @@ def test_envelope_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(env1.max_util_per_case),
                                np.asarray(env0.max_util_per_case), rtol=1e-10)
     assert int(env1.governing_case) == int(env0.governing_case)
+
+
+def test_condensed_envelope_matches_per_case_scans():
+    from small_fem_solver_tpu.api import design_envelope_condensed, phase_scan_condensed
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 2)
+    Hs = [4.0, 9.0, 14.0]
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    base = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    cases = _cases(3)
+    env = design_envelope_condensed(coarse, refined, 2, waves, cases,
+                                    n_steps=6, solve_dtype=jnp.float64,
+                                    case_batch=2)
+    for c, H in enumerate(Hs):
+        w = sf.stokes_wave(H, 9.4, 50.0, 1.7, order=5, n_modes=8)
+        scan = phase_scan_condensed(coarse, refined, 2, w, base, n_steps=6)
+        np.testing.assert_allclose(float(env.max_util_per_case[c]),
+                                   float(scan.utilization.max()), rtol=1e-9)
+    assert int(env.governing_case) == 2  # largest wave governs
