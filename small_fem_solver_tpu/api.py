@@ -339,6 +339,7 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
                          n_steps: int = 360, n_gauss: int = 15,
                          accel: str = "analytic",
                          kinematics: str = "separable",
+                         chain_solver: str = "thomas",
                          solve_dtype=jnp.float64) -> CondensedScanResults:
     """Full FEM phase scan of a refined jacket via exact chain condensation.
 
@@ -361,24 +362,26 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     return _phase_scan_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
-        n_gauss, accel, kinematics, solve_dtype, jnp.asarray(free_np),
-        jnp.asarray(fixed_np))
+        n_gauss, accel, kinematics, chain_solver, solve_dtype,
+        jnp.asarray(free_np), jnp.asarray(fixed_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss", "accel",
-                                   "kinematics", "solve_dtype"))
+                                   "kinematics", "chain_solver",
+                                   "solve_dtype"))
 def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
-                              n_gauss, accel, kinematics, solve_dtype, free,
-                              fixed):
+                              n_gauss, accel, kinematics, chain_solver,
+                              solve_dtype, free, fixed):
     with jax.default_matmul_precision("highest"):
         return _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg,
                                           n_steps, n_gauss, accel, kinematics,
-                                          solve_dtype, free, fixed)
+                                          chain_solver, solve_dtype, free,
+                                          fixed)
 
 
 def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
-                               n_gauss, accel, kinematics, solve_dtype, free,
-                               fixed):
+                               n_gauss, accel, kinematics, chain_solver,
+                               solve_dtype, free, fixed):
     nc = coarse.n_nodes
     Mc = coarse.n_members
     n_int = n_seg - 1
@@ -390,7 +393,16 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
         coords64, refined.conn, jax.tree.map(lambda x: x.astype(solve_dtype),
                                              refined.sections),
         refined.sect_id, case.E, G)
-    fac = condense_mod.factor_chains(Kg, n_seg)
+    if chain_solver == "pcr":
+        fac = condense_mod.factor_chains_pcr(Kg, n_seg)
+        _condense = condense_mod.condense_loads_pcr
+        _backsub = condense_mod.back_substitute_pcr
+    elif chain_solver == "thomas":
+        fac = condense_mod.factor_chains(Kg, n_seg)
+        _condense = condense_mod.condense_loads
+        _backsub = condense_mod.back_substitute
+    else:
+        raise ValueError(f"unknown chain_solver {chain_solver!r}")
 
     # interface stiffness on the coarse connectivity
     K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
@@ -438,7 +450,7 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     F_interface = Fn[:, :nc]                               # [S, nc, 6]
     g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
 
-    fI, fJ, v_g = condense_mod.condense_loads(fac, g)
+    fI, fJ, v_g = _condense(fac, g)
     node1 = coarse.conn[:, 0]
     node2 = coarse.conn[:, 1]
     F_cond = F_interface
@@ -453,7 +465,7 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     # ---- back-substitute interiors, rebuild full displacement vector ----
     u1 = U_In[:, node1]                                    # [S, Mc, 6]
     u2 = U_In[:, node2]
-    v = condense_mod.back_substitute(fac, v_g, u1, u2)     # [S, n_int, Mc, 6]
+    v = _backsub(fac, v_g, u1, u2)                         # [S, n_int, Mc, 6]
     U = jnp.concatenate([
         U_In.reshape(n_steps, -1),
         v.swapaxes(1, 2).reshape(n_steps, -1),

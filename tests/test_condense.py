@@ -105,3 +105,39 @@ def test_separable_kinematics_matches_pointwise(model_name, N):
     np.testing.assert_allclose(np.asarray(sp.total_morison),
                                np.asarray(pw.total_morison), rtol=tol,
                                atol=tol * float(np.abs(np.asarray(pw.total_morison)).max()))
+
+
+@pytest.mark.parametrize("n_seg", [2, 3, 8, 32])
+def test_pcr_matches_thomas(n_seg):
+    """Parallel cyclic reduction == block Thomas to machine precision (f64).
+
+    Note: PCR measured SLOWER on TPU than the Thomas scans (9x flops in
+    badly-shaped 6x6 batched matvecs) and numerically unstable in float32 at
+    chain depth ~327; it stays an f64-validated experimental option.
+    """
+    from small_fem_solver_tpu.ops.beams import element_stiffness
+    from small_fem_solver_tpu.ops.condense import (
+        back_substitute, back_substitute_pcr, condense_loads,
+        condense_loads_pcr, factor_chains, factor_chains_pcr)
+    model = sf.refine_model(sf.default_3leg_jacket(), n_seg)
+    E, G = 210000.0, 210000.0 / 2.6
+    Kg, _, _, _ = element_stiffness(model.coords, model.conn, model.sections,
+                                    model.sect_id, E, G)
+    f1 = factor_chains(Kg, n_seg)
+    f2 = factor_chains_pcr(Kg, n_seg)
+    Ks = float(np.abs(np.asarray(f1.K_super)).max())
+    np.testing.assert_allclose(np.asarray(f2.K_super), np.asarray(f1.K_super),
+                               rtol=1e-10, atol=1e-11 * Ks)
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(2, n_seg - 1, 51, 6))) * 1e5
+    fI1, fJ1, v1 = condense_loads(f1, g)
+    fI2, fJ2, v2 = condense_loads_pcr(f2, g)
+    scale = float(np.abs(np.asarray(v1)).max())
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-10,
+                               atol=1e-10 * scale)
+    uI = jnp.asarray(rng.normal(size=(2, 51, 6)))
+    uJ = jnp.asarray(rng.normal(size=(2, 51, 6)))
+    b1 = back_substitute(f1, v1, uI, uJ)
+    b2 = back_substitute_pcr(f2, v2, uI, uJ)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-9,
+                               atol=1e-10 * float(np.abs(np.asarray(b1)).max()))
