@@ -177,6 +177,7 @@ def _recover(model: JacketModel, case: LoadCase, K, U, F, fixed_dofs,
 def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
             solver: str = "chol", n_gauss: int = 15, accel: str = "fd",
             pcg_tol: float = 1e-10, pcg_maxiter: int = 2000,
+            lstsq_fallback: bool = False,
             _jit: bool = True) -> AnalysisResults:
     """Single linear static analysis — the reference RUN-ANALYSIS pipeline
     (`JacketAnalysisGUI_v2.py:1827-2082`) as one compiled program.
@@ -190,23 +191,26 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
     pattern = build_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
     fn = _analyze_jit if _jit else _analyze_impl
     return fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
-              accel, free, fixed, pattern, pcg_tol, pcg_maxiter)
+              accel, free, fixed, pattern, pcg_tol, pcg_maxiter,
+              lstsq_fallback)
 
 
 @partial(jax.jit, static_argnames=("solver", "n_gauss", "accel",
-                                   "pcg_tol", "pcg_maxiter"))
+                                   "pcg_tol", "pcg_maxiter",
+                                   "lstsq_fallback"))
 def _analyze_jit(model, wave, case, solver, n_gauss, accel, free, fixed,
-                 pattern, pcg_tol, pcg_maxiter):
+                 pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False):
     # XLA:TPU lowers f32 matmuls to bf16 MXU passes by default, which is
     # catastrophic for stiffness algebra; force full-precision accumulation
     # for everything inside the solver pipeline.
     with jax.default_matmul_precision("highest"):
         return _analyze_impl(model, wave, case, solver, n_gauss, accel, free,
-                             fixed, pattern, pcg_tol, pcg_maxiter)
+                             fixed, pattern, pcg_tol, pcg_maxiter,
+                             lstsq_fallback)
 
 
 def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
-                  pattern, pcg_tol, pcg_maxiter):
+                  pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False):
     G = case.E / (2.0 * (1.0 + case.nu))                    # (`:443`)
     D_m = model.sections.D_outer[model.sect_id] / 1000.0    # (`:610`)
 
@@ -223,7 +227,10 @@ def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
     if solver in ("lu", "chol"):
         K = assemble_dense(Kg, model.conn, model.n_dof)
         if solver == "lu":
-            U = solve_mod.solve_dense(K, F, free)
+            # lstsq_fallback replicates the reference's singular-matrix
+            # recovery (`JacketAnalysisGUI_v2.py:484-487`)
+            U = solve_mod.solve_dense(K, F, free,
+                                      lstsq_fallback=lstsq_fallback)
         else:
             fac = solve_mod.factor_dense(K, free)
             U = solve_mod.solve_factored(fac, F)

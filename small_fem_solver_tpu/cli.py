@@ -100,8 +100,11 @@ def _setup(args):
             brace_section=(args.D_brace, args.t_brace),
             rho_steel=args.rho_steel)
 
+    from .ops.sections import validate_sections
     from .ops.wave_models import make_wave, validate_wave
     for msg in validate_wave(args.H, args.T, args.d):
+        print(f"WARNING: {msg}", file=sys.stderr)
+    for msg in validate_sections(model.sections):
         print(f"WARNING: {msg}", file=sys.stderr)
     wave = make_wave(args.H, args.T, args.d, args.Uc, model=args.wave_model,
                      N=args.N, dtype=dtype)

@@ -123,3 +123,20 @@ def von_mises_8pt(sec: TubeSections, sect_id, Fx, Fy, Fz, Mx, My, Mz):
     tau = jnp.sqrt((Mx * Ro / Ixs) ** 2 + (Fy / Ays) ** 2 + (Fz / Azs) ** 2)
     vm = jnp.sqrt(sigma**2 + 3.0 * tau[..., None] ** 2)
     return jnp.max(vm, axis=-1)
+
+
+def validate_sections(sec: TubeSections, strict: bool = False):
+    """Thin-wall validity check D/t > 10 (the reference documents this limit
+    in its Info tab, `JacketAnalysisGUI_v2.py:1574-1576`, but never enforces
+    it).  Returns warning strings; raises if ``strict``."""
+    import numpy as np
+    msgs = []
+    Dt = np.asarray(sec.D_t_ratio)
+    D = np.asarray(sec.D_outer)
+    for i in range(Dt.shape[0]):
+        if Dt[i] <= 10.0:
+            msgs.append(f"section {i} (D={D[i]:.0f} mm): D/t = {Dt[i]:.1f} "
+                        f"<= 10 — thin-wall section formulas are inaccurate")
+    if strict and msgs:
+        raise ValueError("; ".join(msgs))
+    return msgs

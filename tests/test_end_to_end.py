@@ -133,3 +133,17 @@ def test_max_displacement_report(golden_default):
     disp = np.linalg.norm(U_ref[:, :3], axis=1)
     assert int(res.max_displacement_node) == int(np.argmax(disp))
     np.testing.assert_allclose(float(res.max_displacement_mm), disp.max(), rtol=1e-8)
+
+
+def test_lstsq_fallback_on_singular_system():
+    """A free-floating structure (no supports) is singular; the lstsq
+    fallback still returns a finite minimum-norm solution, replicating the
+    reference's try/except recovery (`JacketAnalysisGUI_v2.py:484-487`)."""
+    import dataclasses
+    model = sf.default_3leg_jacket()
+    floating = dataclasses.replace(
+        model, fixed_mask=jnp.zeros_like(model.fixed_mask))
+    wave = sf.airy_wave(5.0, 9.4, 50.0)
+    case = sf.LoadCase(sw_mode="none")
+    res = sf.analyze(floating, wave, case, solver="lu", lstsq_fallback=True)
+    assert bool(jnp.isfinite(res.U).all())

@@ -44,3 +44,14 @@ def test_von_mises_bending_max_at_extreme_fiber():
     vm = von_mises_8pt(sec, jnp.array([0]), z, z, z, z, My, z)
     np.testing.assert_allclose(vm[0], 5e8 * float(sec.R_outer[0]) / float(sec.Iy[0]),
                                rtol=1e-12)
+
+
+def test_validate_sections_thin_wall_limit():
+    from small_fem_solver_tpu.ops.sections import validate_sections
+    ok = tube_sections(jnp.array([2000.0]), jnp.array([75.0]))
+    assert validate_sections(ok) == []
+    thick = tube_sections(jnp.array([500.0]), jnp.array([100.0]))  # D/t = 5
+    msgs = validate_sections(thick)
+    assert len(msgs) == 1 and "D/t" in msgs[0]
+    with pytest.raises(ValueError):
+        validate_sections(thick, strict=True)
