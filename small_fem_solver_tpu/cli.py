@@ -269,6 +269,26 @@ def cmd_envelope(args):
         print(f"  {refined.member_names[e]:<30} {worst[e]:>8.2%}")
 
 
+def cmd_modes(args):
+    """Natural frequencies (modal analysis) — beyond the reference's scope."""
+    import numpy as np
+
+    from .ops.dynamics import modal_analysis
+
+    model, _, case = _setup(args)
+    res = modal_analysis(model, n_modes=args.n_modes, E=args.E, nu=args.nu,
+                         topside_mass_t=args.topside_mass)
+    print(f"structural mass: {float(res.total_mass_t):.1f} t "
+          f"(incl. {args.topside_mass:.0f} t topside)")
+    print(f"  {'Mode':>4} {'f [Hz]':>10} {'T [s]':>10}")
+    for i, (f, T) in enumerate(zip(np.asarray(res.frequencies_hz),
+                                   np.asarray(res.periods_s))):
+        print(f"  {i+1:>4} {f:>10.4f} {T:>10.3f}")
+    print(f"wave period {args.T:.2f} s vs first natural period "
+          f"{float(res.periods_s[0]):.3f} s "
+          f"(ratio {args.T/float(res.periods_s[0]):.2f})")
+
+
 def cmd_save_default(args):
     import small_fem_solver_tpu as sf
     from .utils.io import save_model
@@ -316,6 +336,13 @@ def main(argv=None):
     ev.add_argument("--n-seg", type=int, default=8)
     ev.add_argument("--phase-steps", type=int, default=36)
     ev.set_defaults(fn=cmd_envelope)
+
+    md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
+    _add_common(md)
+    md.add_argument("--n-modes", type=int, default=8)
+    md.add_argument("--topside-mass", type=float, default=1100.0,
+                    help="lumped deck mass [tonnes]")
+    md.set_defaults(fn=cmd_modes)
 
     sd = sub.add_parser("save-default", help="write default jacket JSON")
     sd.add_argument("out")
