@@ -329,6 +329,32 @@ def _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel, free, fixed):
     return ts, results
 
 
+def _check_shared_material(cases: LoadCase) -> None:
+    """Envelope solvers factor K once, so E/nu must not vary across cases."""
+    for name in ("E", "nu"):
+        v = np.asarray(getattr(cases, name))
+        if v.ndim > 0 and not np.all(v == v.flat[0]):
+            raise ValueError(
+                f"design envelopes share one stiffness factorization: "
+                f"case field {name!r} must be identical across the batch")
+
+
+def _check_refined_layout(coarse: JacketModel, refined: JacketModel,
+                          n_seg: int) -> None:
+    """The condensation solver requires refine_model's member-major layout."""
+    Mc = coarse.n_members
+    if refined.n_members != Mc * n_seg or             refined.n_nodes != coarse.n_nodes + Mc * (n_seg - 1):
+        raise ValueError(
+            "refined model does not match refine_model(coarse, n_seg) sizes")
+    rc = np.asarray(refined.conn)
+    cc = np.asarray(coarse.conn)
+    if not (np.array_equal(rc[::n_seg, 0], cc[:, 0])
+            and np.array_equal(rc[n_seg - 1::n_seg, 1], cc[:, 1])):
+        raise ValueError(
+            "refined model connectivity is not in refine_model's "
+            "member-major chain layout")
+
+
 class CondensedScanResults(NamedTuple):
     """Results of a condensed multi-phase scan (leading axis = phase)."""
 
@@ -366,6 +392,7 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     ``refined`` must come from ``refine_model(coarse, n_seg)`` (member-major
     interior node layout).
     """
+    _check_refined_layout(coarse, refined, n_seg)
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     return _phase_scan_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
@@ -532,6 +559,7 @@ def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
     (1-D device mesh, axis 'cases') the batch is sharded across chips and
     the governing-case reduction is an ICI all-reduce.
     """
+    _check_shared_material(cases)
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
     free = jnp.asarray(free_np)
 
@@ -607,6 +635,8 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     materialize for the whole envelope at once; only reduced quantities
     (per-case-phase max utilization, the member envelope) accumulate.
     """
+    _check_shared_material(cases)
+    _check_refined_layout(coarse, refined, n_seg)
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     return _design_envelope_condensed_jit(
         coarse, refined, waves, cases.cast(solve_dtype), n_seg, n_steps,

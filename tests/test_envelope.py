@@ -85,3 +85,25 @@ def test_condensed_envelope_matches_per_case_scans():
         np.testing.assert_allclose(float(env.max_util_per_case[c]),
                                    float(scan.utilization.max()), rtol=1e-9)
     assert int(env.governing_case) == 2  # largest wave governs
+
+
+def test_envelope_rejects_varying_material():
+    from small_fem_solver_tpu.api import design_envelope
+    model = sf.default_3leg_jacket()
+    waves = make_wave_batch([4.0, 8.0], 9.4, 50.0, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    base = sf.LoadCase(custom_sw_tonnes=1100.0, sw_mode="custom")
+    cases = make_case_batch(base, E=jnp.array([210000.0, 200000.0]),
+                            t_analysis=jnp.zeros(2))
+    with pytest.raises(ValueError):
+        design_envelope(model, waves, cases, n_steps=2)
+
+
+def test_condensed_scan_rejects_wrong_layout():
+    from small_fem_solver_tpu.api import phase_scan_condensed
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 4)
+    wave = sf.airy_wave(5.0, 9.4, 50.0)
+    base = sf.LoadCase(custom_sw_tonnes=1100.0, sw_mode="custom")
+    with pytest.raises(ValueError):
+        phase_scan_condensed(coarse, refined, 3, wave, base, n_steps=2)
