@@ -289,6 +289,37 @@ def cmd_modes(args):
           f"(ratio {args.T/float(res.periods_s[0]):.2f})")
 
 
+def cmd_dynamic(args):
+    """Steady-state wave-frequency dynamic response + DAF."""
+    import numpy as np
+
+    from .ops.dynamics import dynamic_response
+
+    import contextlib
+
+    import jax
+
+    model, wave, case = _setup(args)
+    # complex linear solves are unimplemented on the TPU backend; the
+    # harmonic systems are small and dense, so run them on the host CPU
+    ctx = contextlib.nullcontext()
+    if jax.devices()[0].platform != "cpu":
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    with ctx:
+        resp = dynamic_response(model, wave, case,
+                                n_harmonics=args.n_harmonics,
+                                damping_ratio=args.damping,
+                                n_steps=args.phase_steps)
+    print(f"Rayleigh damping: alpha={float(resp.rayleigh_alpha):.4f} "
+          f"beta={float(resp.rayleigh_beta):.2e} "
+          f"(zeta={args.damping:.1%})")
+    print(f"dynamic amplification factor (max disp): {float(resp.daf):.3f}")
+    u_dyn = float(np.asarray(resp.utilization).max())
+    u_sta = float(np.asarray(resp.utilization_static).max())
+    print(f"max utilization: dynamic {u_dyn:.4f} vs quasi-static {u_sta:.4f} "
+          f"({u_dyn/u_sta:.3f}x)")
+
+
 def cmd_save_default(args):
     import small_fem_solver_tpu as sf
     from .utils.io import save_model
@@ -336,6 +367,15 @@ def main(argv=None):
     ev.add_argument("--n-seg", type=int, default=8)
     ev.add_argument("--phase-steps", type=int, default=36)
     ev.set_defaults(fn=cmd_envelope)
+
+    dy = sub.add_parser("dynamic",
+                        help="wave-frequency dynamic response (DAF)")
+    _add_common(dy)
+    dy.add_argument("--n-harmonics", type=int, default=8)
+    dy.add_argument("--damping", type=float, default=0.02,
+                    help="modal damping ratio")
+    dy.add_argument("--phase-steps", type=int, default=72)
+    dy.set_defaults(fn=cmd_dynamic)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
     _add_common(md)

@@ -68,3 +68,58 @@ def test_jacket_modal_sanity():
         float(jnp.sum(model.sections.mass_per_m[model.sect_id]
                       * model.member_geometry()[3]) / 1000.0) + 1100.0,
         rtol=1e-10)
+
+
+def test_harmonic_reconstruction_matches_quasi_static():
+    """With enough harmonics, the frequency-domain *static* branch must
+    reproduce direct quasi-static solves at the sample phases — this pins
+    the Fourier sign/phase conventions exactly."""
+    from small_fem_solver_tpu.ops.dynamics import dynamic_response
+    model = sf.default_3leg_jacket()
+    wave = sf.stokes_wave(9.5, 9.4, 50.0, 1.2, order=5, n_modes=8)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    ts, batch = sf.analyze_phase_batch(model, wave, case, n_steps=72,
+                                       accel="analytic")
+    U_direct = np.asarray(batch.U)
+    scale = np.abs(U_direct).max()
+    errs = []
+    for n_h in (10, 20, 35):
+        resp = dynamic_response(model, wave, case, n_harmonics=n_h,
+                                n_steps=72)
+        errs.append(np.abs(np.asarray(resp.U_static) - U_direct).max() / scale)
+    # drag's |U|U nonlinearity spreads energy into super-harmonics, so the
+    # truncation error falls with the harmonic count and is tiny at 35
+    assert errs[2] < errs[1] < errs[0]
+    assert errs[2] < 1e-3
+
+
+def test_daf_near_one_for_stiff_jacket():
+    """Wave period 9.4 s vs first natural period 0.6 s: quasi-static regime,
+    so the dynamic amplification factor must be ~1."""
+    from small_fem_solver_tpu.ops.dynamics import dynamic_response
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(10.0, 9.4, 50.0, 1.0)
+    case = sf.LoadCase(wave_dir_deg=0.0, current_dir_deg=0.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    resp = dynamic_response(model, wave, case, n_harmonics=8, n_steps=36)
+    assert 0.95 < float(resp.daf) < 1.15
+
+
+def test_harmonic_solve_resonant_amplification():
+    """SDOF check: at resonance with Rayleigh damping calibrated to zeta at
+    omega_n, |U| = U_static / (2 zeta)."""
+    from small_fem_solver_tpu.ops.dynamics import harmonic_solve
+    k, m, zeta = 4.0, 1.0, 0.05
+    wn = np.sqrt(k / m)
+    w2 = 3.0 * wn
+    alpha = zeta * 2 * wn * w2 / (wn + w2)
+    beta = zeta * 2 / (wn + w2)
+    K = jnp.array([[k]])
+    M = jnp.array([[m]])
+    F = jnp.zeros((2, 1), jnp.complex128).at[1, 0].set(1.0)
+    U = harmonic_solve(K, M, F, jnp.asarray(wn), alpha, beta)
+    amp = float(jnp.abs(U[1, 0])) / (1.0 / k)
+    np.testing.assert_allclose(amp, 1.0 / (2 * zeta), rtol=1e-6)
