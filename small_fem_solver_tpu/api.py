@@ -103,7 +103,9 @@ def assemble_loads(model: JacketModel, case: LoadCase, morison_nodal: jnp.ndarra
 
     # -- topside interface loads (`:1962-1977`) --
     top = model.top_mask.astype(dtype)
-    n_top = jnp.sum(top)
+    # guard n_top = 0 (e.g. a JSON model without top nodes): interface loads
+    # have nowhere to go, so they are dropped instead of producing 0/0 NaNs
+    n_top = jnp.maximum(jnp.sum(top), 1.0)
     theta = jnp.deg2rad(90.0 - case.wave_dir_deg)
     F_axial_N = case.F_axial_kN * 1000.0
     F_shear_N = case.F_shear_kN * 1000.0
@@ -533,7 +535,10 @@ class EnvelopeResults(NamedTuple):
     """Design-envelope results over a case batch (leading axis = case)."""
 
     ts: jnp.ndarray                # [C, S] phase times (periods differ)
-    utilization: jnp.ndarray       # [C, S, M]
+    utilization: jnp.ndarray | None  # [C, S, M] full field (dense envelope);
+                                     # None for the condensed variant, which
+                                     # materializes only the reductions below
+    max_util_per_phase: jnp.ndarray  # [C, S]
     max_util_per_case: jnp.ndarray # [C]
     critical_phase: jnp.ndarray    # [C] phase index of each case's max
     governing_case: jnp.ndarray    # [] argmax over cases
@@ -612,6 +617,7 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
         max_per_case = jnp.max(per_phase, axis=-1)         # [C]
         return EnvelopeResults(
             ts=ts, utilization=util,
+            max_util_per_phase=per_phase,
             max_util_per_case=max_per_case,
             critical_phase=crit_phase,
             governing_case=jnp.argmax(max_per_case),
@@ -710,7 +716,8 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
         crit_phase = jnp.argmax(per_phase, axis=-1)
         max_per_case = jnp.max(per_phase, axis=-1)
         return EnvelopeResults(
-            ts=ts, utilization=per_phase[:, :, None],
+            ts=ts, utilization=None,  # full [C, S, M] field not materialized
+            max_util_per_phase=per_phase,
             max_util_per_case=max_per_case,
             critical_phase=crit_phase,
             governing_case=jnp.argmax(max_per_case),

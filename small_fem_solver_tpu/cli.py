@@ -90,9 +90,21 @@ def _setup(args):
 
     dtype = jnp.float32 if args.f32 else jnp.float64
     if args.model:
+        import dataclasses
+
+        from .ops.sections import tube_sections
         from .utils.io import load_model
         model, _ = load_model(args.model, dtype=dtype)
-        # CLI section flags override stored sections only if model lacks them
+        # explicit section/material flags override the stored sections
+        defaults = {"D_leg": 2000.0, "t_leg": 75.0, "D_brace": 800.0,
+                    "t_brace": 30.0, "rho_steel": 7850.0}
+        if any(getattr(args, k) != v for k, v in defaults.items()):
+            model = dataclasses.replace(model, sections=tube_sections(
+                jnp.asarray([args.D_leg, args.D_brace], dtype=dtype),
+                jnp.asarray([args.t_leg, args.t_brace], dtype=dtype),
+                args.rho_steel))
+            print("[model] CLI section flags override the JSON sections",
+                  file=sys.stderr)
     else:
         model = sf.default_3leg_jacket(
             z_water_ref=args.z_water_ref, dtype=dtype,
@@ -186,10 +198,17 @@ def cmd_sweep(args):
     B = HH.size
     import jax.numpy as jnp
     dtype = jnp.float32 if args.f32 else jnp.float64
+    wave_model = args.wave_model
+    if wave_model == "auto":
+        wave_model = "stokes"
+        print("[sweep] note: case batches use one wave model for all cases; "
+              "'auto' resolves to Stokes-5 here — pass --wave-model fenton "
+              "for steep-wave sweeps", file=sys.stderr)
     waves = make_wave_batch(HH.ravel(), args.T, args.d, args.Uc,
-                            model=("stokes" if args.wave_model in ("auto", "fenton")
-                                   else args.wave_model),
-                            N=min(args.N, 5), n_modes=8, dtype=dtype)
+                            model=wave_model,
+                            N=(min(args.N, 5) if wave_model == "stokes"
+                               else max(args.N, 10)),
+                            n_modes=max(args.N, 8), dtype=dtype)
     cases = make_case_batch(case, wave_dir_deg=DD.ravel(),
                             current_dir_deg=DD.ravel(),
                             t_analysis=np.zeros(B))
@@ -247,8 +266,15 @@ def cmd_envelope(args):
     HH, TT, DD = (a.ravel() for a in np.meshgrid(Hs, Ts, dirs, indexing="ij"))
     B = HH.size
     dtype = jnp.float32 if args.f32 else jnp.float64
-    waves = make_wave_batch(HH, TT, args.d, args.Uc, model="stokes",
-                            N=min(args.N, 5), n_modes=8, dtype=dtype)
+    wave_model = "stokes" if args.wave_model == "auto" else args.wave_model
+    if args.wave_model == "auto":
+        print("[envelope] note: 'auto' resolves to Stokes-5 for case "
+              "batches — pass --wave-model fenton for steep-wave envelopes",
+              file=sys.stderr)
+    waves = make_wave_batch(HH, TT, args.d, args.Uc, model=wave_model,
+                            N=(min(args.N, 5) if wave_model == "stokes"
+                               else max(args.N, 10)),
+                            n_modes=max(args.N, 8), dtype=dtype)
     cases = make_case_batch(case, wave_dir_deg=DD, current_dir_deg=DD,
                             t_analysis=np.zeros(B))
     refined = sf.refine_model(model, args.n_seg)
@@ -271,13 +297,22 @@ def cmd_envelope(args):
 
 def cmd_modes(args):
     """Natural frequencies (modal analysis) — beyond the reference's scope."""
+    import contextlib
+
+    import jax
     import numpy as np
 
     from .ops.dynamics import modal_analysis
 
     model, _, case = _setup(args)
-    res = modal_analysis(model, n_modes=args.n_modes, E=args.E, nu=args.nu,
-                         topside_mass_t=args.topside_mass)
+    # float64 factorizations (cholesky/eigh) are unimplemented on the TPU
+    # backend; the modal problem is small and dense, so route to host CPU
+    ctx = contextlib.nullcontext()
+    if not args.f32 and jax.devices()[0].platform != "cpu":
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    with ctx:
+        res = modal_analysis(model, n_modes=args.n_modes, E=args.E,
+                             nu=args.nu, topside_mass_t=args.topside_mass)
     print(f"structural mass: {float(res.total_mass_t):.1f} t "
           f"(incl. {args.topside_mass:.0f} t topside)")
     print(f"  {'Mode':>4} {'f [Hz]':>10} {'T [s]':>10}")

@@ -50,37 +50,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def spd_inv6(A: jnp.ndarray) -> jnp.ndarray:
-    """Batched inverse of SPD 6x6 blocks via unrolled Cholesky.
-
-    Every pivot block eliminated by the chain sweep is a Schur complement of
-    a principal submatrix of the (clamped-interface) chain stiffness, hence
-    SPD — so Cholesky is safe.  Written in basic arithmetic because XLA:TPU
-    implements LuDecomposition (``jnp.linalg.inv``) only for f32, while this
-    solver deliberately runs in f64.
-    """
-    n = A.shape[-1]
-    L = jnp.zeros_like(A)
-    for j in range(n):
-        s = A[..., j, j] - jnp.sum(L[..., j, :j] ** 2, axis=-1)
-        Ljj = jnp.sqrt(s)
-        L = L.at[..., j, j].set(Ljj)
-        for i in range(j + 1, n):
-            v = A[..., i, j] - jnp.sum(L[..., i, :j] * L[..., j, :j], axis=-1)
-            L = L.at[..., i, j].set(v / Ljj)
-    # forward-substitute L X = I, then L^T A^{-1} = X
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
-    X = jnp.zeros_like(A)
-    for i in range(n):
-        r = eye[..., i, :] - jnp.einsum("...k,...kj->...j", L[..., i, :i], X[..., :i, :])
-        X = X.at[..., i, :].set(r / L[..., i, i][..., None])
-    Y = jnp.zeros_like(A)
-    for i in reversed(range(n)):
-        r = X[..., i, :] - jnp.einsum("...k,...kj->...j", L[..., i + 1:, i], Y[..., i + 1:, :])
-        Y = Y.at[..., i, :].set(r / L[..., i, i][..., None])
-    return Y
-
-
 class ChainFactor(NamedTuple):
     """Factorized interior chains + superelement matrices.
 

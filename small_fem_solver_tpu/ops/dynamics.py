@@ -96,37 +96,30 @@ class ModalResults(NamedTuple):
     total_mass_t: jnp.ndarray      # structural mass [tonnes]
 
 
-def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
-                   nu: float = 0.3, topside_mass_t: float = 0.0) -> ModalResults:
-    """Natural frequencies/mode shapes of the (supported) structure.
-
-    ``topside_mass_t`` lumps an optional deck mass equally onto the top
-    nodes' translational DOFs — the dominant dynamic effect for jackets.
-    Dense path (fine to a few thousand DOF).
-    """
+def _build_km(model, E, nu, topside_mass_t):
+    """Assembled (K, M, free-dof array, member lengths) shared by the modal
+    and harmonic-response paths (single source for the topside-mass lumping)."""
     from .assembly import assemble_dense
     from .solve import free_fixed_dofs
 
-    dtype = model.coords.dtype
     G = E / (2.0 * (1.0 + nu))
-    Kg, _, _, L_m = element_stiffness(model.coords, model.conn,
-                                      model.sections, model.sect_id, E, G)
+    Kg, K_local, T, L_m = element_stiffness(model.coords, model.conn,
+                                            model.sections, model.sect_id,
+                                            E, G)
     Mg = element_mass(model.coords, model.conn, model.sections, model.sect_id)
     K = assemble_dense(Kg, model.conn, model.n_dof)
     M = assemble_dense(Mg, model.conn, model.n_dof)
-
     if topside_mass_t:
         top = np.where(np.asarray(model.top_mask))[0]
         per = topside_mass_t / max(len(top), 1)
         for i in top:
             for c in range(3):
                 M = M.at[6 * i + c, 6 * i + c].add(per)
-
     free, _ = free_fixed_dofs(model.fixed_mask)
-    free = jnp.asarray(free)
-    K_ff = K[jnp.ix_(free, free)]
-    M_ff = M[jnp.ix_(free, free)]
+    return K, M, jnp.asarray(free), (K_local, T, L_m)
 
+
+def _modal_from_ff(K_ff, M_ff, free, n_dof, n_modes, dtype):
     Lm = jnp.linalg.cholesky(M_ff)
     Y = jax.scipy.linalg.solve_triangular(Lm, K_ff, lower=True)
     A = jax.scipy.linalg.solve_triangular(Lm, Y.T, lower=True)
@@ -136,8 +129,27 @@ def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
     omega = jnp.sqrt(w2)
     phi_f = jax.scipy.linalg.solve_triangular(Lm.T, V[:, :n_modes],
                                               lower=False)
-    shapes = jnp.zeros((n_modes, model.n_dof), dtype=dtype)
-    shapes = shapes.at[:, free].set(phi_f.T)
+    shapes = jnp.zeros((n_modes, n_dof), dtype=dtype)
+    return omega, shapes.at[:, free].set(phi_f.T)
+
+
+def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
+                   nu: float = 0.3, topside_mass_t: float = 0.0) -> ModalResults:
+    """Natural frequencies/mode shapes of the (supported) structure.
+
+    ``topside_mass_t`` lumps an optional deck mass equally onto the top
+    nodes' translational DOFs — the dominant dynamic effect for jackets.
+    Dense path (fine to a few thousand DOF).  Note: float64 factorizations
+    are unimplemented on the TPU backend — run f64 modal analysis on the
+    host CPU (see the CLI 'modes' command).
+    """
+    dtype = model.coords.dtype
+    with jax.default_matmul_precision("highest"):
+        K, M, free, (_, _, L_m) = _build_km(model, E, nu, topside_mass_t)
+        K_ff = K[jnp.ix_(free, free)]
+        M_ff = M[jnp.ix_(free, free)]
+        omega, shapes = _modal_from_ff(K_ff, M_ff, free, model.n_dof,
+                                       n_modes, dtype)
 
     mass_per_m = model.sections.mass_per_m[model.sect_id]
     total_mass = jnp.sum(mass_per_m * L_m) / 1000.0 + topside_mass_t
@@ -206,105 +218,91 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
     (the deck mass that dominates jacket dynamics).
     """
     from ..api import assemble_loads
-    from ..ops.assembly import assemble_dense
     from ..ops.morison import morison_phase_batch
-    from ..ops.solve import free_fixed_dofs
-    from .beams import internal_forces
     from .sections import von_mises_8pt
 
     dtype = model.coords.dtype
     case = case.cast(dtype)
     E = case.E
-    G = case.E / (2.0 * (1.0 + case.nu))
     if topside_mass_t is None:
         topside_mass_t = float(case.custom_sw_tonnes)
 
-    Kg, K_local, T, L_m = element_stiffness(model.coords, model.conn,
-                                            model.sections, model.sect_id,
-                                            E, G)
-    Mg = element_mass(model.coords, model.conn, model.sections,
-                      model.sect_id)
-    K = assemble_dense(Kg, model.conn, model.n_dof)
-    M = assemble_dense(Mg, model.conn, model.n_dof)
-    if topside_mass_t:
-        top = np.where(np.asarray(model.top_mask))[0]
-        per = topside_mass_t / max(len(top), 1)
-        for i in top:
-            for c in range(3):
-                M = M.at[6 * i + c, 6 * i + c].add(per)
+    with jax.default_matmul_precision("highest"):
+        K, M, free, (K_local, T, L_m) = _build_km(
+            model, float(E), float(case.nu), topside_mass_t)
+        K_ff = K[jnp.ix_(free, free)]
+        M_ff = M[jnp.ix_(free, free)]
 
-    free, _ = free_fixed_dofs(model.fixed_mask)
-    free = jnp.asarray(free)
-    K_ff = K[jnp.ix_(free, free)]
-    M_ff = M[jnp.ix_(free, free)]
-
-    # Rayleigh damping calibrated at the first two distinct natural freqs
-    modal = modal_analysis(model, n_modes=3, E=float(E), nu=float(case.nu),
-                           topside_mass_t=topside_mass_t)
-    w1 = float(modal.omega[0])
-    w2 = float(modal.omega[2]) if float(modal.omega[2]) > 1.01 * w1 \
-        else 3.0 * w1
+        # Rayleigh damping calibrated at the first two distinct natural
+        # frequencies (reusing the already-assembled matrices)
+        omega_n, _ = _modal_from_ff(K_ff, M_ff, free, model.n_dof, 3, dtype)
+    w1 = float(omega_n[0])
+    w2 = float(omega_n[2]) if float(omega_n[2]) > 1.01 * w1 else 3.0 * w1
     alpha = damping_ratio * 2.0 * w1 * w2 / (w1 + w2)
     beta = damping_ratio * 2.0 / (w1 + w2)
 
-    # loads over one period (separable fast path)
-    ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-    D_m = model.sections.D_outer[model.sect_id] / 1000.0
-    mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
-                             case.wave_dir_deg, case.current_dir_deg,
-                             case.Cd, case.Cm, case.rho_water, ts,
-                             n_gauss=n_gauss)
-    F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
-                                              L_m))(mb.nodal_forces)
-    F_f = F[:, free]                                     # [S, n_free]
+    with jax.default_matmul_precision("highest"):
+        # loads over one period (separable fast path)
+        ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
+        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
+                                 case.wave_dir_deg, case.current_dir_deg,
+                                 case.Cd, case.Cm, case.rho_water, ts,
+                                 n_gauss=n_gauss)
+        F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
+                                                  L_m))(mb.nodal_forces)
+        F_f = F[:, free]                                     # [S, n_free]
 
-    # one-sided Fourier coefficients: F(t) = Re(sum_j c_j e^{-i j w t}),
-    # matching theta = kx - wt phase convention
-    Fh = jnp.fft.rfft(F_f, axis=0) / n_steps
-    n_h = min(n_harmonics, Fh.shape[0] - 1)
-    coef = Fh[: n_h + 1].at[1:].multiply(2.0)            # [n_h+1, n_free]
+        # one-sided Fourier coefficients: F(t) = Re(sum_j c_j e^{-i j w t}),
+        # matching theta = kx - wt phase convention
+        Fh = jnp.fft.rfft(F_f, axis=0) / n_steps
+        n_h = min(n_harmonics, Fh.shape[0] - 1)
+        coef = Fh[: n_h + 1].at[1:].multiply(2.0)            # [n_h+1, n_free]
+        if n_steps % 2 == 0 and n_h == n_steps // 2:
+            # the Nyquist bin of an even-length rfft must not be doubled
+            coef = coef.at[-1].multiply(0.5)
 
-    omega = wave.omega.astype(dtype)
-    U_hat = harmonic_solve(K_ff, M_ff, coef, omega, alpha, beta)
-    U_hat_static = jnp.stack(
-        [jnp.linalg.solve(K_ff, coef[j].real).astype(U_hat.dtype)
-         + 1j * jnp.linalg.solve(K_ff, coef[j].imag).astype(U_hat.dtype)
-         for j in range(n_h + 1)])
+        omega = wave.omega.astype(dtype)
+        U_hat = harmonic_solve(K_ff, M_ff, coef, omega, alpha, beta)
+        U_hat_static = jnp.stack(
+            [jnp.linalg.solve(K_ff, coef[j].real).astype(U_hat.dtype)
+             + 1j * jnp.linalg.solve(K_ff, coef[j].imag).astype(U_hat.dtype)
+             for j in range(n_h + 1)])
 
-    # reconstruct time histories at the sample phases.  rfft coefficients
-    # c_j expand as F(t) = Re[(c_0 + sum_j 2 c_j e^{+i j w t}) / S], which is
-    # the same +i convention the damped operator (K + i w C - w^2 M) uses.
-    j = jnp.arange(n_h + 1, dtype=dtype)
-    phase = jnp.exp(1j * j[None, :] * omega * ts[:, None])
+        # reconstruct time histories at the sample phases.  rfft coefficients
+        # c_j expand as F(t) = Re[(c_0 + sum_j 2 c_j e^{+i j w t}) / S], which is
+        # the same +i convention the damped operator (K + i w C - w^2 M) uses.
+        j = jnp.arange(n_h + 1, dtype=dtype)
+        phase = jnp.exp(1j * j[None, :] * omega * ts[:, None])
 
-    def reconstruct(U_h):
-        u = jnp.real(jnp.einsum("sj,jf->sf", phase, U_h))
-        # j = 0 term was not doubled; real part already handles it
-        U_full = jnp.zeros((n_steps, model.n_dof), dtype=dtype)
-        return U_full.at[:, free].set(u.astype(dtype))
+        def reconstruct(U_h):
+            u = jnp.real(jnp.einsum("sj,jf->sf", phase, U_h))
+            # j = 0 term was not doubled; real part already handles it
+            U_full = jnp.zeros((n_steps, model.n_dof), dtype=dtype)
+            return U_full.at[:, free].set(u.astype(dtype))
 
-    U_time = reconstruct(U_hat)
-    U_static = reconstruct(U_hat_static)
+        U_time = reconstruct(U_hat)
+        U_static = reconstruct(U_hat_static)
 
-    dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
-                            6 * model.conn[:, 1:2] + jnp.arange(6)], axis=-1)
+        dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
+                                6 * model.conn[:, 1:2] + jnp.arange(6)], axis=-1)
 
-    def util_of(U):
-        u_loc = jnp.einsum("mij,smj->smi", T, U[:, dofs])
-        F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
-        F1 = -F_loc[:, :, :6]
-        vm = von_mises_8pt(model.sections, model.sect_id,
-                           F1[..., 0], F1[..., 1], F1[..., 2],
-                           F1[..., 3], F1[..., 4], F1[..., 5])
-        return vm / case.fy
+        def util_of(U):
+            u_loc = jnp.einsum("mij,smj->smi", T, U[:, dofs])
+            F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
+            F1 = -F_loc[:, :, :6]
+            vm = von_mises_8pt(model.sections, model.sect_id,
+                               F1[..., 0], F1[..., 1], F1[..., 2],
+                               F1[..., 3], F1[..., 4], F1[..., 5])
+            return vm / case.fy
 
-    disp = lambda U: jnp.max(jnp.linalg.norm(
-        U.reshape(n_steps, -1, 6)[:, :, :3], axis=-1))
-    return HarmonicResponse(
-        ts=ts, U_time=U_time, U_static=U_static,
-        utilization=util_of(U_time), utilization_static=util_of(U_static),
-        daf=disp(U_time) / jnp.maximum(disp(U_static), 1e-30),
-        omega=omega,
-        rayleigh_alpha=jnp.asarray(alpha, dtype),
-        rayleigh_beta=jnp.asarray(beta, dtype),
-    )
+        disp = lambda U: jnp.max(jnp.linalg.norm(
+            U.reshape(n_steps, -1, 6)[:, :, :3], axis=-1))
+        return HarmonicResponse(
+            ts=ts, U_time=U_time, U_static=U_static,
+            utilization=util_of(U_time), utilization_static=util_of(U_static),
+            daf=disp(U_time) / jnp.maximum(disp(U_static), 1e-30),
+            omega=omega,
+            rayleigh_alpha=jnp.asarray(alpha, dtype),
+            rayleigh_beta=jnp.asarray(beta, dtype),
+        )

@@ -188,11 +188,15 @@ def fenton_wave_from_solution(q, H, T, d, U_c, M: int,
     omega = 2.0 * jnp.pi / jnp.asarray(T, dtype=dtype)
     c = omega / k
 
-    # E_j: type-I DCT of eta - d over the half-wavelength collocation grid
+    # E_j: type-I DCT of eta - d over the half-wavelength collocation grid.
+    # The inverse DCT-I carries a 1/2 weight on the j = M (Nyquist) term, so
+    # its forward coefficient takes 1/M, not 2/M — without the halving the
+    # reconstructed surface misses the collocation heights by O(mm).
     j = jnp.arange(1, M + 1, dtype=dtype)
     theta = jnp.pi * jnp.arange(M + 1, dtype=dtype) / M
     w = jnp.ones((M + 1,), dtype=dtype).at[0].set(0.5).at[M].set(0.5)
     E = (2.0 / M) * jnp.einsum("m,mj->j", w * (eta - d), jnp.cos(jnp.outer(theta, j)))
+    E = E.at[-1].multiply(0.5)
     U = j * k * B
 
     n_modes = n_modes or M

@@ -9,11 +9,17 @@ yellow -> red above.
 """
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
 
 import matplotlib
 
-matplotlib.use("Agg")
+# Headless default only: don't clobber a backend the GUI already selected
+# (TkAgg) or an interactive session with a display.
+if "matplotlib.pyplot" not in sys.modules and not os.environ.get("DISPLAY"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 from ..models.model import JacketModel  # noqa: E402

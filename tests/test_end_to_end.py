@@ -147,3 +147,18 @@ def test_lstsq_fallback_on_singular_system():
     case = sf.LoadCase(sw_mode="none")
     res = sf.analyze(floating, wave, case, solver="lu", lstsq_fallback=True)
     assert bool(jnp.isfinite(res.U).all())
+
+
+def test_no_top_nodes_drops_interface_loads_without_nan():
+    """Regression: a model without top nodes (e.g. minimal JSON input) must
+    not produce 0/0 NaNs in the load vector; interface loads are dropped."""
+    import dataclasses
+    model = sf.default_3leg_jacket()
+    no_top = dataclasses.replace(model, top_mask=jnp.zeros_like(model.top_mask))
+    wave = sf.airy_wave(5.0, 9.4, 50.0)
+    case = sf.LoadCase(F_axial_kN=25100.0, F_shear_kN=2900.0, sw_mode="none")
+    res = sf.analyze(no_top, wave, case, solver="chol")
+    assert bool(jnp.isfinite(res.U).all())
+    # only Morison loads remain
+    F = np.asarray(res.F_applied).reshape(-1, 6)
+    assert np.abs(F[:, 3:]).max() == 0.0

@@ -137,3 +137,17 @@ def test_stacked_wave_batch_evaluates():
     for i, w in enumerate(waves):
         np.testing.assert_allclose(float(us[i]), float(kinematics(w, 0.0, -10.0, 1.0).u),
                                    rtol=1e-12)
+
+
+def test_fenton_surface_matches_collocation_heights():
+    """Regression: the DCT-I lowering must reproduce the solved collocation
+    surface heights exactly (the j=M Nyquist coefficient takes a 1/2 weight;
+    without it the surface was off by ~5 mm for the default storm)."""
+    from small_fem_solver_tpu.ops.fenton import _solve_fenton
+    for H, T, d, N in [(17.038, 9.4, 50.0, 10), (8.0, 9.4, 50.0, 12)]:
+        q = _solve_fenton(jnp.float64(H), jnp.float64(T), jnp.float64(d), N)
+        eta_m = np.asarray(q[: N + 1]) - d
+        w = fenton_wave(H, T, d, N=N)
+        theta = np.pi * np.arange(N + 1) / N
+        eta_rec = np.asarray(surface_elevation(w, theta / float(w.k), 0.0))
+        assert np.abs(eta_rec - eta_m).max() < 1e-10
