@@ -88,6 +88,9 @@ class AnalysisResults(NamedTuple):
     max_displacement_mm: jnp.ndarray
     max_displacement_node: jnp.ndarray  # int index
     total_reaction: jnp.ndarray    # [6] sums of reaction components
+    # iterative-solver diagnostics (None for direct solvers)
+    solver_iters: jnp.ndarray | None = None
+    solver_residual: jnp.ndarray | None = None  # relative ||r||/||b||
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +163,7 @@ def _recover(model: JacketModel, case: LoadCase, K, U, F, fixed_dofs,
                        F1[:, 3], F1[:, 4], F1[:, 5])
     util = vm / case.fy
 
-    R = K @ U - F if K is not None else None
+    R = K @ U - F
     reac = R[jnp.asarray(fixed_dofs)].reshape(-1, 6)
 
     disp = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
@@ -192,9 +195,19 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
     pattern = build_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
     fn = _analyze_jit if _jit else _analyze_impl
-    return fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
-              accel, free, fixed, pattern, pcg_tol, pcg_maxiter,
-              lstsq_fallback)
+    res = fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
+             accel, free, fixed, pattern, pcg_tol, pcg_maxiter,
+             lstsq_fallback)
+    if solver == "pcg" and res.solver_residual is not None:
+        rel = float(res.solver_residual)
+        if not rel <= pcg_tol:  # catches NaN too
+            import warnings
+            warnings.warn(
+                f"PCG did not converge: relative residual {rel:.2e} > "
+                f"tol {pcg_tol:.1e} after {int(res.solver_iters)} iterations "
+                f"(maxiter {pcg_maxiter}); results may be inaccurate",
+                stacklevel=2)
+    return res
 
 
 @partial(jax.jit, static_argnames=("solver", "n_gauss", "accel",
@@ -248,12 +261,15 @@ def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
         U = fmask * res.x
         R = bcsr_matvec(A, U) - F
         return _recover_sparse(model, case, U, F, R, fixed,
-                               K_local, T, L_m, mor)
+                               K_local, T, L_m, mor,
+                               solver_iters=res.n_iter,
+                               solver_residual=res.residual)
     else:
         raise ValueError(f"unknown solver {solver!r}")
 
 
-def _recover_sparse(model, case, U, F, R, fixed_dofs, K_local, T, L_m, mor):
+def _recover_sparse(model, case, U, F, R, fixed_dofs, K_local, T, L_m, mor,
+                    solver_iters=None, solver_residual=None):
     dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
                             6 * model.conn[:, 1:2] + jnp.arange(6)], axis=-1)
     u_elem = U[dofs]
@@ -272,6 +288,7 @@ def _recover_sparse(model, case, U, F, R, fixed_dofs, K_local, T, L_m, mor):
         morison=mor,
         max_displacement_mm=disp[imax], max_displacement_node=imax,
         total_reaction=jnp.sum(reac, axis=0),
+        solver_iters=solver_iters, solver_residual=solver_residual,
     )
 
 

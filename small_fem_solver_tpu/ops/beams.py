@@ -118,8 +118,14 @@ def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool 
     Az = sec.Az[sect_id]
 
     if include_shear:
-        Phi_y = 12.0 * E * Iz / (G * Az * L**2)
-        Phi_z = 12.0 * E * Iy / (G * Ay * L**2)
+        # degenerate sections (Az=0 / Ay=0, e.g. t=0) fall back to
+        # Euler-Bernoulli, mirroring the reference's Ay>0/Az>0 guard
+        # (`JacketAnalysisGUI_v2.py:394-398`); the safe divisor keeps the
+        # masked-out branch finite (and grad-safe)
+        Az_safe = jnp.where(Az > 0, Az, 1.0)
+        Ay_safe = jnp.where(Ay > 0, Ay, 1.0)
+        Phi_y = jnp.where(Az > 0, 12.0 * E * Iz / (G * Az_safe * L**2), 0.0)
+        Phi_z = jnp.where(Ay > 0, 12.0 * E * Iy / (G * Ay_safe * L**2), 0.0)
     else:
         Phi_y = jnp.zeros_like(L)
         Phi_z = jnp.zeros_like(L)

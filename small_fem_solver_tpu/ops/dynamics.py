@@ -235,9 +235,12 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
 
         # Rayleigh damping calibrated at the first two distinct natural
         # frequencies (reusing the already-assembled matrices)
-        omega_n, _ = _modal_from_ff(K_ff, M_ff, free, model.n_dof, 3, dtype)
-    w1 = float(omega_n[0])
-    w2 = float(omega_n[2]) if float(omega_n[2]) > 1.01 * w1 else 3.0 * w1
+        omega_n, _ = _modal_from_ff(K_ff, M_ff, free, model.n_dof, 6, dtype)
+    omega_np = np.asarray(omega_n)
+    w1 = float(omega_np[0])
+    # first frequency distinct from w1 (symmetric jackets carry a degenerate
+    # sway pair; an asymmetric model's second mode is already distinct)
+    w2 = next((float(w) for w in omega_np[1:] if w > 1.01 * w1), 3.0 * w1)
     alpha = damping_ratio * 2.0 * w1 * w2 / (w1 + w2)
     beta = damping_ratio * 2.0 / (w1 + w2)
 

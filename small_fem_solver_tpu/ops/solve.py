@@ -165,7 +165,9 @@ def pcg(matvec: Callable, b, precond: Callable = None, x0=None,
     z = precond(r)
     p = z
     rz = jnp.vdot(r, z)
-    bnorm = jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    # dtype-aware floor: 1e-300 underflows to 0.0 in float32 and an all-zero
+    # RHS would then report residual 0/0 = NaN
+    bnorm = jnp.maximum(jnp.linalg.norm(b), jnp.finfo(b.dtype).tiny)
 
     def cond(state):
         x, r, p, rz, it = state

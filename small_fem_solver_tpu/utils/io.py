@@ -33,6 +33,11 @@ def model_to_dict(model: JacketModel, params: dict | None = None) -> dict:
     coords = np.asarray(model.coords)
     conn = np.asarray(model.conn)
     sec = model.sections
+    if np.asarray(sec.D_outer).shape[0] != 2:
+        raise ValueError(
+            "model_to_dict serializes the standard 2-section (leg/brace) "
+            f"layout; this model carries {np.asarray(sec.D_outer).shape[0]} "
+            "sections")
     d = {
         "schema_version": SCHEMA_VERSION,
         "nodes": {n: [float(x) for x in coords[i]]

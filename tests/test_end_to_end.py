@@ -162,3 +162,20 @@ def test_no_top_nodes_drops_interface_loads_without_nan():
     # only Morison loads remain
     F = np.asarray(res.F_applied).reshape(-1, 6)
     assert np.abs(F[:, 3:]).max() == 0.0
+
+
+def test_pcg_diagnostics_and_nonconvergence_warning(golden_default):
+    """analyze(solver='pcg') surfaces iteration count/residual and warns when
+    PCG hits maxiter without converging (ADVICE round-1 item)."""
+    import warnings
+    p = golden_default["params"]
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(p["H"], p["T"], p["d"], p["U_c"])
+    case = _case_from_params(p)
+    res = sf.analyze(model, wave, case, solver="pcg")
+    assert res.solver_iters is not None
+    assert float(res.solver_residual) <= 1e-10
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sf.analyze(model, wave, case, solver="pcg", pcg_maxiter=2)
+        assert any("PCG did not converge" in str(x.message) for x in w)

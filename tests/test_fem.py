@@ -127,3 +127,21 @@ def test_global_stiffness_matches_reference_spotcheck(golden_default):
     free, _ = free_fixed_dofs(model.fixed_mask)
     w = np.linalg.eigvalsh(K[np.ix_(free, free)])
     assert w.min() > 0
+
+
+def test_degenerate_section_euler_bernoulli_fallback():
+    """Az=0/Ay=0 sections must fall back to Phi=0 (Euler-Bernoulli), not NaN
+    — mirrors the reference's Ay>0/Az>0 guard (JacketAnalysisGUI_v2.py:394)."""
+    from small_fem_solver_tpu.ops.beams import local_stiffness
+    from small_fem_solver_tpu.ops.sections import tube_sections
+    sec = tube_sections(jnp.asarray([800.0]), jnp.asarray([30.0]))
+    sec0 = sec._replace(Ay=jnp.zeros_like(sec.Ay),
+                        Az=jnp.zeros_like(sec.Az))
+    L = jnp.asarray([7000.0])
+    sid = jnp.asarray([0])
+    K = local_stiffness(L, sec0, sid, 210000.0, 80769.0, include_shear=True)
+    assert np.isfinite(np.asarray(K)).all()
+    K_eb = local_stiffness(L, sec, sid, 210000.0, 80769.0,
+                           include_shear=False)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_eb),
+                               rtol=1e-12, atol=0)
