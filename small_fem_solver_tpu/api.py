@@ -179,6 +179,23 @@ def _recover(model: JacketModel, case: LoadCase, K, U, F, fixed_dofs,
     )
 
 
+# The BCSR sparsity pattern depends only on the (static) mesh connectivity;
+# rebuilding it host-side on every analyze(solver='pcg') call is wasteful in
+# loops, so memoize on the connectivity bytes (bounded: meshes are few).
+_PATTERN_CACHE: dict = {}
+
+
+def _cached_bcsr_pattern(conn, n_nodes: int):
+    key = (n_nodes, np.asarray(conn).tobytes())
+    pat = _PATTERN_CACHE.get(key)
+    if pat is None:
+        if len(_PATTERN_CACHE) >= 8:
+            _PATTERN_CACHE.clear()
+        pat = build_bcsr_pattern(conn, n_nodes)
+        _PATTERN_CACHE[key] = pat
+    return pat
+
+
 def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
             solver: str = "chol", n_gauss: int = 15, accel: str = "fd",
             pcg_tol: float = 1e-10, pcg_maxiter: int = 2000,
@@ -193,7 +210,7 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
     """
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
-    pattern = build_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
+    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
     fn = _analyze_jit if _jit else _analyze_impl
     res = fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
              accel, free, fixed, pattern, pcg_tol, pcg_maxiter,

@@ -22,10 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..api import LoadCase, _analyze_impl
+from ..api import (LoadCase, _check_shared_material, _recover,
+                   assemble_loads)
 from ..models.model import JacketModel
 from ..ops import solve as solve_mod
+from ..ops.assembly import assemble_dense
+from ..ops.beams import element_stiffness
 from ..ops.fenton import fenton_wave
+from ..ops.morison import morison_loads
 from ..ops.stokes import stokes_wave
 from ..ops.waves import FourierWave, airy_wave
 
@@ -97,17 +101,20 @@ def design_sweep(model: JacketModel, waves: FourierWave, cases: LoadCase,
     sharded across devices — the TPU-native equivalent of a distributed
     parameter sweep; without it, the batch vmaps on one device.
 
+    Material properties must be shared across the batch (enforced), so the
+    stiffness is factored ONCE outside the vmapped per-case body; each case
+    costs hydrodynamic loads + one multi-RHS triangular solve + recovery.
+    ('lu' and 'chol' produce the same solution of the SPD system; large-mesh
+    batches belong to ``design_envelope_condensed``.)
+
     Returns the batched AnalysisResults pytree (leading case axis).
     """
+    if solver not in ("chol", "lu"):
+        raise ValueError(f"design_sweep supports dense solvers "
+                         f"('chol'/'lu'); got {solver!r}")
+    _check_shared_material(cases)
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
-
-    def one(wave, case):
-        return _analyze_impl(model, wave, case.cast(model.coords.dtype),
-                             solver, n_gauss, accel, free, fixed, None,
-                             1e-10, 2000)
-
-    fn = jax.vmap(one, in_axes=(0, 0))
 
     if mesh is not None:
         case_sharding = NamedSharding(mesh, P("cases"))
@@ -115,13 +122,31 @@ def design_sweep(model: JacketModel, waves: FourierWave, cases: LoadCase,
         waves = jax.device_put(waves, case_sharding)
         cases = jax.device_put(cases, case_sharding)
         model = jax.device_put(model, replicated)
-        fn = jax.jit(fn, in_shardings=(case_sharding, case_sharding),
-                     out_shardings=case_sharding)
-    else:
-        fn = jax.jit(fn)
+    return _design_sweep_jit(model, waves, cases.cast(model.coords.dtype),
+                             free, fixed, n_gauss, accel)
 
+
+@partial(jax.jit, static_argnames=("n_gauss", "accel"))
+def _design_sweep_jit(model, waves, cases, free, fixed, n_gauss, accel):
     with jax.default_matmul_precision("highest"):
-        return fn(waves, cases)
+        G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
+        Kg, K_local, T, L_m = element_stiffness(
+            model.coords, model.conn, model.sections, model.sect_id,
+            cases.E[0], G)
+        K = assemble_dense(Kg, model.conn, model.n_dof)
+        fac = solve_mod.factor_dense(K, free)
+        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+
+        def one(wave, case):
+            mor = morison_loads(wave, model.coords, model.conn, D_m,
+                                case.wave_dir_deg, case.current_dir_deg,
+                                case.Cd, case.Cm, case.rho_water,
+                                case.t_analysis, n_gauss=n_gauss, accel=accel)
+            F = assemble_loads(model, case, mor.nodal_forces, L_m)
+            U = solve_mod.solve_factored(fac, F)
+            return _recover(model, case, K, U, F, fixed, K_local, T, L_m, mor)
+
+        return jax.vmap(one)(waves, cases)
 
 
 def critical_case(results) -> dict:
