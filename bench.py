@@ -8,7 +8,8 @@ The workload (BASELINE.md north star): the default 3-leg jacket refined to
 9,612 DOF, Fenton stream-function storm wave (H=17.038 m, T=9.4 s, d=50 m,
 U_c=1.7 m/s), full FEM at 360 wave phases — loads, solve, reactions and
 von Mises utilization at every phase — via the exact substructure
-condensation solver in float32 (4e-4 relative vs float64).
+condensation solver in float32 (~4e-5 relative vs float64 with the default
+one round of iterative refinement; asserted in tests/test_condense.py).
 ``vs_baseline`` is the north-star target (50 ms) divided by the measured
 time: > 1 means the target is beaten.  The reference implementation cannot
 run this workload at all (dense O(n^2)-memory Python assembly and O(n^3)
