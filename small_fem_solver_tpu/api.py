@@ -456,38 +456,39 @@ def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
                                           refine_steps, free, fixed)
 
 
-def _condensed_solve(F_flat, fac, dfac, _condense, _backsub, nc, Mc, n_int,
+def _condensed_solve(F_I_nodes, g, fac, dfac, _condense, _backsub,
                      node1, node2):
-    """One full condensed direct solve for a [S, n_dof_refined] RHS batch.
+    """One full condensed direct solve in the chain layout.
 
-    Returns (U [S, n_dof_refined], F_cond_flat [S, 6 nc], U_I [S, 6 nc]).
+    ``F_I_nodes``: [S, nc, 6] interface loads; ``g``: [S, n_int, Mc, 6]
+    interior loads.  Returns (U_In [S, nc, 6], v [S, n_int, Mc, 6],
+    F_cond_flat [S, 6 nc], U_I [S, 6 nc]).
     """
-    S = F_flat.shape[0]
-    Fn = F_flat.reshape(S, -1, 6)
-    F_interface = Fn[:, :nc]                               # [S, nc, 6]
-    g = Fn[:, nc:].reshape(S, Mc, n_int, 6).swapaxes(1, 2)
+    S, nc = F_I_nodes.shape[:2]
     fI, fJ, v_g = _condense(fac, g)
-    F_cond = F_interface.at[:, node1].add(fI).at[:, node2].add(fJ)
+    F_cond = F_I_nodes.at[:, node1].add(fI).at[:, node2].add(fJ)
     F_cond_flat = F_cond.reshape(S, -1)
     U_I = solve_mod.solve_factored(dfac, F_cond_flat)      # [S, 6 nc]
     U_In = U_I.reshape(S, nc, 6)
     v = _backsub(fac, v_g, U_In[:, node1], U_In[:, node2])
-    U = jnp.concatenate([
-        U_In.reshape(S, -1),
-        v.swapaxes(1, 2).reshape(S, -1),
-    ], axis=1)                                             # [S, n_dof_ref]
-    return U, F_cond_flat, U_I
+    return U_In, v, F_cond_flat, U_I
 
 
-def _elementwise_matvec(Kg, dofs, U, n_dof):
-    """K @ U for a [S, n_dof] batch via batched element matvecs + scatter-add
-    (never materializes the refined global K)."""
-    u_elem = U[:, dofs]                                    # [S, Mr, 12]
-    f_elem = jnp.einsum("mij,smj->smi", Kg, u_elem)        # [S, Mr, 12]
-    S = U.shape[0]
-    flat_idx = dofs.reshape(-1)
-    return jax.vmap(lambda fe: jnp.zeros(n_dof, U.dtype)
-                    .at[flat_idx].add(fe.reshape(-1)))(f_elem)
+def _refine_condensed(Kg, n_seg, conn_coarse, fixed_free_mask, solve_once,
+                      F_I_nodes, g, U_In, v, U_I, refine_steps):
+    """Iterative refinement in the chain layout: residual via
+    ``chain_matvec`` (no refined-DOF gather/scatter), one more condensed
+    solve per round.  Returns updated (U_In, v, U_I)."""
+    for _ in range(refine_steps):
+        y_I, y_int = condense_mod.chain_matvec(Kg, n_seg, conn_coarse,
+                                               U_In, v)
+        r_I = (F_I_nodes - y_I) * fixed_free_mask          # fixed rows -> 0
+        r_int = g - y_int
+        dU_In, dv, _, dU_I = solve_once(r_I, r_int)
+        U_In = U_In + dU_In
+        v = v + dv
+        U_I = U_I + dU_I
+    return U_In, v, U_I
 
 
 def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
@@ -559,28 +560,32 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     F_all = F_all.astype(solve_dtype)
     node1 = coarse.conn[:, 0]
     node2 = coarse.conn[:, 1]
+    Fn = F_all.reshape(n_steps, -1, 6)
+    F_I_nodes = Fn[:, :nc]                                 # [S, nc, 6]
+    g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
     solve_once = partial(_condensed_solve, fac=fac, dfac=dfac,
-                         _condense=_condense, _backsub=_backsub, nc=nc,
-                         Mc=Mc, n_int=n_int, node1=node1, node2=node2)
-    U, F_cond_flat, U_I = solve_once(F_all)
-
-    dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
-                            6 * refined.conn[:, 1:2] + jnp.arange(6)], axis=-1)
+                         _condense=_condense, _backsub=_backsub,
+                         node1=node1, node2=node2)
+    U_In, v, F_cond_flat, U_I = solve_once(F_I_nodes, g)
 
     # ---- iterative refinement (restores ~4e-5 rel accuracy in float32;
     # fixed DOFs carry the reaction, so the residual is masked to free
     # equations before re-entering the factorization) ----
     if refine_steps > 0:
-        free_mask = solve_mod.dof_free_mask(
-            refined.fixed_mask).astype(solve_dtype)
-        for _ in range(refine_steps):
-            r = (F_all - _elementwise_matvec(Kg, dofs, U, refined.n_dof)) \
-                * free_mask
-            dU, _, dU_I = solve_once(r)
-            U = U + dU
-            U_I = U_I + dU_I
+        free_I = solve_mod.dof_free_mask(coarse.fixed_mask) \
+            .astype(solve_dtype).reshape(nc, 6)
+        U_In, v, U_I = _refine_condensed(Kg, n_seg, coarse.conn, free_I,
+                                         solve_once, F_I_nodes, g,
+                                         U_In, v, U_I, refine_steps)
+
+    U = jnp.concatenate([
+        U_In.reshape(n_steps, -1),
+        v.swapaxes(1, 2).reshape(n_steps, -1),
+    ], axis=1)                                             # [S, n_dof_ref]
 
     # ---- recovery on every refined element ----
+    dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
+                            6 * refined.conn[:, 1:2] + jnp.arange(6)], axis=-1)
     u_elem = U[:, dofs]                                    # [S, Mr, 12]
     u_loc = jnp.einsum("mij,smj->smi", T, u_elem)
     F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)

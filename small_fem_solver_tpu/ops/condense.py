@@ -213,6 +213,47 @@ def back_substitute(fac: ChainFactor, v_g, u_I, u_J):
         - jnp.einsum("pmij,...mj->...pmi", fac.Zn, u_J)
 
 
+def chain_matvec(K_elems: jnp.ndarray, n_seg: int, conn_coarse, U_I_nodes, v):
+    """K @ U for the refined chain system, computed IN the condensed layout.
+
+    The refined global K is block-tridiagonal along each member chain plus
+    interface coupling, so its matvec needs no gather/scatter over the
+    refined DOF vector — three batched 6x6 einsums on the interior tensor
+    and one tiny interface scatter (2 Mc adds into nc nodes).  Used for the
+    iterative-refinement residual in float32 scans (a vmapped element
+    scatter-add at [S, n_dof] scale measured ~2x the whole solve on TPU).
+
+    ``K_elems``: [Mc * n_seg, 12, 12] member-major refined element stiffness;
+    ``U_I_nodes``: [S, nc, 6] interface displacements;
+    ``v``: [S, n_int, Mc, 6] interior displacements.
+    Returns (y_I [S, nc, 6], y_int [S, n_int, Mc, 6]).
+    """
+    Mc = K_elems.shape[0] // n_seg
+    Ke = K_elems.reshape(Mc, n_seg, 12, 12)
+
+    u1 = U_I_nodes[:, conn_coarse[:, 0]]              # [S, Mc, 6]
+    u2 = U_I_nodes[:, conn_coarse[:, 1]]
+    # extended chain displacement [S, n_seg+1, Mc, 6]: u_I, v_1..v_n_int, u_J
+    vext = jnp.concatenate([u1[:, None], v, u2[:, None]], axis=1)
+    # element displacement vectors [S, n_seg, Mc, 12] and element end forces.
+    # IMPORTANT for float32 refinement: each element's 12-term dot cancels
+    # INSIDE the accumulator (element end forces are O(internal force), tiny
+    # vs |K||u|); summing pre-rounded 6x6 block products D v + B v + C v
+    # instead loses ~30x residual accuracy (measured at the 9.6k-DOF bench
+    # scale: 8e-4 vs 2e-5 refined error).
+    u_e = jnp.concatenate([vext[:, :-1], vext[:, 1:]], axis=-1)
+    f_e = jnp.einsum("mpij,spmj->spmi", Ke, u_e)      # [S, n_seg, Mc, 12]
+
+    # interior node p (1..n_int) joins element p-1's far end and element p's
+    # near end
+    y_int = f_e[:, :-1, :, 6:12] + f_e[:, 1:, :, 0:6]
+    # interface rows: each chain contributes its first/last element end
+    y_I = jnp.zeros_like(U_I_nodes)
+    y_I = y_I.at[:, conn_coarse[:, 0]].add(f_e[:, 0, :, 0:6])
+    y_I = y_I.at[:, conn_coarse[:, 1]].add(f_e[:, -1, :, 6:12])
+    return y_I, y_int
+
+
 # ---------------------------------------------------------------------------
 # Parallel cyclic reduction (PCR) chain solver
 # ---------------------------------------------------------------------------
