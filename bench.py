@@ -88,6 +88,42 @@ def measure_flagship(repeats: int = 5):
         return amortized * 1e3, refined.n_dof
 
 
+def measure_large(n_seg: int = 327):
+    """~100k-DOF end-to-end analysis (BASELINE.md large-mesh target).
+
+    Direct chain-condensation solve in float64 (f32 is unstable at chain
+    depth ~327; see tests/test_large.py for the correctness suite).
+    Prints a diagnostic line to stderr; not part of the primary JSON metric.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp  # noqa: F401
+
+    import small_fem_solver_tpu as sf
+
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom",
+                       t_analysis=0.34)
+    t0 = time.time()
+    res = sf.analyze_condensed(coarse, refined, n_seg, wave, case)
+    res.U.block_until_ready()
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        res = sf.analyze_condensed(coarse, refined, n_seg, wave, case)
+        res.U.block_until_ready()
+        best = min(best, time.time() - t0)
+    print(f"[bench] large-mesh: ndof={refined.n_dof} single-call "
+          f"{best*1e3:.0f} ms (f64, compile {compile_s:.0f}s) "
+          f"max_util={float(res.utilization.max()):.4f}", file=sys.stderr)
+
+
 def measure_reference(n_steps: int = 36):
     """Time the reference's own workload headlessly (126 DOF, CPU)."""
     import pathlib
@@ -127,10 +163,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--with-reference", action="store_true",
                     help="also time the reference's own 126-DOF workload")
+    ap.add_argument("--large", action="store_true",
+                    help="also time the ~100k-DOF condensed analysis "
+                         "(adds a long f64 compile)")
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
     ms, ndof = measure_flagship(args.repeats)
+
+    if args.large:
+        measure_large()
 
     if args.with_reference:
         ref_s = measure_reference()

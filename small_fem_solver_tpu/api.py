@@ -607,6 +607,113 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     )
 
 
+def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
+                      wave, case: LoadCase, n_gauss: int = 15,
+                      accel: str = "analytic",
+                      solve_dtype=jnp.float64,
+                      refine_steps: int = 1) -> AnalysisResults:
+    """Full single-phase analysis of a deeply refined jacket — the ~100k-DOF
+    end-to-end path.
+
+    Same pipeline and result pytree as :func:`analyze` (the reference
+    RUN-ANALYSIS orchestrator, `JacketAnalysisGUI_v2.py:1827-2082`), but the
+    linear solve goes through the exact chain condensation (ops/condense.py)
+    instead of a dense factorization, so mesh refinement is bounded by HBM
+    (O(n) memory), not by the O(n^2) dense assembly that caps the
+    reference's own solver (`JacketAnalysisGUI_v2.py:444,485`).  At
+    ``n_seg = 327`` the default jacket reaches 99,882 DOF; the solve is
+    direct (no iteration count) and ``refine_steps`` rounds of iterative
+    refinement give float32 ~1e-5-level agreement with float64
+    (tests/test_large.py pins both).
+
+    ``refined`` must come from ``refine_model(coarse, n_seg)``.
+    """
+    _check_refined_layout(coarse, refined, n_seg)
+    free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    return _analyze_condensed_jit(
+        coarse, refined, wave, case.cast(solve_dtype), n_seg, n_gauss,
+        accel, solve_dtype, refine_steps,
+        jnp.asarray(free_np), jnp.asarray(fixed_np))
+
+
+@partial(jax.jit, static_argnames=("n_seg", "n_gauss", "accel",
+                                   "solve_dtype", "refine_steps"))
+def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
+                           accel, solve_dtype, refine_steps, free, fixed):
+    with jax.default_matmul_precision("highest"):
+        nc = coarse.n_nodes
+        Mc = coarse.n_members
+        n_int = n_seg - 1
+        G = case.E / (2.0 * (1.0 + case.nu))
+
+        # ---- element stiffness + chain factorization (solve precision) ----
+        coords_s = refined.coords.astype(solve_dtype)
+        sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
+                             refined.sections)
+        Kg, K_local, T, L_m = element_stiffness(
+            coords_s, refined.conn, sec_s, refined.sect_id, case.E, G)
+        fac = condense_mod.factor_chains(Kg, n_seg)
+        K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
+        dfac = solve_mod.factor_dense(K_I, free)
+
+        # ---- hydrodynamic + interface + self-weight loads (model dtype) ----
+        ldtype = refined.coords.dtype
+        case_l = case.cast(ldtype)
+        D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+        mor = morison_loads(wave, refined.coords, refined.conn, D_m,
+                            case_l.wave_dir_deg, case_l.current_dir_deg,
+                            case_l.Cd, case_l.Cm, case_l.rho_water,
+                            case_l.t_analysis, n_gauss=n_gauss, accel=accel)
+        F = assemble_loads(refined, case_l, mor.nodal_forces,
+                           L_m.astype(ldtype))
+        F = F.astype(solve_dtype)
+
+        # ---- condensed direct solve (+ refinement) ----
+        node1 = coarse.conn[:, 0]
+        node2 = coarse.conn[:, 1]
+        Fn = F.reshape(1, -1, 6)
+        F_I_nodes = Fn[:, :nc]
+        g = Fn[:, nc:].reshape(1, Mc, n_int, 6).swapaxes(1, 2)
+        solve_once = partial(_condensed_solve, fac=fac, dfac=dfac,
+                             _condense=condense_mod.condense_loads,
+                             _backsub=condense_mod.back_substitute,
+                             node1=node1, node2=node2)
+        U_In, v, F_cond_flat, U_I = solve_once(F_I_nodes, g)
+        if refine_steps > 0:
+            free_I = solve_mod.dof_free_mask(coarse.fixed_mask) \
+                .astype(solve_dtype).reshape(nc, 6)
+            U_In, v, U_I = _refine_condensed(Kg, n_seg, coarse.conn, free_I,
+                                             solve_once, F_I_nodes, g,
+                                             U_In, v, U_I, refine_steps)
+        U = jnp.concatenate([U_In.reshape(1, -1),
+                             v.swapaxes(1, 2).reshape(1, -1)], axis=1)[0]
+
+        # ---- recovery: member end forces, stresses (`:504-533`) ----
+        dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
+                                6 * refined.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+        F1, F2 = internal_forces(K_local, T, U[dofs])
+        vm = von_mises_8pt(sec_s, refined.sect_id,
+                           F1[:, 0], F1[:, 1], F1[:, 2],
+                           F1[:, 3], F1[:, 4], F1[:, 5])
+        util = vm / case.fy
+
+        # ---- reactions from the condensed interface system (exact) ----
+        R = U_I @ K_I.T - F_cond_flat                      # [1, 6 nc]
+        reac = R[0, fixed].reshape(-1, 6)
+
+        disp = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+        imax = jnp.argmax(disp)
+        return AnalysisResults(
+            U=U, reactions=reac, F_applied=F,
+            F1_local=F1, F2_local=F2,
+            von_mises=vm, utilization=util, length_m=L_m,
+            morison=mor,
+            max_displacement_mm=disp[imax], max_displacement_node=imax,
+            total_reaction=jnp.sum(reac, axis=0),
+        )
+
+
 class EnvelopeResults(NamedTuple):
     """Design-envelope results over a case batch (leading axis = case)."""
 

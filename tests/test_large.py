@@ -1,0 +1,112 @@
+"""~100k-DOF end-to-end analysis via the exact chain condensation.
+
+The BASELINE.md large-mesh target: a refined jacket around 1e5 DOF solved
+through ``analyze_condensed`` — the role the reference's only solver
+(``np.linalg.solve`` at `/root/reference/JacketAnalysisGUI_v2.py:485`)
+plays at 126 DOF, at a mesh size its dense O(n^2)-memory Python assembly
+(`JacketAnalysisGUI_v2.py:444`) cannot reach.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.ops.beams import element_stiffness
+from small_fem_solver_tpu.ops.condense import chain_matvec
+
+N_SEG_100K = 327  # 6 * (21 + 51 * 326) = 99,882 DOF on the default jacket
+
+
+def _storm_case(t=0.34):
+    return sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom",
+                       t_analysis=t)
+
+
+def test_analyze_condensed_matches_dense():
+    """At small refinement the condensed analysis equals the dense path to
+    solver precision — full result pytree, not just displacements."""
+    coarse = sf.default_3leg_jacket()
+    n_seg = 4
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18)
+    case = _storm_case()
+    rc = sf.analyze_condensed(coarse, refined, n_seg, wave, case, accel="fd")
+    rd = sf.analyze(refined, wave, case, solver="chol", accel="fd")
+    for field in ("U", "reactions", "von_mises", "utilization",
+                  "F1_local", "F2_local", "F_applied"):
+        a = np.asarray(getattr(rc, field))
+        b = np.asarray(getattr(rd, field))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12 * scale)
+
+
+def test_100kdof_end_to_end():
+    """99,882-DOF full analysis: solves, satisfies K U = F, balances loads,
+    and agrees with the trusted mid-scale (n_seg=8) answer at the interface.
+    """
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, N_SEG_100K)
+    assert refined.n_dof == 99882
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18)
+    case = _storm_case()
+    res = sf.analyze_condensed(coarse, refined, N_SEG_100K, wave, case)
+    U = np.asarray(res.U)
+    assert np.isfinite(U).all()
+
+    # -- true residual of the refined system (free DOFs), via the
+    #    chain-layout matvec: a direct check that K U = F was solved --
+    E, G = 210000.0, 210000.0 / 2.6
+    Kg, _, _, _ = element_stiffness(refined.coords, refined.conn,
+                                    refined.sections, refined.sect_id, E, G)
+    nc, Mc = coarse.n_nodes, coarse.n_members
+    n_int = N_SEG_100K - 1
+    U_In = res.U[None, :6 * nc].reshape(1, nc, 6)
+    v = res.U[None, 6 * nc:].reshape(1, Mc, n_int, 6).swapaxes(1, 2)
+    y_I, y_int = chain_matvec(Kg, N_SEG_100K, coarse.conn, U_In, v)
+    KU = np.concatenate([np.asarray(y_I).reshape(-1),
+                         np.asarray(y_int).swapaxes(1, 2).reshape(-1)])
+    F = np.asarray(res.F_applied)
+    free = np.repeat(~np.asarray(refined.fixed_mask), 6)
+    assert np.abs((F - KU)[free]).max() / np.abs(F).max() < 1e-9
+
+    # -- global equilibrium: reactions balance every applied force --
+    eq = np.asarray(res.total_reaction[:3]) \
+        + F.reshape(-1, 6)[:, :3].sum(axis=0)
+    assert np.abs(eq).max() / np.abs(F).max() < 1e-10
+
+    # -- physics convergence: interface displacements agree with the
+    #    trusted mid-scale refinement (dense-verified at n_seg<=8); the
+    #    discretization of the distributed loads differs, hence the loose
+    #    tolerance. sw_mode='custom' spreads a fixed total over n_nodes, so
+    #    interface self-weight shares differ; use 'calculated' for this leg --
+    case_sw = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                          F_axial_kN=25100.0, F_shear_kN=2900.0,
+                          sw_mode="calculated", t_analysis=0.34)
+    res_l = sf.analyze_condensed(coarse, refined, N_SEG_100K, wave, case_sw)
+    r8 = sf.refine_model(coarse, 8)
+    res_8 = sf.analyze_condensed(coarse, r8, 8, wave, case_sw)
+    U_l = np.asarray(res_l.U[:6 * nc])
+    U_8 = np.asarray(res_8.U[:6 * nc])
+    # measured 2.9e-3: dominated by the sharper free-surface load
+    # discretization at 327 segments/member vs 8
+    assert np.abs(U_l - U_8).max() / np.abs(U_8).max() < 5e-3
+
+
+def test_100kdof_reaction_magnitudes():
+    """Totals stay at the physical values the coarse model gives (the
+    structure is the same; refinement only sharpens the load distribution)."""
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, N_SEG_100K)
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18)
+    case = _storm_case()
+    res = sf.analyze_condensed(coarse, refined, N_SEG_100K, wave, case)
+    res_c = sf.analyze(coarse, wave, case, solver="chol", accel="analytic")
+    tot_l = np.asarray(res.morison.total_morison)
+    tot_c = np.asarray(res_c.morison.total_morison)
+    # total Morison force converges with member subdivision (quadrature
+    # per-segment vs per-member near the free surface): measured ~3.4%
+    assert np.abs(tot_l - tot_c).max() / np.abs(tot_c).max() < 0.05
+    # same governing utilization scale
+    assert 0.15 < float(res.utilization.max()) < 0.35
