@@ -456,6 +456,29 @@ def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
                                           refine_steps, free, fixed)
 
 
+def _chain_factor(Kg, n_seg: int, chain_solver: str):
+    """(factor, condense_fn, backsub_fn) for the requested chain solver.
+
+    'thomas': flat block-Thomas scans (scan depth n_seg; the default);
+    'nested': two-level condensation (scan depth ~2 sqrt(n_seg); float32-
+    stable at deep refinement, where 'thomas' needs float64 past ~100
+    segments); 'pcr': parallel cyclic reduction (f64-validated experiment).
+    """
+    if chain_solver == "pcr":
+        return (condense_mod.factor_chains_pcr(Kg, n_seg),
+                condense_mod.condense_loads_pcr,
+                condense_mod.back_substitute_pcr)
+    if chain_solver == "thomas":
+        return (condense_mod.factor_chains(Kg, n_seg),
+                condense_mod.condense_loads,
+                condense_mod.back_substitute)
+    if chain_solver == "nested":
+        return (condense_mod.factor_chains_nested(Kg, n_seg),
+                condense_mod.condense_loads_nested,
+                condense_mod.back_substitute_nested)
+    raise ValueError(f"unknown chain_solver {chain_solver!r}")
+
+
 def _condensed_solve(F_I_nodes, g, fac, dfac, _condense, _backsub,
                      node1, node2):
     """One full condensed direct solve in the chain layout.
@@ -505,16 +528,7 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
         coords64, refined.conn, jax.tree.map(lambda x: x.astype(solve_dtype),
                                              refined.sections),
         refined.sect_id, case.E, G)
-    if chain_solver == "pcr":
-        fac = condense_mod.factor_chains_pcr(Kg, n_seg)
-        _condense = condense_mod.condense_loads_pcr
-        _backsub = condense_mod.back_substitute_pcr
-    elif chain_solver == "thomas":
-        fac = condense_mod.factor_chains(Kg, n_seg)
-        _condense = condense_mod.condense_loads
-        _backsub = condense_mod.back_substitute
-    else:
-        raise ValueError(f"unknown chain_solver {chain_solver!r}")
+    fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
 
     # interface stiffness on the coarse connectivity
     K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
@@ -611,7 +625,8 @@ def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
                       wave, case: LoadCase, n_gauss: int = 15,
                       accel: str = "analytic",
                       solve_dtype=jnp.float64,
-                      refine_steps: int = 1) -> AnalysisResults:
+                      refine_steps: int = 1,
+                      chain_solver: str = "thomas") -> AnalysisResults:
     """Full single-phase analysis of a deeply refined jacket — the ~100k-DOF
     end-to-end path.
 
@@ -632,14 +647,16 @@ def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     return _analyze_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_gauss,
-        accel, solve_dtype, refine_steps,
+        accel, solve_dtype, refine_steps, chain_solver,
         jnp.asarray(free_np), jnp.asarray(fixed_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_gauss", "accel",
-                                   "solve_dtype", "refine_steps"))
+                                   "solve_dtype", "refine_steps",
+                                   "chain_solver"))
 def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
-                           accel, solve_dtype, refine_steps, free, fixed):
+                           accel, solve_dtype, refine_steps, chain_solver,
+                           free, fixed):
     with jax.default_matmul_precision("highest"):
         nc = coarse.n_nodes
         Mc = coarse.n_members
@@ -652,7 +669,7 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
                              refined.sections)
         Kg, K_local, T, L_m = element_stiffness(
             coords_s, refined.conn, sec_s, refined.sect_id, case.E, G)
-        fac = condense_mod.factor_chains(Kg, n_seg)
+        fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
         dfac = solve_mod.factor_dense(K_I, free)
 
@@ -675,8 +692,7 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
         F_I_nodes = Fn[:, :nc]
         g = Fn[:, nc:].reshape(1, Mc, n_int, 6).swapaxes(1, 2)
         solve_once = partial(_condensed_solve, fac=fac, dfac=dfac,
-                             _condense=condense_mod.condense_loads,
-                             _backsub=condense_mod.back_substitute,
+                             _condense=_condense, _backsub=_backsub,
                              node1=node1, node2=node2)
         U_In, v, F_cond_flat, U_I = solve_once(F_I_nodes, g)
         if refine_steps > 0:

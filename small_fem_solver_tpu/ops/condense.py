@@ -255,6 +255,142 @@ def chain_matvec(K_elems: jnp.ndarray, n_seg: int, conn_coarse, U_I_nodes, v):
 
 
 # ---------------------------------------------------------------------------
+# Nested (two-level) condensation
+# ---------------------------------------------------------------------------
+
+class NestedChainFactor(NamedTuple):
+    """Two-level chain factorization: n_seg = n_outer * n_sub.
+
+    Level 1 condenses every sub-chain of ``n_sub`` elements onto its end
+    nodes (treating the member as ``n_outer`` independent sub-chains);
+    level 2 condenses the resulting chain of ``n_outer`` superelements onto
+    the member interfaces.  Two wins over the flat factorization:
+
+    - *float32 stability*: each level factors chains of depth <= ~20, whose
+      bending conditioning (~depth^4) stays within f32 range — the flat
+      factorization at depth ~327 carries O(1) error (tests/test_large.py);
+    - *TPU wall-clock*: the sequential ``lax.scan`` depth drops from
+      O(n_seg) to O(n_outer + n_sub) = O(sqrt(n_seg)) while every step
+      processes Mc * n_outer chains in parallel instead of Mc.
+
+    ``K_super`` is the member-interface superelement stiffness, identical
+    in meaning to :class:`ChainFactor.K_super`.
+    """
+
+    K_super: jnp.ndarray     # [Mc, 12, 12]
+    fac1: ChainFactor        # level-1: Mc * n_outer chains of n_sub elements
+    fac2: ChainFactor        # level-2: Mc chains of n_outer superelements
+
+
+def nested_split(n_seg: int) -> int:
+    """Pick n_sub | n_seg with n_sub and n_seg/n_sub both near sqrt(n_seg)
+    (the balanced two-level split).  Raises if n_seg has no divisor pair
+    with both factors >= 2."""
+    best = None
+    for d in range(2, int(np.sqrt(n_seg)) + 1):
+        if n_seg % d == 0:
+            best = d
+    if best is None:
+        raise ValueError(
+            f"n_seg={n_seg} has no balanced two-level split (prime); "
+            "choose a composite refinement level (e.g. 324 = 18*18, "
+            "336 = 16*21)")
+    return n_seg // best  # n_sub is the larger factor (deeper level 1)
+
+
+def factor_chains_nested(K_elems: jnp.ndarray, n_seg: int,
+                         n_sub: int | None = None) -> NestedChainFactor:
+    """Two-level factorization; same inputs/meaning as :func:`factor_chains`."""
+    if n_sub is None:
+        n_sub = nested_split(n_seg)
+    if n_seg % n_sub != 0:
+        raise ValueError(f"n_sub={n_sub} must divide n_seg={n_seg}")
+    n_outer = n_seg // n_sub
+    if n_outer < 2 or n_sub < 2:
+        raise ValueError("nested condensation needs n_outer, n_sub >= 2")
+    # level 1: member-major [Mc * n_seg] elements are equally (Mc * n_outer)
+    # chains of n_sub elements in the same order
+    fac1 = factor_chains(K_elems, n_sub)
+    # level 2: the sub-chain superelements [Mc * n_outer, 12, 12] form
+    # member-major chains of n_outer elements
+    fac2 = factor_chains(fac1.K_super, n_outer)
+    return NestedChainFactor(K_super=fac2.K_super, fac1=fac1, fac2=fac2)
+
+
+def _nested_dims(fac: NestedChainFactor):
+    Mc = fac.fac2.K_super.shape[0]
+    n_outer = fac.fac1.K_super.shape[0] // Mc
+    n_sub = fac.fac1.Cprime.shape[0] + 1
+    return Mc, n_outer, n_sub
+
+
+def condense_loads_nested(fac: NestedChainFactor, g):
+    """Nested version of :func:`condense_loads` (same contract; the returned
+    particular solution is the (v_g1, v_g2) pair for the two levels).
+
+    ``g``: [..., n_int, Mc, 6] with n_int = n_outer * n_sub - 1 in chain-
+    position order (position k = 1..n_seg-1).
+    """
+    Mc, n_outer, n_sub = _nested_dims(fac)
+    batch = g.shape[:-3]
+    # pad position 0 (the member interface carries no interior load) and
+    # view positions as (q, p): k = q * n_sub + p
+    gfull = jnp.concatenate(
+        [jnp.zeros((*batch, 1, Mc, 6), g.dtype), g], axis=-3)
+    gqp = gfull.reshape(*batch, n_outer, n_sub, Mc, 6)
+
+    # level-1 interiors: p = 1..n_sub-1 of every sub-chain q; level-1 chain
+    # index c = m * n_outer + q (member-major)
+    g1 = jnp.moveaxis(gqp[..., :, 1:, :, :], -4, -2)       # [..., n_sub-1, Mc, n_outer, 6]
+    g1 = g1.reshape(*batch, n_sub - 1, Mc * n_outer, 6)
+    fI1, fJ1, v_g1 = condense_loads(fac.fac1, g1)
+    fI1 = fI1.reshape(*batch, Mc, n_outer, 6)
+    fJ1 = fJ1.reshape(*batch, Mc, n_outer, 6)
+
+    # level-2 interior loads at sub-chain boundaries j = 1..n_outer-1
+    # (position k = j * n_sub): direct load + both neighbours' condensates
+    g2 = gqp[..., 1:, 0, :, :]                             # [..., n_outer-1, Mc, 6]
+    g2 = g2 + jnp.moveaxis(fJ1[..., :-1, :], -2, -3) \
+        + jnp.moveaxis(fI1[..., 1:, :], -2, -3)
+    fI2, fJ2, v_g2 = condense_loads(fac.fac2, g2)
+
+    fI = fI1[..., 0, :] + fI2                              # [..., Mc, 6]
+    fJ = fJ1[..., -1, :] + fJ2
+    return fI, fJ, (v_g1, v_g2)
+
+
+def back_substitute_nested(fac: NestedChainFactor, v_g, u_I, u_J):
+    """Nested version of :func:`back_substitute` (same contract)."""
+    Mc, n_outer, n_sub = _nested_dims(fac)
+    v_g1, v_g2 = v_g
+    batch = u_I.shape[:-2]
+
+    # level-2: sub-chain boundary displacements [..., n_outer-1, Mc, 6]
+    v2 = back_substitute(fac.fac2, v_g2, u_I, u_J)
+
+    # boundary table vb[j], j = 0..n_outer: u_I, v2..., u_J
+    vb = jnp.concatenate([u_I[..., None, :, :], v2,
+                          u_J[..., None, :, :]], axis=-3)  # [..., n_outer+1, Mc, 6]
+    u_sub_I = jnp.moveaxis(vb[..., :-1, :, :], -3, -2)     # [..., Mc, n_outer, 6]
+    u_sub_J = jnp.moveaxis(vb[..., 1:, :, :], -3, -2)
+    u_sub_I = u_sub_I.reshape(*batch, Mc * n_outer, 6)
+    u_sub_J = u_sub_J.reshape(*batch, Mc * n_outer, 6)
+
+    # level-1 interiors [..., n_sub-1, Mc*n_outer, 6]
+    v1 = back_substitute(fac.fac1, v_g1, u_sub_I, u_sub_J)
+
+    # reassemble chain-position order: position k = q * n_sub + p
+    v1qp = v1.reshape(*batch, n_sub - 1, Mc, n_outer, 6)
+    v1qp = jnp.moveaxis(v1qp, -2, -4)                      # [..., n_outer, n_sub-1, Mc, 6]
+    # position p = 0 of sub-chain q (q >= 1) is level-2 node j = q
+    heads = jnp.concatenate([jnp.zeros((*batch, 1, 1, Mc, 6), v1.dtype),
+                             v2[..., :, None, :, :]], axis=-4)
+    vfull = jnp.concatenate([heads, v1qp], axis=-3)        # [..., n_outer, n_sub, Mc, 6]
+    vfull = vfull.reshape(*batch, n_outer * n_sub, Mc, 6)
+    return vfull[..., 1:, :, :]                            # drop position 0
+
+
+# ---------------------------------------------------------------------------
 # Parallel cyclic reduction (PCR) chain solver
 # ---------------------------------------------------------------------------
 

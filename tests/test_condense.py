@@ -147,6 +147,55 @@ def test_flagship_f32_accuracy_at_bench_scale():
                                float(s64.utilization.max()), rtol=2e-4)
 
 
+@pytest.mark.parametrize("n_seg,n_sub", [(4, 2), (6, 3), (32, 8), (324, 18)])
+def test_nested_matches_thomas(n_seg, n_sub):
+    """Two-level (nested) condensation == flat block Thomas in float64.
+
+    Note the float32 limit is NOT the solver: at n_seg ~ 300 the Jacobi-
+    scaled bending system's condition (~n_seg^4) reaches 1/eps_f32, so the
+    f32 element stiffness itself perturbs the solution O(1) — deep
+    refinement requires float64 regardless of elimination order (measured:
+    flat and nested both carry O(1) f32 error at n_seg=324, and iterative
+    refinement converges to the perturbed system).  Nested's value is the
+    scan depth: O(sqrt(n_seg)) sequential steps (TPU: 524 ms vs 686 ms
+    single-call at ~100k DOF f64)."""
+    from small_fem_solver_tpu.ops.beams import element_stiffness
+    from small_fem_solver_tpu.ops.condense import (
+        back_substitute, back_substitute_nested, condense_loads,
+        condense_loads_nested, factor_chains, factor_chains_nested)
+    model = sf.refine_model(sf.default_3leg_jacket(), n_seg)
+    E, G = 210000.0, 210000.0 / 2.6
+    Kg, _, _, _ = element_stiffness(model.coords, model.conn, model.sections,
+                                    model.sect_id, E, G)
+    f1 = factor_chains(Kg, n_seg)
+    fn = factor_chains_nested(Kg, n_seg, n_sub)
+    Ks = float(np.abs(np.asarray(f1.K_super)).max())
+    np.testing.assert_allclose(np.asarray(fn.K_super), np.asarray(f1.K_super),
+                               rtol=1e-9, atol=1e-10 * Ks)
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(2, n_seg - 1, 51, 6))) * 1e5
+    fI1, fJ1, v1 = condense_loads(f1, g)
+    fIn, fJn, vn = condense_loads_nested(fn, g)
+    np.testing.assert_allclose(np.asarray(fIn), np.asarray(fI1), rtol=1e-8,
+                               atol=1e-9 * float(np.abs(np.asarray(fI1)).max()))
+    np.testing.assert_allclose(np.asarray(fJn), np.asarray(fJ1), rtol=1e-8,
+                               atol=1e-9 * float(np.abs(np.asarray(fJ1)).max()))
+    uI = jnp.asarray(rng.normal(size=(2, 51, 6)))
+    uJ = jnp.asarray(rng.normal(size=(2, 51, 6)))
+    b1 = back_substitute(f1, v1, uI, uJ)
+    bn = back_substitute_nested(fn, vn, uI, uJ)
+    np.testing.assert_allclose(np.asarray(bn), np.asarray(b1), rtol=1e-8,
+                               atol=1e-9 * float(np.abs(np.asarray(b1)).max()))
+
+
+def test_nested_split_rejects_primes():
+    from small_fem_solver_tpu.ops.condense import nested_split
+    assert nested_split(324) == 18
+    assert nested_split(336) in (21, 16)
+    with pytest.raises(ValueError):
+        nested_split(317)  # prime
+
+
 @pytest.mark.parametrize("n_seg", [2, 3, 8, 32])
 def test_pcr_matches_thomas(n_seg):
     """Parallel cyclic reduction == block Thomas to machine precision (f64).

@@ -94,6 +94,24 @@ def test_100kdof_end_to_end():
     assert np.abs(U_l - U_8).max() / np.abs(U_8).max() < 5e-3
 
 
+def test_analyze_condensed_nested_chain_solver():
+    """chain_solver='nested' produces the same analysis as 'thomas'."""
+    coarse = sf.default_3leg_jacket()
+    n_seg = 8
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18)
+    case = _storm_case()
+    rt = sf.analyze_condensed(coarse, refined, n_seg, wave, case)
+    rn = sf.analyze_condensed(coarse, refined, n_seg, wave, case,
+                              chain_solver="nested")
+    np.testing.assert_allclose(np.asarray(rn.U), np.asarray(rt.U),
+                               rtol=1e-9,
+                               atol=1e-10 * float(np.abs(rt.U).max()))
+    np.testing.assert_allclose(np.asarray(rn.reactions),
+                               np.asarray(rt.reactions), rtol=1e-9,
+                               atol=1e-10 * float(np.abs(rt.reactions).max()))
+
+
 def test_100kdof_reaction_magnitudes():
     """Totals stay at the physical values the coarse model gives (the
     structure is the same; refinement only sharpens the load distribution)."""
