@@ -67,14 +67,18 @@ def measure_flagship(repeats: int = 5):
             single = min(single, time.time() - t0)
 
         # amortized per-scan time with pipelined async dispatch — the
-        # sustained-production number (back-to-back scans, block at the end)
+        # sustained-production number (back-to-back scans, block at the end).
+        # The relay is shared across processes and contention only ever
+        # inflates timings, so take the min over several rounds.
         N = max(repeats, 10)
-        t0 = time.time()
-        last = None
-        for _ in range(N):
-            last = run().utilization
-        last.block_until_ready()
-        amortized = (time.time() - t0) / N
+        amortized = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            last = None
+            for _ in range(N):
+                last = run().utilization
+            last.block_until_ready()
+            amortized = min(amortized, (time.time() - t0) / N)
 
         util = float(scan.utilization.max())
         crit_t = float(scan.ts[int(scan.critical_index)])

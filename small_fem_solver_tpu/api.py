@@ -34,7 +34,8 @@ from .ops import condense as condense_mod
 from .ops import solve as solve_mod
 from .ops.assembly import (assemble_bcsr, assemble_dense, bcsr_block_diagonal,
                            bcsr_matvec, build_bcsr_pattern)
-from .ops.beams import element_stiffness, internal_forces
+from .ops.beams import (element_stiffness, internal_forces, matmul12,
+                        matvec12)
 from .ops.morison import MorisonLoads, morison_loads, morison_phase_batch
 from .ops.sections import von_mises_8pt
 from .ops.waves import FourierWave
@@ -598,12 +599,16 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     ], axis=1)                                             # [S, n_dof_ref]
 
     # ---- recovery on every refined element ----
-    dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
-                            6 * refined.conn[:, 1:2] + jnp.arange(6)], axis=-1)
-    u_elem = U[:, dofs]                                    # [S, Mr, 12]
-    u_loc = jnp.einsum("mij,smj->smi", T, u_elem)
-    F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
-    F1 = -F_loc[:, :, :6]
+    # von Mises needs only the node-1 end forces F1 = -(K_local T u)[:6]
+    # (`JacketAnalysisGUI_v2.py:514-519`); fold K_local @ T once and read the
+    # element displacement vectors straight from the chain layout (no
+    # [S, n_dof] gather)
+    KT6 = -matmul12(K_local, T)[:, :6, :]                  # [Mr, 6, 12]
+    vext = jnp.concatenate([U_In[:, node1][:, None], v,
+                            U_In[:, node2][:, None]], axis=1)
+    u_e = jnp.concatenate([vext[:, :-1], vext[:, 1:]], axis=-1)
+    u_elem = u_e.swapaxes(1, 2).reshape(n_steps, -1, 12)   # member-major
+    F1 = matvec12(KT6, u_elem)                             # [S, Mr, 6]
     vm = von_mises_8pt(jax.tree.map(lambda x: x.astype(solve_dtype),
                                     refined.sections), refined.sect_id,
                        F1[..., 0], F1[..., 1], F1[..., 2],
@@ -788,6 +793,7 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
         K = assemble_dense(Kg, model.conn, model.n_dof)
         fac = solve_mod.factor_dense(K, free)
         D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        KT6 = -matmul12(K_local, T)[:, :6, :]
         dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
                                 6 * model.conn[:, 1:2] + jnp.arange(6)],
                                axis=-1)
@@ -801,10 +807,7 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
             F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
                                                       L_m))(mb.nodal_forces)
             U = solve_mod.solve_factored(fac, F)           # [S, n_dof]
-            u_elem = U[:, dofs]
-            u_loc = jnp.einsum("mij,smj->smi", T, u_elem)
-            F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
-            F1 = -F_loc[:, :, :6]
+            F1 = matvec12(KT6, U[:, dofs])
             vm = von_mises_8pt(model.sections, model.sect_id,
                                F1[..., 0], F1[..., 1], F1[..., 2],
                                F1[..., 3], F1[..., 4], F1[..., 5])
@@ -869,9 +872,7 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
         dfac = solve_mod.factor_dense(K_I, free)
         D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
-        dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
-                                6 * refined.conn[:, 1:2] + jnp.arange(6)],
-                               axis=-1)
+        KT6 = -matmul12(K_local, T)[:, :6, :]              # [Mr, 6, 12]
         node1 = coarse.conn[:, 0]
         node2 = coarse.conn[:, 1]
 
@@ -896,13 +897,12 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
             U_In = U_I.reshape(n_steps, nc, 6)
             v = condense_mod.back_substitute(fac, v_g, U_In[:, node1],
                                              U_In[:, node2])
-            U = jnp.concatenate([U_In.reshape(n_steps, -1),
-                                 v.swapaxes(1, 2).reshape(n_steps, -1)],
-                                axis=1)
-            u_elem = U[:, dofs]
-            u_loc = jnp.einsum("mij,smj->smi", T, u_elem)
-            F_loc = jnp.einsum("mij,smj->smi", K_local, u_loc)
-            F1 = -F_loc[:, :, :6]
+            # recovery straight from the chain layout (see the scan impl)
+            vext = jnp.concatenate([U_In[:, node1][:, None], v,
+                                    U_In[:, node2][:, None]], axis=1)
+            u_e = jnp.concatenate([vext[:, :-1], vext[:, 1:]], axis=-1)
+            u_elem = u_e.swapaxes(1, 2).reshape(n_steps, -1, 12)
+            F1 = matvec12(KT6, u_elem)
             vm = von_mises_8pt(sec_s, refined.sect_id,
                                F1[..., 0], F1[..., 1], F1[..., 2],
                                F1[..., 3], F1[..., 4], F1[..., 5])

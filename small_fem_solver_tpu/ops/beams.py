@@ -147,13 +147,45 @@ def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool 
     return (coeffs @ pat).reshape(-1, 12, 12)
 
 
+def congruence(T, K):
+    """Batched ``T^T K T`` for [M, 12, 12] stacks, as broadcast-multiply
+    reductions.
+
+    XLA:TPU lowers tiny batched matmuls (12x12 per batch element) onto
+    mostly-empty 128x128 MXU tiles — measured 2.1 ms for M=1632 vs 1.3 ms
+    for this VPU-shaped form (the FLOPs are trivial; layout is everything).
+    """
+    TtK = jnp.sum(T[:, :, :, None] * K[:, :, None, :], axis=1)
+    return jnp.sum(TtK[:, :, :, None] * T[:, None, :, :], axis=2)
+
+
+def matmul12(A, B):
+    """Batched [M, r, 12] @ [M, 12, 12] -> [M, r, 12] (VPU-shaped)."""
+    return jnp.sum(A[:, :, :, None] * B[:, None, :, :], axis=2)
+
+
+def matvec12(A, u):
+    """Batched matvec ``A[m] @ u[..., m, :]`` with the 12-long contraction
+    unrolled into fused multiply-adds (``A``: [M, r, 12], ``u``: [..., M, 12],
+    result [..., M, r]).
+
+    The einsum form lowers to per-member MXU passes (measured 2.6 ms for
+    S=360, M=1632 vs 1.5 ms for this form); unrolling keeps the wide
+    [..., M] axes on VPU lanes.
+    """
+    acc = u[..., 0, None] * A[:, :, 0]
+    for j in range(1, A.shape[-1]):
+        acc = acc + u[..., j, None] * A[:, :, j]
+    return acc
+
+
 def element_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,
                       include_shear: bool = True):
     """All per-element matrices in one shot.
 
     Returns (K_global [M,12,12], K_local [M,12,12], T [M,12,12], L_m [M]).
     ``K_global = T^T K_local T`` (`JacketAnalysisGUI_v2.py:369`) as a batched
-    matmul.
+    congruence (see :func:`congruence` for the TPU layout note).
     """
     c1 = coords[conn[:, 0]]
     c2 = coords[conn[:, 1]]
@@ -162,7 +194,7 @@ def element_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,
     R = local_axes(dL, L)
     T = transformation_matrices(R)
     K_local = local_stiffness(L * 1000.0, sec, sect_id, E, G, include_shear)
-    K_global = jnp.einsum("mji,mjk,mkl->mil", T, K_local, T)
+    K_global = congruence(T, K_local)
     return K_global, K_local, T, L
 
 
