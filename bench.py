@@ -92,6 +92,56 @@ def measure_flagship(repeats: int = 5):
         return amortized * 1e3, refined.n_dof
 
 
+def check_pallas_device():
+    """Device-mode (non-interpret) correctness check of the fused Morison
+    kernel vs the XLA path, on the bench mesh.  Runs on the real TPU as part
+    of every bench invocation; raises on disagreement.
+
+    The oracle is the float64 XLA path: an f32-vs-f32 comparison penalizes
+    whichever path rounds a near-surface quadrature point the other way
+    (measured: the XLA f32 path itself sits 1.5e-2 from f64 truth at
+    n_seg=8 due to one wet/dry flip, while the kernel is 2e-6).  The 2e-2
+    tolerance admits at most such single-point flips; totals are tighter.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.ops.morison import morison_phase_batch
+    from small_fem_solver_tpu.ops.pallas_kernels import morison_phase_batch_pallas
+
+    jax.config.update("jax_enable_x64", True)
+    m32 = sf.refine_model(sf.default_3leg_jacket(dtype=jnp.float32), 8)
+    m64 = sf.refine_model(sf.default_3leg_jacket(dtype=jnp.float64), 8)
+    w32 = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18,
+                       dtype=jnp.float32)
+    w64 = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18,
+                       dtype=jnp.float64)
+    D32 = m32.sections.D_outer[m32.sect_id] / 1000.0
+    D64 = m64.sections.D_outer[m64.sect_id] / 1000.0
+    ts = jnp.arange(12, dtype=jnp.float32) * jnp.float32(w32.T) / 12
+    pal = morison_phase_batch_pallas(
+        w32, m32.coords, m32.conn, D32, jnp.float32(38.0), jnp.float32(38.0),
+        jnp.float32(0.7), jnp.float32(2.0), jnp.float32(1025.0), ts,
+        n_gauss=15)
+    ref = morison_phase_batch(w64, m64.coords, m64.conn, D64, 38.0, 38.0,
+                              0.7, 2.0, 1025.0, ts.astype(jnp.float64),
+                              n_gauss=15)
+    a = np.asarray(pal.nodal_forces, np.float64)
+    b = np.asarray(ref.nodal_forces)
+    rel = np.abs(a - b).max() / np.abs(b).max()
+    tot = np.abs(np.asarray(pal.total_morison, np.float64)
+                 - np.asarray(ref.total_morison)).max() \
+        / np.abs(np.asarray(ref.total_morison)).max()
+    if not (rel < 2e-2 and tot < 5e-3):
+        raise AssertionError(
+            f"pallas Morison kernel disagrees with the f64 XLA oracle on "
+            f"device: nodal rel {rel:.2e}, totals rel {tot:.2e}")
+    print(f"[bench] pallas device check OK: kernel vs f64 oracle "
+          f"nodal rel {rel:.1e}, totals rel {tot:.1e}", file=sys.stderr)
+
+
 def measure_large(n_seg: int = 327):
     """~100k-DOF end-to-end analysis (BASELINE.md large-mesh target).
 
@@ -173,6 +223,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
+    check_pallas_device()
     ms, ndof = measure_flagship(args.repeats)
 
     if args.large:

@@ -135,6 +135,33 @@ def _kernel(scal_ref, ct_ref, st_ref, A_ref, B_ref, rows_ref, W_ref, o_ref):
     o_ref[:] = out + tot_full
 
 
+def _pallas_call(interpret, n_tiles, S_pad, dtype,
+                 scal, ct, st, Acat, Bcat, rows, W):
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # scal
+            pl.BlockSpec((S_pad, NPAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                     # ct
+            pl.BlockSpec((S_pad, NPAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                     # st
+            pl.BlockSpec((N_FIELDS * NPAD, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                     # A
+            pl.BlockSpec((N_FIELDS * NPAD, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                     # B
+            pl.BlockSpec((8, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),                     # rows
+            pl.BlockSpec((3, 128, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                     # W
+        ],
+        out_specs=pl.BlockSpec((S_pad, 128), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S_pad, n_tiles * 128), dtype),
+        interpret=interpret,
+    )(scal, ct, st, Acat, Bcat, rows, W)
+
+
 @functools.partial(jax.jit, static_argnames=("n_gauss", "interpret"))
 def morison_phase_batch_pallas(
     wave: FourierWave,
@@ -246,30 +273,14 @@ def morison_phase_batch_pallas(
                       f32(wave.U_c) * cos_c, f32(wave.U_c) * sin_c])
 
     n_tiles = P // 128
-    out = pl.pallas_call(
-        _kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                     # scal
-            pl.BlockSpec((S_pad, NPAD), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),                     # ct
-            pl.BlockSpec((S_pad, NPAD), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),                     # st
-            pl.BlockSpec((N_FIELDS * NPAD, 128), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),                     # A
-            pl.BlockSpec((N_FIELDS * NPAD, 128), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),                     # B
-            pl.BlockSpec((8, 128), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),                     # rows
-            pl.BlockSpec((3, 128, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),                     # W
-        ],
-        out_specs=pl.BlockSpec((S_pad, 128), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S_pad, n_tiles * 128), dtype),
-        interpret=interpret,
-    )(scal, ct, st, Acat, Bcat, rows, W)
-
+    # An x64 session makes the BlockSpec index maps (and other pallas-internal
+    # index scalars) trace as int64, which Mosaic cannot lower ("failed to
+    # legalize 'func.return' (i64)").  Every input is already explicit
+    # float32/int32, so locally disabling x64 around the kernel call changes
+    # nothing numerically and makes the kernel callable from f64 sessions.
+    with jax.enable_x64(False):
+        out = _pallas_call(interpret, n_tiles, S_pad, dtype,
+                           scal, ct, st, Acat, Bcat, rows, W)
     # ---- unpack: per-member end forces + totals ----
     out = out[:S].reshape(S, n_tiles, 128)
     packed = out[:, :, :48].reshape(S, n_tiles * MEMBERS_PER_TILE, 6)[:, :M]

