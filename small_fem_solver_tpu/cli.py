@@ -302,7 +302,8 @@ def cmd_modes(args):
     import jax
     import numpy as np
 
-    from .ops.dynamics import modal_analysis
+    from .models.model import refine_model
+    from .ops.dynamics import modal_analysis, modal_analysis_condensed
 
     model, _, case = _setup(args)
     # float64 factorizations (cholesky/eigh) are unimplemented on the TPU
@@ -311,8 +312,19 @@ def cmd_modes(args):
     if not args.f32 and jax.devices()[0].platform != "cpu":
         ctx = jax.default_device(jax.devices("cpu")[0])
     with ctx:
-        res = modal_analysis(model, n_modes=args.n_modes, E=args.E,
-                             nu=args.nu, topside_mass_t=args.topside_mass)
+        if getattr(args, "refine", 1) > 1:
+            refined = refine_model(model, args.refine)
+            print(f"Craig-Bampton reduced modal analysis: "
+                  f"{refined.n_dof} DOF -> "
+                  f"{model.n_dof + model.n_members * args.chain_modes} "
+                  f"reduced DOF")
+            res = modal_analysis_condensed(
+                model, refined, args.refine, n_modes=args.n_modes,
+                E=args.E, nu=args.nu, topside_mass_t=args.topside_mass,
+                n_chain_modes=args.chain_modes)
+        else:
+            res = modal_analysis(model, n_modes=args.n_modes, E=args.E,
+                                 nu=args.nu, topside_mass_t=args.topside_mass)
     print(f"structural mass: {float(res.total_mass_t):.1f} t "
           f"(incl. {args.topside_mass:.0f} t topside)")
     print(f"  {'Mode':>4} {'f [Hz]':>10} {'T [s]':>10}")
@@ -417,6 +429,11 @@ def main(argv=None):
     md.add_argument("--n-modes", type=int, default=8)
     md.add_argument("--topside-mass", type=float, default=1100.0,
                     help="lumped deck mass [tonnes]")
+    md.add_argument("--refine", type=int, default=1,
+                    help="subdivide members (>1 uses the Craig-Bampton "
+                         "reduced path; works to 100k+ DOF)")
+    md.add_argument("--chain-modes", type=int, default=12,
+                    help="retained fixed-interface modes per member chain")
     md.set_defaults(fn=cmd_modes)
 
     sd = sub.add_parser("save-default", help="write default jacket JSON")
