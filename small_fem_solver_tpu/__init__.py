@@ -24,5 +24,7 @@ from .ops.sections import TubeSections, tube_sections
 from .ops.stokes import stokes_wave
 from .ops.wave_models import make_wave, validate_wave
 from .ops.waves import FourierWave, airy_wave, kinematics, surface_elevation
+from .utils.persist import (design_envelope_resumable, load_results,
+                            save_results)
 
 __version__ = "0.1.0"

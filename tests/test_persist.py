@@ -1,0 +1,100 @@
+"""Result persistence (npz round trips) and resumable chunked envelopes."""
+import numpy as np
+import jax.numpy as jnp
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.api import phase_scan_condensed
+from small_fem_solver_tpu.parallel.sweep import make_case_batch, make_wave_batch
+from small_fem_solver_tpu.utils.persist import (design_envelope_resumable,
+                                                load_results, save_results)
+
+
+def _case(**kw):
+    base = dict(wave_dir_deg=38.0, current_dir_deg=38.0, F_axial_kN=25100.0,
+                F_shear_kN=2900.0, custom_sw_tonnes=1100.0, sw_mode="custom")
+    base.update(kw)
+    return sf.LoadCase(**base)
+
+
+def _assert_tree_equal(a, b):
+    assert type(a).__name__ == type(b).__name__
+    for name in a._fields:
+        va, vb = getattr(a, name), getattr(b, name)
+        if va is None:
+            assert vb is None
+        elif hasattr(va, "_fields"):
+            _assert_tree_equal(va, vb)
+        else:
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_analysis_results_roundtrip(tmp_path):
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(9.0, 9.4, 50.0, 1.0)
+    res = sf.analyze(model, wave, _case(), solver="chol")
+    p = tmp_path / "res.npz"
+    save_results(p, res)
+    back = load_results(p)
+    _assert_tree_equal(res, back)
+
+
+def test_condensed_scan_roundtrip(tmp_path):
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 4)
+    wave = sf.airy_wave(9.0, 9.4, 50.0)
+    scan = phase_scan_condensed(coarse, refined, 4, wave, _case(), n_steps=4)
+    p = tmp_path / "scan.npz"
+    save_results(p, scan)
+    _assert_tree_equal(scan, load_results(p))
+
+
+def test_envelope_resumable_kill_and_resume(tmp_path):
+    model = sf.default_3leg_jacket()
+    B = 6
+    waves = make_wave_batch(np.linspace(3.0, 12.0, B), 9.4, 50.0, U_c=1.7,
+                            model="stokes", N=5, n_modes=8,
+                            dtype=jnp.float64)
+    cases = make_case_batch(_case(), t_analysis=jnp.zeros(B))
+    out = tmp_path / "env"
+
+    # simulate a killed run: only the first chunk completes
+    partial = design_envelope_resumable(model, waves, cases, out,
+                                        chunk_size=2, max_chunks=1,
+                                        n_steps=6)
+    assert partial is None
+    files = sorted(p.name for p in out.glob("chunk_*.npz"))
+    assert files == ["chunk_0000.npz"]
+    mtime0 = (out / "chunk_0000.npz").stat().st_mtime_ns
+
+    # resume: finishes the remaining chunks, does not recompute chunk 0
+    full = design_envelope_resumable(model, waves, cases, out,
+                                     chunk_size=2, n_steps=6)
+    assert (out / "chunk_0000.npz").stat().st_mtime_ns == mtime0
+    assert len(sorted(out.glob("chunk_*.npz"))) == 3
+
+    # equals the unchunked envelope
+    ref = sf.design_envelope(model, waves, cases, n_steps=6)
+    np.testing.assert_allclose(np.asarray(full.max_util_per_case),
+                               np.asarray(ref.max_util_per_case), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(full.member_envelope),
+                               np.asarray(ref.member_envelope), rtol=1e-12)
+    assert int(full.governing_case) == int(ref.governing_case)
+
+
+def test_envelope_resumable_condensed(tmp_path):
+    coarse = sf.default_3leg_jacket()
+    n_seg = 3
+    refined = sf.refine_model(coarse, n_seg)
+    B = 4
+    waves = make_wave_batch(np.linspace(4.0, 10.0, B), 9.4, 50.0, U_c=1.2,
+                            model="stokes", N=5, n_modes=8,
+                            dtype=jnp.float64)
+    cases = make_case_batch(_case(), t_analysis=jnp.zeros(B))
+    out = tmp_path / "env_c"
+    full = design_envelope_resumable(coarse, waves, cases, out, chunk_size=2,
+                                     refined=refined, n_seg=n_seg, n_steps=4,
+                                     solve_dtype=jnp.float64)
+    ref = sf.design_envelope_condensed(coarse, refined, n_seg, waves, cases,
+                                       n_steps=4, solve_dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(full.max_util_per_case),
+                               np.asarray(ref.max_util_per_case), rtol=1e-12)
