@@ -20,31 +20,184 @@ from tkinter import filedialog, messagebox, ttk
 import numpy as np
 
 INFO_TEXT = """\
-COORDINATE SYSTEM
-  X-axis: EAST (+X = East)      Y-axis: NORTH (+Y = North)
-  Z-axis: UP, Z = 0 at Mean Water Level (MWL)
+================================================================
+  TPU-NATIVE JACKET STRUCTURAL ANALYSIS — THEORY & ASSUMPTIONS
+================================================================
 
-UNITS
-  input: geometry m, sections mm, loads kN / kNm, wave m/s
-  internal: mm / N / N*mm (stresses MPa); hydrodynamics SI
+1. COORDINATE SYSTEM
+----------------------------------------------------------------
+  X-axis: EAST  (+X = East)
+  Y-axis: NORTH (+Y = North)
+  Z-axis: UP, with Z = 0 at the Mean Water Level (MWL).
+  The sea bed lies at Z = -d (d = water depth entered on the Wave
+  tab); node coordinates below MWL are therefore negative.
 
-THEORY
-  - Wave kinematics: Airy, Stokes 5th (Fenton 1985), Fenton stream
-    function (Rienecker-Fenton collocation); automatic selection by
-    steepness H/L: <0.01 Airy, <0.03 Stokes-3, <0.06 Stokes-5, else
-    stream function N=10..20.
-  - Morison equation per member: F = 0.5 rho Cd D |U_perp| U_perp
-    + rho Cm (pi D^2/4) A_perp, 15-point Gauss quadrature, lever-rule
-    nodal distribution. Slender-member assumption D/L < 0.2.
-  - 3D Timoshenko beam FEM (12-DOF elements, shear areas 0.5 A), linear
-    static solve, von Mises checked at 8 circumferential points.
+  Directions (wave and current) are COMPASS bearings: degrees
+  from North, measured clockwise, giving the direction the wave
+  or current travels TOWARD. 0 deg = propagating northward,
+  90 deg = eastward. Internally the bearing is converted to a
+  mathematical angle theta = 90 - bearing about +Z.
 
-VALIDITY LIMITS (checked, reported as warnings)
-  - thin-wall sections: D/t > 10
-  - breaking waves: H/L < 0.142 (deep), H/d < 0.78 (shallow)
+2. UNITS
+----------------------------------------------------------------
+  Input:    geometry in m; section dimensions in mm;
+            topside loads in kN and kNm; wave data in m, s, m/s;
+            densities in kg/m3; self-weight in tonnes.
+  Internal: length mm, force N, moment N*mm, stress MPa
+            (the FEM works in N/mm so E in MPa needs no scaling);
+            hydrodynamics in SI (m, N) converted at the load step.
+  Output:   member forces in kN/kNm, stresses in MPa,
+            displacements in mm, reactions in kN.
 
-EXCLUDED (as in the reference tool)
-  buckling, P-delta, dynamics, fatigue, soil-structure interaction
+3. WAVE KINEMATICS
+----------------------------------------------------------------
+  Three steady-wave theories, all evaluated through one Fourier
+  kernel (so any of them can drive any analysis mode):
+
+  - Airy (linear): valid for low steepness; closed form.
+  - Stokes 5th order (Fenton 1985 coefficients): moderate
+    steepness in intermediate/deep water.
+  - Stream function (Rienecker & Fenton 1981 collocation, N = 10
+    to 20 modes): fully nonlinear, the default for storm waves.
+
+  Model 'auto' picks by steepness H/L, mirroring common practice:
+    H/L < 0.01  -> Airy
+    H/L < 0.03  -> Stokes (3rd-order evaluation)
+    H/L < 0.06  -> Stokes 5th
+    otherwise   -> stream function, N = clip(200 H/L, 10, 20)
+
+  A uniform current U_c is added vectorially to the horizontal
+  wave velocity along its own compass bearing. The current does
+  not modify the wave solution itself (no Doppler shift of the
+  dispersion relation) and does not contribute to fluid
+  acceleration - both standard simplifications for quasi-static
+  jacket checks.
+
+  Kinematics above the instantaneous free surface are zero (no
+  Wheeler stretching); evaluation heights for the nonlinear
+  models are kept a centimetre inside the water column for
+  numerical robustness, matching the behavior of the raschii
+  library the reference tool wraps.
+
+  BREAKING LIMITS (checked; reported as warnings, not errors):
+    deep water:     H/L  < 0.142
+    shallow water:  H/d  < 0.78
+  Waves beyond these limits have no steady solution; the stream-
+  function solver will also refuse to converge and says so.
+
+4. HYDRODYNAMIC LOADING (MORISON EQUATION)
+----------------------------------------------------------------
+  Per unit length of each submerged member:
+
+    f = 0.5 rho Cd D |U_perp| U_perp  +  rho Cm (pi D^2/4) A_perp
+
+  where U_perp / A_perp are the water velocity / acceleration
+  components perpendicular to the member axis (cross-flow
+  principle). Each member is integrated with 15-point Gauss-
+  Legendre quadrature; the resultant of each quadrature point is
+  split to the member's end nodes by the lever rule (forces only,
+  no fixed-end moments). Defaults Cd = 0.7, Cm = 2.0 are typical
+  rough-cylinder storm values - set your own per design code.
+
+  Assumptions/limits:
+  - slender members (D/L < 0.2): diffraction neglected;
+  - no marine growth allowance (enter an increased D to model it);
+  - no member shielding or interference;
+  - relative velocity ignored (structure assumed rigid vs flow).
+
+5. STRUCTURAL MODEL
+----------------------------------------------------------------
+  3D Timoshenko beam elements, 12 DOF (3 translations + 3
+  rotations per end node):
+  - tubular sections from D (outer) and t: A, I, J = 2I, shear
+    areas Ay = Az = 0.5 A (thin-wall approximation, valid for
+    D/t > 10 - checked and warned);
+  - 'leg' members use the Leg section; every other type
+    (h_brace / x_brace / brace) uses the Brace section;
+  - all joints are rigid (welded); supports are fully clamped
+    (all 6 DOF) at the nodes marked Fixed;
+  - linear elastic, small displacement.
+
+  Loads applied in one static case:
+  - Morison nodal forces (translations only);
+  - topside interface loads spread equally over the Top nodes:
+    axial as -Z, shear along the wave bearing, overturning and
+    torsional moments split per node;
+  - self-weight: 'calculated' lumps half of each member's weight
+    to each end node; 'custom' spreads a total tonnage uniformly
+    over ALL nodes; or excluded.
+
+  The linear system is solved by Cholesky factorization of the
+  free-DOF block (with a least-squares fallback if the structure
+  is a mechanism); reactions come from R = K U - F at the fixed
+  DOFs and always balance the applied loads - check the report's
+  equilibrium lines.
+
+6. STRESS CHECK
+----------------------------------------------------------------
+  For every member, the end forces at node 1 are converted to
+  normal + bending + torsional + shear stresses at 8 points
+  around the circumference (45 deg apart, at the outer radius),
+  and the maximum von Mises stress is compared with fy:
+
+    utilization = sigma_vm,max / fy
+
+  Utilization > 100% is flagged. Note this is a YIELD screen
+  only; code checks (API RP 2A / ISO 19902 buckling, punching,
+  joint checks) must be run separately.
+
+7. WHAT THIS TOOL DOES NOT DO
+----------------------------------------------------------------
+  - global or member buckling, P-delta (2nd order) effects
+  - fatigue damage and S-N screening
+  - soil-structure interaction (piles are rigid clamps here)
+  - wave slamming, vortex-induced vibration, ringing
+  - marine growth, appurtenances, flooded-member buoyancy
+  Dynamics ARE available beyond the reference tool's scope - the
+  CLI/API offer natural frequencies (also Craig-Bampton reduced
+  for refined meshes) and steady-state wave-frequency response
+  with a dynamic amplification factor - but the GUI 'RUN'
+  button performs the quasi-static check only.
+
+8. WORKFLOW
+----------------------------------------------------------------
+  1) Geometry tab: load the default 3-leg jacket or enter nodes;
+     mark supports (Fixed) and deck-interface nodes (Top). The
+     live preview shows supports as red triangles, top nodes as
+     blue squares, the MWL plane and a North arrow.
+  2) Members tab: add members by node pair, or auto-generate legs
+     (name pattern letter+level, e.g. A1-A2-A3) and horizontal
+     ring braces per level.
+  3) Material & Sections, Wave, Loads tabs: review defaults.
+  4) Run Analysis: optional phase scan finds the wave phase with
+     the largest total force; the FEM solve itself uses the
+     entered analysis time t (matching the reference tool).
+     Prefer the CLI 'refined'/'envelope' commands for full
+     phase-resolved solves and multi-case design envelopes.
+  5) Results tab: summary table, 3D utilization plot (green ->
+     yellow -> red), CSV export of the member-force table.
+
+  Model JSON save/load round-trips everything on these tabs.
+
+9. DEFAULT STORM CASE (pre-filled)
+----------------------------------------------------------------
+  H = 17.038 m, T = 9.4 s, d = 50 m, U_c = 1.7 m/s, bearings 38
+  deg, Cd = 0.7, Cm = 2.0; topside 25,100 kN axial + 2,900 kN
+  shear; 1,100 t custom self-weight; leg 2000x75 mm, brace
+  800x30 mm (D/t = 26.7), S355 steel.
+
+10. REFERENCES
+----------------------------------------------------------------
+  - Fenton, J.D. (1985). "A fifth-order Stokes theory for steady
+    waves." J. Waterway, Port, Coastal and Ocean Eng. 111(2).
+  - Rienecker, M.M. & Fenton, J.D. (1981). "A Fourier
+    approximation method for steady water waves." JFM 104.
+  - Morison, O'Brien, Johnson & Schaaf (1950). "The force exerted
+    by surface waves on piles." Petroleum Transactions 189.
+  - Przemieniecki, J.S. (1968). Theory of Matrix Structural
+    Analysis. (Timoshenko beam stiffness formulation.)
+  - Craig, R.R. & Bampton, M.C.C. (1968). "Coupling of
+    substructures for dynamic analyses." AIAA J. 6(7).
 """
 
 
@@ -86,7 +239,12 @@ class JacketGUI:
     # ------------------------------------------------------------- geometry
     def _build_geometry_tab(self):
         f = self.tabs["1. Node Geometry"]
-        entry = ttk.Frame(f)
+        left = ttk.Frame(f)
+        left.pack(side=tk.LEFT, fill=tk.BOTH, expand=True)
+        right = ttk.Frame(f)
+        right.pack(side=tk.RIGHT, fill=tk.BOTH, expand=True)
+
+        entry = ttk.Frame(left)
         entry.pack(fill=tk.X, padx=5, pady=5)
         self.node_entries = {}
         for col, key in enumerate(["Name", "X", "Y", "Z"]):
@@ -100,23 +258,59 @@ class JacketGUI:
                    command=self.delete_node).grid(row=0, column=9, padx=4)
 
         cols = ("name", "x", "y", "z", "fixed", "top")
-        self.node_tree = ttk.Treeview(f, columns=cols, show="headings",
+        self.node_tree = ttk.Treeview(left, columns=cols, show="headings",
                                       height=18)
         for c in cols:
             self.node_tree.heading(c, text=c.upper())
             self.node_tree.column(c, width=90)
         self.node_tree.pack(fill=tk.BOTH, expand=True, padx=5, pady=5)
 
-        btns = ttk.Frame(f)
+        btns = ttk.Frame(left)
         btns.pack(fill=tk.X, padx=5, pady=5)
         for text, cmd in [("Toggle Fixed (Support)", self.toggle_fixed),
                           ("Toggle Top (Interface)", self.toggle_top),
                           ("Load Default Geometry", self.load_default_geometry),
                           ("Clear All", self.clear_geometry),
-                          ("3D Preview", self.preview_3d),
+                          ("Refresh 3D Preview", self.update_3d_preview),
                           ("Save Model JSON...", self.save_model_json),
                           ("Load Model JSON...", self.load_model_json)]:
             ttk.Button(btns, text=text, command=cmd).pack(side=tk.LEFT, padx=4)
+
+        # ---- embedded live 3D preview with water plane + compass arrows,
+        # like the reference's geometry-tab canvas
+        # (`JacketAnalysisGUI_v2.py:1038-1135`); redrawn on every
+        # geometry change ----
+        try:
+            import matplotlib
+            matplotlib.use("TkAgg")
+            from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
+            from matplotlib.figure import Figure
+            self._preview_fig = Figure(figsize=(6.2, 6.2), dpi=90)
+            self._preview_ax = self._preview_fig.add_subplot(
+                111, projection="3d")
+            self._preview_canvas = FigureCanvasTkAgg(self._preview_fig,
+                                                     master=right)
+            self._preview_canvas.get_tk_widget().pack(fill=tk.BOTH,
+                                                      expand=True,
+                                                      padx=5, pady=5)
+        except Exception:          # no usable backend: keep CRUD usable
+            self._preview_canvas = None
+
+    def update_3d_preview(self):
+        """Redraw the embedded geometry preview from the current tables."""
+        if getattr(self, "_preview_canvas", None) is None:
+            return
+        ax = self._preview_ax
+        ax.clear()
+        if self.nodes_data:
+            from .utils.plotting import _draw_structure
+            try:
+                model = self._build_model()
+            except Exception:
+                return              # half-edited geometry: keep the old view
+            _draw_structure(ax, model)
+            ax.set_title(f"{model.n_nodes} nodes / {model.n_members} members")
+        self._preview_canvas.draw_idle()
 
     def add_node(self):
         name = self.node_entries["name"].get().strip().upper()
@@ -162,6 +356,7 @@ class JacketGUI:
                 name, f"{c[0]:.3f}", f"{c[1]:.3f}", f"{c[2]:.3f}",
                 "x" if name in self.fixed_nodes else "",
                 "x" if name in self.top_nodes else ""))
+        self.update_3d_preview()
 
     def clear_geometry(self):
         if messagebox.askyesno("Confirm", "Clear all geometry data?"):
@@ -178,20 +373,6 @@ class JacketGUI:
         self.fixed_nodes, self.top_nodes = list(fixed), list(top)
         self.refresh_nodes()
         self.refresh_members()
-
-    def preview_3d(self):
-        if not self.nodes_data:
-            messagebox.showwarning("Warning", "No nodes defined!")
-            return
-        import matplotlib
-        matplotlib.use("TkAgg")
-        import matplotlib.pyplot as plt
-        from .utils.plotting import _draw_structure
-        model = self._build_model()
-        fig = plt.figure(figsize=(10, 9))
-        ax = fig.add_subplot(111, projection="3d")
-        _draw_structure(ax, model)
-        plt.show()
 
     def save_model_json(self):
         path = filedialog.asksaveasfilename(defaultextension=".json")
@@ -276,6 +457,7 @@ class JacketGUI:
         for m in self.members_data:
             self.member_tree.insert("", tk.END, values=(
                 m["name"], m["node1"], m["node2"], m["type"]))
+        self.update_3d_preview()
 
     def autogen_legs(self):
         from .models.autogen import auto_generate_legs
