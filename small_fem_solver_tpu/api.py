@@ -200,7 +200,7 @@ def _cached_bcsr_pattern(conn, n_nodes: int):
 def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
             solver: str = "chol", n_gauss: int = 15, accel: str = "fd",
             pcg_tol: float = 1e-10, pcg_maxiter: int = 2000,
-            lstsq_fallback: bool = False,
+            lstsq_fallback: bool = False, mesh=None,
             _jit: bool = True) -> AnalysisResults:
     """Single linear static analysis — the reference RUN-ANALYSIS pipeline
     (`JacketAnalysisGUI_v2.py:1827-2082`) as one compiled program.
@@ -208,9 +208,23 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
     solver: 'lu' (reference-identical dense LU), 'chol' (dense Cholesky,
     SPD fast path), 'pcg' (matrix-free block-Jacobi PCG on BCSR; scales to
     1e5+ DOF where dense assembly is impossible).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``, any axis name) and
+    ``solver='pcg'``, the linear solve runs as the DISTRIBUTED row-sharded
+    PCG (`parallel/pcg_dist.py`): K's 6x6 node-block rows are partitioned
+    across the mesh and the CG iteration runs inside ``shard_map`` with
+    ``all_gather`` mat-vecs and ``psum`` reductions over ICI.  Loads and
+    recovery stay replicated (they are O(n) and trivially cheap next to
+    the solve).
     """
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
+    if mesh is not None:
+        if solver != "pcg":
+            raise ValueError("mesh-distributed analyze requires solver='pcg'")
+        return _analyze_pcg_dist(model, wave, case.cast(model.coords.dtype),
+                                 n_gauss, accel, fixed, mesh, pcg_tol,
+                                 pcg_maxiter)
     pattern = _cached_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
     fn = _analyze_jit if _jit else _analyze_impl
     res = fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
@@ -225,6 +239,56 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
                 f"tol {pcg_tol:.1e} after {int(res.solver_iters)} iterations "
                 f"(maxiter {pcg_maxiter}); results may be inaccurate",
                 stacklevel=2)
+    return res
+
+
+def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
+                      pcg_tol, pcg_maxiter):
+    """Distributed-PCG variant of the single-analysis pipeline."""
+    from .parallel.pcg_dist import distributed_pcg
+
+    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+    axis = mesh.axis_names[0]
+
+    @jax.jit
+    def prep(model, wave, case):
+        with jax.default_matmul_precision("highest"):
+            G = case.E / (2.0 * (1.0 + case.nu))
+            D_m = model.sections.D_outer[model.sect_id] / 1000.0
+            mor = morison_loads(wave, model.coords, model.conn, D_m,
+                                case.wave_dir_deg, case.current_dir_deg,
+                                case.Cd, case.Cm, case.rho_water,
+                                case.t_analysis, n_gauss=n_gauss, accel=accel)
+            Kg, K_local, T, L_m = element_stiffness(
+                model.coords, model.conn, model.sections, model.sect_id,
+                case.E, G)
+            F = assemble_loads(model, case, mor.nodal_forces, L_m)
+            A = assemble_bcsr(Kg, pattern)
+            return mor, K_local, T, L_m, F, A
+
+    mor, K_local, T, L_m, F, A = prep(model, wave, case)
+    U, n_iter, resid = distributed_pcg(A, F, model.fixed_mask, mesh,
+                                       axis=axis, tol=pcg_tol,
+                                       maxiter=pcg_maxiter)
+    U = U.astype(F.dtype)
+
+    @jax.jit
+    def recover(U, F):
+        with jax.default_matmul_precision("highest"):
+            R = bcsr_matvec(A, U) - F
+            return _recover_sparse(model, case, U, F, R, fixed,
+                                   K_local, T, L_m, mor,
+                                   solver_iters=n_iter,
+                                   solver_residual=resid)
+
+    res = recover(U, F)
+    rel = float(res.solver_residual)
+    if not rel <= pcg_tol:
+        import warnings
+        warnings.warn(
+            f"distributed PCG did not converge: relative residual "
+            f"{rel:.2e} > tol {pcg_tol:.1e} after {int(res.solver_iters)} "
+            f"iterations", stacklevel=3)
     return res
 
 
