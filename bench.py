@@ -89,6 +89,38 @@ def measure_flagship(repeats: int = 5):
               f"({solves_per_s:.0f} FEM solves/s @ {refined.n_dof} DOF) "
               f"max_util={util:.4f} critical_t={crit_t:.3f}s "
               f"device={jax.devices()[0]}", file=sys.stderr)
+
+        # sustained production throughput: in real use the case VARIES between
+        # scans and the factorization amortizes across the case axis (the
+        # envelope path); this is the per-scan cost of a 10-case x 360-phase
+        # condensed envelope with the fused Pallas kinematics kernel
+        import numpy as np
+        from small_fem_solver_tpu.parallel.sweep import (make_case_batch,
+                                                         make_wave_batch)
+        C = 10
+        waves = make_wave_batch(np.linspace(8.0, 17.0, C), 9.4, 50.0,
+                                U_c=1.7, model="fenton", N=18, n_modes=18,
+                                dtype=jnp.float32)
+        cases = make_case_batch(case, t_analysis=jnp.zeros(C, jnp.float32))
+
+        def run_env():
+            return sf.design_envelope_condensed(
+                coarse, refined, n_seg, waves, cases, n_steps=360,
+                solve_dtype=jnp.float32, kinematics="pallas")
+
+        run_env().max_util_per_case.block_until_ready()
+        env_best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            last = None
+            for _ in range(5):
+                last = run_env().max_util_per_case
+            last.block_until_ready()
+            env_best = min(env_best, (time.time() - t0) / 5)
+        print(f"[bench] envelope mode: {C} cases x 360 phases @ "
+              f"{refined.n_dof} DOF = {env_best/C*1e3:.2f} ms per full "
+              f"360-phase scan sustained "
+              f"({360.0*C/env_best:.0f} FEM solves/s)", file=sys.stderr)
         return amortized * 1e3, refined.n_dof
 
 

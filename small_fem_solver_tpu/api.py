@@ -897,7 +897,8 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
                               cases: LoadCase, n_steps: int = 36,
                               n_gauss: int = 15,
                               solve_dtype=jnp.float32,
-                              case_batch: int = 32) -> EnvelopeResults:
+                              case_batch: int = 32,
+                              kinematics: str = "separable") -> EnvelopeResults:
     """Storm envelope on a REFINED mesh: every case x phase, full FEM.
 
     Combines the two flagship paths: the exact chain condensation (interior
@@ -912,14 +913,14 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     return _design_envelope_condensed_jit(
         coarse, refined, waves, cases.cast(solve_dtype), n_seg, n_steps,
-        n_gauss, solve_dtype, case_batch, jnp.asarray(free_np))
+        n_gauss, solve_dtype, case_batch, kinematics, jnp.asarray(free_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
-                                   "solve_dtype", "case_batch"))
+                                   "solve_dtype", "case_batch", "kinematics"))
 def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                                    n_steps, n_gauss, solve_dtype, case_batch,
-                                   free):
+                                   kinematics, free):
     with jax.default_matmul_precision("highest"):
         nc = coarse.n_nodes
         Mc = coarse.n_members
@@ -945,11 +946,21 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
             case_l = case.cast(ldtype)
             ts = jnp.arange(n_steps, dtype=ldtype) \
                 * wave.T.astype(ldtype) / n_steps
-            mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
-                                     case_l.wave_dir_deg,
-                                     case_l.current_dir_deg, case_l.Cd,
-                                     case_l.Cm, case_l.rho_water, ts,
-                                     n_gauss=n_gauss)
+            if kinematics == "pallas":
+                from .ops.pallas_kernels import morison_phase_batch_pallas
+                mb = morison_phase_batch_pallas(
+                    wave, refined.coords, refined.conn, D_m,
+                    case_l.wave_dir_deg, case_l.current_dir_deg, case_l.Cd,
+                    case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss)
+                mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
+            elif kinematics == "separable":
+                mb = morison_phase_batch(wave, refined.coords, refined.conn,
+                                         D_m, case_l.wave_dir_deg,
+                                         case_l.current_dir_deg, case_l.Cd,
+                                         case_l.Cm, case_l.rho_water, ts,
+                                         n_gauss=n_gauss)
+            else:
+                raise ValueError(f"unknown kinematics mode {kinematics!r}")
             F = jax.vmap(lambda nodal: assemble_loads(
                 refined, case_l, nodal, L_m.astype(ldtype)))(mb.nodal_forces)
             F = F.astype(solve_dtype)
@@ -974,8 +985,12 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
             return (ts, jnp.max(util, axis=1), jnp.max(util, axis=0),
                     mb.total_morison.astype(solve_dtype))
 
+        # batch_size vmaps the body per chunk, which the pallas kernel does
+        # not support — the pallas path streams cases sequentially instead
+        # (each case is already a 360-phase batched kernel invocation)
+        bs = None if kinematics == "pallas" else case_batch
         ts, per_phase, member_max, tot = jax.lax.map(
-            one_case, (waves, cases), batch_size=case_batch)
+            one_case, (waves, cases), batch_size=bs)
         crit_phase = jnp.argmax(per_phase, axis=-1)
         max_per_case = jnp.max(per_phase, axis=-1)
         return EnvelopeResults(
