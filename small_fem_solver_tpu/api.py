@@ -201,6 +201,7 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
             solver: str = "chol", n_gauss: int = 15, accel: str = "fd",
             pcg_tol: float = 1e-10, pcg_maxiter: int = 2000,
             lstsq_fallback: bool = False, mesh=None,
+            stretching: str = "none", current_alpha=None,
             _jit: bool = True) -> AnalysisResults:
     """Single linear static analysis — the reference RUN-ANALYSIS pipeline
     (`JacketAnalysisGUI_v2.py:1827-2082`) as one compiled program.
@@ -224,12 +225,12 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
             raise ValueError("mesh-distributed analyze requires solver='pcg'")
         return _analyze_pcg_dist(model, wave, case.cast(model.coords.dtype),
                                  n_gauss, accel, fixed, mesh, pcg_tol,
-                                 pcg_maxiter)
+                                 pcg_maxiter, stretching, current_alpha)
     pattern = _cached_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
     fn = _analyze_jit if _jit else _analyze_impl
     res = fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
              accel, free, fixed, pattern, pcg_tol, pcg_maxiter,
-             lstsq_fallback)
+             lstsq_fallback, stretching, current_alpha)
     if solver == "pcg" and res.solver_residual is not None:
         rel = float(res.solver_residual)
         if not rel <= pcg_tol:  # catches NaN too
@@ -243,7 +244,8 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
 
 
 def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
-                      pcg_tol, pcg_maxiter):
+                      pcg_tol, pcg_maxiter, stretching="none",
+                      current_alpha=None):
     """Distributed-PCG variant of the single-analysis pipeline."""
     from .parallel.pcg_dist import distributed_pcg
 
@@ -258,7 +260,9 @@ def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
             mor = morison_loads(wave, model.coords, model.conn, D_m,
                                 case.wave_dir_deg, case.current_dir_deg,
                                 case.Cd, case.Cm, case.rho_water,
-                                case.t_analysis, n_gauss=n_gauss, accel=accel)
+                                case.t_analysis, n_gauss=n_gauss, accel=accel,
+                                stretching=stretching,
+                                current_alpha=current_alpha)
             Kg, K_local, T, L_m = element_stiffness(
                 model.coords, model.conn, model.sections, model.sect_id,
                 case.E, G)
@@ -294,27 +298,31 @@ def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
 
 @partial(jax.jit, static_argnames=("solver", "n_gauss", "accel",
                                    "pcg_tol", "pcg_maxiter",
-                                   "lstsq_fallback"))
+                                   "lstsq_fallback", "stretching",
+                                   "current_alpha"))
 def _analyze_jit(model, wave, case, solver, n_gauss, accel, free, fixed,
-                 pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False):
+                 pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False,
+                 stretching="none", current_alpha=None):
     # XLA:TPU lowers f32 matmuls to bf16 MXU passes by default, which is
     # catastrophic for stiffness algebra; force full-precision accumulation
     # for everything inside the solver pipeline.
     with jax.default_matmul_precision("highest"):
         return _analyze_impl(model, wave, case, solver, n_gauss, accel, free,
                              fixed, pattern, pcg_tol, pcg_maxiter,
-                             lstsq_fallback)
+                             lstsq_fallback, stretching, current_alpha)
 
 
 def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
-                  pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False):
+                  pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False,
+                  stretching="none", current_alpha=None):
     G = case.E / (2.0 * (1.0 + case.nu))                    # (`:443`)
     D_m = model.sections.D_outer[model.sect_id] / 1000.0    # (`:610`)
 
     mor = morison_loads(wave, model.coords, model.conn, D_m,
                         case.wave_dir_deg, case.current_dir_deg,
                         case.Cd, case.Cm, case.rho_water, case.t_analysis,
-                        n_gauss=n_gauss, accel=accel)
+                        n_gauss=n_gauss, accel=accel, stretching=stretching,
+                        current_alpha=current_alpha)
 
     Kg, K_local, T, L_m = element_stiffness(
         model.coords, model.conn, model.sections, model.sect_id, case.E, G)
@@ -475,7 +483,9 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
                          kinematics: str = "separable",
                          chain_solver: str = "thomas",
                          solve_dtype=jnp.float64,
-                         refine_steps: int = 1) -> CondensedScanResults:
+                         refine_steps: int = 1,
+                         stretching: str = "none",
+                         current_alpha=None) -> CondensedScanResults:
     """Full FEM phase scan of a refined jacket via exact chain condensation.
 
     The flagship large-mesh path (see ops/condense.py): interior DOFs of all
@@ -502,23 +512,31 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     """
     _check_refined_layout(coarse, refined, n_seg)
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    if stretching != "none" and kinematics != "pointwise":
+        raise ValueError("Wheeler stretching makes the depth profile "
+                         "time-dependent, which breaks the separable/pallas "
+                         "fast paths; use kinematics='pointwise'")
     return _phase_scan_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
         n_gauss, accel, kinematics, chain_solver, solve_dtype, refine_steps,
-        jnp.asarray(free_np), jnp.asarray(fixed_np))
+        stretching, current_alpha, jnp.asarray(free_np),
+        jnp.asarray(fixed_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss", "accel",
                                    "kinematics", "chain_solver",
-                                   "solve_dtype", "refine_steps"))
+                                   "solve_dtype", "refine_steps",
+                                   "stretching", "current_alpha"))
 def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
                               n_gauss, accel, kinematics, chain_solver,
-                              solve_dtype, refine_steps, free, fixed):
+                              solve_dtype, refine_steps, stretching,
+                              current_alpha, free, fixed):
     with jax.default_matmul_precision("highest"):
         return _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg,
                                           n_steps, n_gauss, accel, kinematics,
                                           chain_solver, solve_dtype,
-                                          refine_steps, free, fixed)
+                                          refine_steps, stretching,
+                                          current_alpha, free, fixed)
 
 
 def _chain_factor(Kg, n_seg: int, chain_solver: str):
@@ -581,7 +599,8 @@ def _refine_condensed(Kg, n_seg, conn_coarse, fixed_free_mask, solve_once,
 
 def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
                                n_gauss, accel, kinematics, chain_solver,
-                               solve_dtype, refine_steps, free, fixed):
+                               solve_dtype, refine_steps, stretching,
+                               current_alpha, free, fixed):
     nc = coarse.n_nodes
     Mc = coarse.n_members
     n_int = n_seg - 1
@@ -611,14 +630,16 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
             mb = morison_phase_batch_pallas(
                 wave, refined.coords, refined.conn, D_m,
                 case_l.wave_dir_deg, case_l.current_dir_deg,
-                case_l.Cd, case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss)
+                case_l.Cd, case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss,
+                current_alpha=current_alpha)
             mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
         else:
             mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
                                      case_l.wave_dir_deg,
                                      case_l.current_dir_deg,
                                      case_l.Cd, case_l.Cm, case_l.rho_water,
-                                     ts, n_gauss=n_gauss)
+                                     ts, n_gauss=n_gauss,
+                                     current_alpha=current_alpha)
         total_morison = mb.total_morison
         F_all = jax.vmap(
             lambda nodal: assemble_loads(refined, case_l, nodal,
@@ -628,7 +649,9 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
             mor = morison_loads(wave, refined.coords, refined.conn, D_m,
                                 case_l.wave_dir_deg, case_l.current_dir_deg,
                                 case_l.Cd, case_l.Cm, case_l.rho_water, t,
-                                n_gauss=n_gauss, accel=accel)
+                                n_gauss=n_gauss, accel=accel,
+                                stretching=stretching,
+                                current_alpha=current_alpha)
             F = assemble_loads(refined, case_l, mor.nodal_forces,
                                L_m.astype(ldtype))
             return F, mor.total_morison

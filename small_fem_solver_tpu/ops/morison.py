@@ -72,11 +72,19 @@ def morison_loads(
     t,
     n_gauss: int = 15,
     accel: str = "fd",
+    stretching: str = "none",
+    current_alpha=None,
 ) -> MorisonLoads:
     """Morison drag+inertia loads for all members at time ``t``.
 
     ``D_m``: [M] member outer diameters in metres
     (= section D_mm / 1000, `JacketAnalysisGUI_v2.py:610`).
+
+    Beyond-reference options (defaults preserve reference semantics):
+    ``stretching='wheeler'`` evaluates wave kinematics at Wheeler-stretched
+    heights; ``current_alpha`` (e.g. 1/7) applies a power-law current
+    profile U_c(z) = U_c ((z+d)/d)^alpha instead of the reference's uniform
+    current (`JacketAnalysisGUI_v2.py:281`).
     """
     dtype = coords.dtype
     theta_w = jnp.deg2rad(jnp.asarray(90.0 - wave_dir_deg, dtype=dtype))
@@ -99,15 +107,23 @@ def morison_loads(
 
     # 2D kinematics sampled along the wave heading (`:559-563`)
     x_wave = x * cos_w + y * sin_w
-    kin = kinematics(wave, x_wave, z, jnp.asarray(t, dtype=dtype), accel=accel)
+    kin = kinematics(wave, x_wave, z, jnp.asarray(t, dtype=dtype),
+                     accel=accel, stretching=stretching)
     sub = kin.submerged                                   # [M, Q] bool
     subf = sub.astype(dtype)
 
-    # split wave and current contributions onto their headings (`:572-589`)
-    u_wave_only = kin.u - wave.U_c
+    # split wave and current contributions onto their headings (`:572-589`);
+    # the current speed is uniform by default (reference semantics) or a
+    # power-law profile of height above bed when current_alpha is given
+    if current_alpha is None:
+        Uc_pt = wave.U_c
+    else:
+        frac = jnp.clip((z + wave.d) / wave.d, 0.0, 1.0)
+        Uc_pt = wave.U_c * frac ** jnp.asarray(current_alpha, dtype=dtype)
+    u_wave_only = kin.u - wave.U_c * subf
     U = jnp.stack([
-        u_wave_only * cos_w + wave.U_c * cos_c,
-        u_wave_only * sin_w + wave.U_c * sin_c,
+        u_wave_only * cos_w + Uc_pt * subf * cos_c,
+        u_wave_only * sin_w + Uc_pt * subf * sin_c,
         kin.w,
     ], axis=-1)                                           # [M, Q, 3]
     A = jnp.stack([kin.du_dt * cos_w, kin.du_dt * sin_w, kin.dw_dt], axis=-1)
@@ -238,6 +254,7 @@ def morison_phase_batch(
     rho_water,
     ts: jnp.ndarray,
     n_gauss: int = 15,
+    current_alpha=None,
 ) -> MorisonPhaseBatch:
     """All wave phases' Morison loads via a separable harmonic matmul.
 
@@ -313,9 +330,18 @@ def morison_phase_batch(
     dry = z[None, :] > eta
     live = jnp.logical_not(dry).astype(dtype)
 
+    # current: uniform (reference) or power-law profile (time-independent,
+    # so it stays a spatial factor — separability is unaffected)
+    if current_alpha is None:
+        Uc_pt = wave.U_c
+    else:
+        frac = jnp.clip((z + wave.d) / wave.d, 0.0, 1.0)
+        Uc_pt = (wave.U_c * frac
+                 ** jnp.asarray(current_alpha, dtype=dtype))[None, :]
+
     # global velocity / acceleration components (`:572-589` semantics)
-    Ux = (u_wo * cos_w + wave.U_c * cos_c) * live
-    Uy = (u_wo * sin_w + wave.U_c * sin_c) * live
+    Ux = (u_wo * cos_w + Uc_pt * cos_c) * live
+    Uy = (u_wo * sin_w + Uc_pt * sin_c) * live
     Uz = wv * live
     Ax_ = du * cos_w * live
     Ay_ = du * sin_w * live

@@ -62,8 +62,6 @@ def _reduction_weights(s_q: np.ndarray, n_gauss: int) -> np.ndarray:
 def _kernel(scal_ref, ct_ref, st_ref, A_ref, B_ref, rows_ref, W_ref, o_ref):
     cosw = scal_ref[0]
     sinw = scal_ref[1]
-    ucx = scal_ref[2]
-    ucy = scal_ref[3]
 
     ct = ct_ref[:]                     # [S_pad, NPAD]
     st = st_ref[:]
@@ -88,6 +86,8 @@ def _kernel(scal_ref, ct_ref, st_ref, A_ref, B_ref, rows_ref, W_ref, o_ref):
     ez = rows_ref[3:4, :]
     cd = rows_ref[4:5, :]             # 0.5 rho Cd D L w_q  (0 on padding)
     ci = rows_ref[5:6, :]             # rho Cm pi D^2/4 L w_q
+    ucx = rows_ref[6:7, :]            # per-point current x (profile-aware)
+    ucy = rows_ref[7:8, :]
 
     live = (z <= eta).astype(jnp.float32)
     Ux = (u_wo * cosw + ucx) * live
@@ -175,12 +175,15 @@ def morison_phase_batch_pallas(
     rho_water,
     ts: jnp.ndarray,
     n_gauss: int = 15,
+    current_alpha=None,
     interpret: bool = False,
 ) -> MorisonPhaseBatch:
     """Fused-kernel version of ``morison_phase_batch`` (float32).
 
-    Same semantics (analytic acceleration, no surface clamp); returns the
-    same result pytree.  ``interpret=True`` runs the kernel in the Pallas
+    Same semantics (analytic acceleration, no surface clamp), including the
+    optional power-law current profile ``current_alpha`` (the per-point
+    current rides the kernel's spare per-point rows); returns the same
+    result pytree.  ``interpret=True`` runs the kernel in the Pallas
     interpreter (for CPU testing).
     """
     if n_gauss > QPAD:
@@ -226,8 +229,15 @@ def morison_phase_batch_pallas(
     cd_row = pad_pts(0.5 * f32(rho_water) * f32(Cd) * D_m.astype(dtype)[:, None] * Lw)
     ci_row = pad_pts(f32(rho_water) * f32(Cm)
                      * (jnp.pi * D_m.astype(dtype)[:, None] ** 2 / 4.0) * Lw)
+    # per-point current components (uniform, or power-law when
+    # current_alpha is given)
+    if current_alpha is None:
+        Uc_pt = jnp.full_like(z, f32(wave.U_c))
+    else:
+        frac = jnp.clip((z + f32(wave.d)) / f32(wave.d), 0.0, 1.0)
+        Uc_pt = f32(wave.U_c) * frac ** f32(current_alpha)
     rows = jnp.stack([z, exr, eyr, ezr, cd_row, ci_row,
-                      jnp.zeros_like(z), jnp.zeros_like(z)])   # [8, P]
+                      Uc_pt * cos_c, Uc_pt * sin_c])
 
     # ---- spatial harmonic coefficients [5*NPAD, P] ----
     N = wave.E.shape[-1]
@@ -269,8 +279,7 @@ def morison_phase_batch_pallas(
     st = jnp.zeros((S_pad, NPAD), dtype=dtype).at[:S, :N].set(jnp.sin(jt))
 
     W = jnp.asarray(_reduction_weights(np.asarray(s_np), n_gauss))
-    scal = jnp.stack([cos_w, sin_w,
-                      f32(wave.U_c) * cos_c, f32(wave.U_c) * sin_c])
+    scal = jnp.stack([cos_w, sin_w])
 
     n_tiles = P // 128
     # An x64 session makes the BlockSpec index maps (and other pallas-internal

@@ -134,16 +134,29 @@ def _uw_raw(wave: FourierWave, x, z, t):
     return u, w
 
 
-def _eval_height(wave: FourierWave, z, eta):
-    """Reference's raschii z-clamp (`JacketAnalysisGUI_v2.py:272`):
-    evaluate at z' with z'+d clipped to [0.01, d + eta - 0.01]."""
+def _eval_height(wave: FourierWave, z, eta, stretching: str = "none"):
+    """Evaluation height: optional Wheeler stretching, then the reference's
+    raschii z-clamp (`JacketAnalysisGUI_v2.py:272`): z'+d clipped to
+    [0.01, d + eta - 0.01].
+
+    ``stretching='wheeler'`` maps the instantaneous water column
+    [-d, eta] linearly onto [-d, 0] (Wheeler 1970), so the Fourier depth
+    profiles are never extrapolated above MWL — the standard engineering
+    treatment for crest kinematics (a capability beyond the reference,
+    which evaluates the unstretched profiles).
+    """
+    z = jnp.asarray(z)
+    if stretching == "wheeler":
+        z = (z + wave.d) * wave.d / (wave.d + eta) - wave.d
+    elif stretching != "none":
+        raise ValueError(f"unknown stretching mode {stretching!r}")
     if not wave.clamp_z:
         return z
-    z_abs = jnp.clip(jnp.asarray(z) + wave.d, 0.01, wave.d + eta - 0.01)
+    z_abs = jnp.clip(z + wave.d, 0.01, wave.d + eta - 0.01)
     return z_abs - wave.d
 
 
-def velocity(wave: FourierWave, x, z, t):
+def velocity(wave: FourierWave, x, z, t, stretching: str = "none"):
     """(u, w) including current, zero above the instantaneous surface.
 
     Semantics of ``RaschiiWave.velocity`` (`JacketAnalysisGUI_v2.py:267-281`):
@@ -152,7 +165,7 @@ def velocity(wave: FourierWave, x, z, t):
     """
     eta = surface_elevation(wave, x, t)
     dry = jnp.asarray(z) > eta
-    u, w = _uw_raw(wave, x, _eval_height(wave, z, eta), t)
+    u, w = _uw_raw(wave, x, _eval_height(wave, z, eta, stretching), t)
     zero = jnp.zeros_like(u)
     return jnp.where(dry, zero, u + wave.U_c), jnp.where(dry, zero, w)
 
@@ -166,7 +179,8 @@ class Kinematics(NamedTuple):
     eta: jnp.ndarray
 
 
-def kinematics(wave: FourierWave, x, z, t, accel: str = "fd") -> Kinematics:
+def kinematics(wave: FourierWave, x, z, t, accel: str = "fd",
+               stretching: str = "none") -> Kinematics:
     """Full kinematics bundle, vectorized over x/z/t of any common shape.
 
     ``accel='fd'`` reproduces the reference finite difference
@@ -175,17 +189,22 @@ def kinematics(wave: FourierWave, x, z, t, accel: str = "fd") -> Kinematics:
     (discontinuous) derivative the reference computes.  ``accel='analytic'``
     uses the exact d/dt of the Fourier series at the (clamped) evaluation
     height — smoother and cheaper (no second surface-elevation solve).
+
+    With ``stretching='wheeler'`` the evaluation height itself moves with
+    eta(t); 'fd' differentiates through that motion (the full local
+    derivative), while 'analytic' holds the stretch frozen — the common
+    engineering simplification.
     """
     x, z, t = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(z), jnp.asarray(t))
     eta = surface_elevation(wave, x, t)
     dry = z > eta
-    u, w = velocity(wave, x, z, t)
+    u, w = velocity(wave, x, z, t, stretching)
     if accel == "fd":
-        u1, w1 = velocity(wave, x, z, t + wave.dt_fd)
+        u1, w1 = velocity(wave, x, z, t + wave.dt_fd, stretching)
         du = (u1 - u) / wave.dt_fd
         dw = (w1 - w) / wave.dt_fd
     elif accel == "analytic":
-        z_eval = _eval_height(wave, z, eta)
+        z_eval = _eval_height(wave, z, eta, stretching)
         theta = wave.k * x - wave.omega * t
         j = _mode_numbers(wave.E)
         C, S = _depth_profiles(wave, z_eval)

@@ -1,0 +1,143 @@
+"""Wheeler stretching and power-law current profiles (beyond-reference
+hydrodynamic options; defaults preserve exact reference semantics)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.ops.morison import morison_loads, morison_phase_batch
+from small_fem_solver_tpu.ops.pallas_kernels import morison_phase_batch_pallas
+from small_fem_solver_tpu.ops.waves import _uw_raw, kinematics, surface_elevation
+
+
+def _wave():
+    return sf.make_wave(12.0, 9.4, 50.0, U_c=0.0, model="stokes", N=5)
+
+
+def test_wheeler_maps_surface_to_mwl():
+    """At the instantaneous surface, Wheeler-stretched kinematics equal the
+    unstretched profile evaluated at z = 0 (the defining property)."""
+    wave = sf.airy_wave(8.0, 9.4, 50.0)     # no z-clamp -> exact check
+    x = jnp.linspace(0.0, 140.0, 7)
+    eta = surface_elevation(wave, x, 0.0)
+    kin = kinematics(wave, x, eta - 1e-9, 0.0, accel="analytic",
+                     stretching="wheeler")
+    u0, w0 = _uw_raw(wave, x, jnp.zeros_like(x), 0.0)
+    np.testing.assert_allclose(np.asarray(kin.u), np.asarray(u0), rtol=1e-6)
+
+
+def test_wheeler_reduces_crest_kinematics():
+    """Under the crest, Wheeler evaluation heights are lower, so horizontal
+    velocity is reduced vs the unstretched (clamped) profile."""
+    wave = _wave()
+    x = jnp.zeros(5)                        # crest at x = 0, t = 0
+    eta = float(surface_elevation(wave, 0.0, 0.0))
+    assert eta > 2.0
+    z = jnp.linspace(0.1, eta - 0.1, 5)     # above MWL, below crest
+    k_n = kinematics(wave, x, z, 0.0, accel="analytic")
+    k_w = kinematics(wave, x, z, 0.0, accel="analytic",
+                     stretching="wheeler")
+    assert np.all(np.asarray(k_w.u) < np.asarray(k_n.u))
+    assert np.all(np.asarray(k_w.u) > 0)
+
+
+def test_wheeler_noop_below_trough_is_small():
+    """Deep below the surface the stretch is a small correction, not a
+    discontinuity."""
+    wave = _wave()
+    k_n = kinematics(wave, 10.0, -40.0, 1.0, accel="analytic")
+    k_w = kinematics(wave, 10.0, -40.0, 1.0, accel="analytic",
+                     stretching="wheeler")
+    assert abs(float(k_w.u) - float(k_n.u)) < 0.15 * abs(float(k_n.u)) + 1e-9
+
+
+def _model_and_args(alpha, U_c=1.7, H=9.5):
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(H, 9.4, 50.0, U_c=U_c, model="stokes", N=5)
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    return model, wave, D_m
+
+
+def test_current_profile_alpha_zero_is_uniform():
+    model, wave, D_m = _model_and_args(0.0)
+    a = morison_loads(wave, model.coords, model.conn, D_m, 38.0, 120.0,
+                      0.7, 2.0, 1025.0, 1.0, current_alpha=None)
+    b = morison_loads(wave, model.coords, model.conn, D_m, 38.0, 120.0,
+                      0.7, 2.0, 1025.0, 1.0, current_alpha=0.0)
+    np.testing.assert_allclose(np.asarray(b.nodal_forces),
+                               np.asarray(a.nodal_forces), rtol=1e-12)
+
+
+def test_current_profile_reduces_drag():
+    """A 1/7-power profile carries less momentum at depth than a uniform
+    current of the same surface speed -> smaller total drag."""
+    model, wave, D_m = _model_and_args(None, U_c=1.7, H=0.05)
+    uni = morison_loads(wave, model.coords, model.conn, D_m, 38.0, 38.0,
+                        0.7, 2.0, 1025.0, 0.0)
+    pro = morison_loads(wave, model.coords, model.conn, D_m, 38.0, 38.0,
+                        0.7, 2.0, 1025.0, 0.0, current_alpha=1.0 / 7.0)
+    d_u = np.linalg.norm(np.asarray(uni.total_drag))
+    d_p = np.linalg.norm(np.asarray(pro.total_drag))
+    assert 0.5 * d_u < d_p < 0.95 * d_u
+
+
+def test_current_profile_separable_matches_pointwise():
+    model, wave, D_m = _model_and_args(None)
+    ts = jnp.arange(6) * 9.4 / 6
+    mb = morison_phase_batch(wave, model.coords, model.conn, D_m, 38.0,
+                             120.0, 0.7, 2.0, 1025.0, ts,
+                             current_alpha=1.0 / 7.0)
+    for i, t in enumerate(np.asarray(ts)):
+        r = morison_loads(wave, model.coords, model.conn, D_m, 38.0, 120.0,
+                          0.7, 2.0, 1025.0, float(t), accel="analytic",
+                          current_alpha=1.0 / 7.0)
+        scale = np.abs(np.asarray(r.nodal_forces)).max()
+        # the separable path skips the raschii z-clamp the pointwise path
+        # replicates, a documented ~3e-5 difference in the 1 cm band below
+        # the surface (same magnitude with or without the profile)
+        np.testing.assert_allclose(np.asarray(mb.nodal_forces[i]),
+                                   np.asarray(r.nodal_forces),
+                                   rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_current_profile_pallas_matches_xla():
+    model = sf.default_3leg_jacket(dtype=jnp.float32)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                        dtype=jnp.float32)
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    ts = jnp.arange(6, dtype=jnp.float32) * jnp.float32(9.4) / 6
+    pal = morison_phase_batch_pallas(wave, model.coords, model.conn, D_m,
+                                     38.0, 120.0, 0.7, 2.0, 1025.0, ts,
+                                     current_alpha=1.0 / 7.0, interpret=True)
+    ref = morison_phase_batch(wave, model.coords, model.conn,
+                              D_m.astype(jnp.float32), jnp.float32(38.0),
+                              jnp.float32(120.0), jnp.float32(0.7),
+                              jnp.float32(2.0), jnp.float32(1025.0), ts,
+                              current_alpha=1.0 / 7.0)
+    a = np.asarray(pal.nodal_forces, np.float64)
+    b = np.asarray(ref.nodal_forces, np.float64)
+    assert np.abs(a - b).max() / np.abs(b).max() < 2e-3
+
+
+def test_analyze_and_scan_accept_hydro_options():
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    res = sf.analyze(model, wave, case, solver="chol", accel="analytic",
+                     stretching="wheeler", current_alpha=1.0 / 7.0)
+    assert np.isfinite(np.asarray(res.U)).all()
+    base = sf.analyze(model, wave, case, solver="chol", accel="analytic")
+    # the options change the loading (and therefore the answer)
+    assert not np.allclose(np.asarray(res.U), np.asarray(base.U))
+    coarse = model
+    refined = sf.refine_model(coarse, 2)
+    scan = sf.phase_scan_condensed(coarse, refined, 2, wave, case, n_steps=3,
+                                   kinematics="pointwise", accel="analytic",
+                                   stretching="wheeler",
+                                   current_alpha=1.0 / 7.0)
+    assert np.isfinite(np.asarray(scan.U)).all()
+    with pytest.raises(ValueError):
+        sf.phase_scan_condensed(coarse, refined, 2, wave, case, n_steps=3,
+                                kinematics="separable", stretching="wheeler")
