@@ -17,7 +17,8 @@ from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
 from .models.model import JacketModel, build_model, refine_model
 from .models.presets import DEFAULT_STORM, default_3leg_jacket
 from .ops.dynamics import (HarmonicResponse, ModalResults, dynamic_response,
-                           modal_analysis, modal_analysis_condensed)
+                           dynamic_response_condensed, modal_analysis,
+                           modal_analysis_condensed)
 from .ops.fenton import fenton_wave
 from .ops.morison import MorisonLoads, morison_loads, phase_scan
 from .ops.sections import TubeSections, tube_sections

@@ -340,7 +340,7 @@ def cmd_dynamic(args):
     """Steady-state wave-frequency dynamic response + DAF."""
     import numpy as np
 
-    from .ops.dynamics import dynamic_response
+    from .ops.dynamics import dynamic_response, dynamic_response_condensed
 
     import contextlib
 
@@ -353,10 +353,20 @@ def cmd_dynamic(args):
     if jax.devices()[0].platform != "cpu":
         ctx = jax.default_device(jax.devices("cpu")[0])
     with ctx:
-        resp = dynamic_response(model, wave, case,
-                                n_harmonics=args.n_harmonics,
-                                damping_ratio=args.damping,
-                                n_steps=args.phase_steps)
+        if getattr(args, "refine", 1) > 1:
+            from .models.model import refine_model
+            refined = refine_model(model, args.refine)
+            print(f"Craig-Bampton reduced dynamic response: "
+                  f"{refined.n_dof} DOF refined mesh")
+            resp = dynamic_response_condensed(
+                model, refined, args.refine, wave, case,
+                n_harmonics=args.n_harmonics, damping_ratio=args.damping,
+                n_steps=args.phase_steps, n_chain_modes=args.chain_modes)
+        else:
+            resp = dynamic_response(model, wave, case,
+                                    n_harmonics=args.n_harmonics,
+                                    damping_ratio=args.damping,
+                                    n_steps=args.phase_steps)
     print(f"Rayleigh damping: alpha={float(resp.rayleigh_alpha):.4f} "
           f"beta={float(resp.rayleigh_beta):.2e} "
           f"(zeta={args.damping:.1%})")
@@ -422,6 +432,11 @@ def main(argv=None):
     dy.add_argument("--damping", type=float, default=0.02,
                     help="modal damping ratio")
     dy.add_argument("--phase-steps", type=int, default=72)
+    dy.add_argument("--refine", type=int, default=1,
+                    help="subdivide members (>1 uses the Craig-Bampton "
+                         "reduced path)")
+    dy.add_argument("--chain-modes", type=int, default=12,
+                    help="retained fixed-interface modes per member chain")
     dy.set_defaults(fn=cmd_dynamic)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")

@@ -199,35 +199,38 @@ def _chain_dense(A, B, C, E, n_seg):
     return X_ii, X_ib, X_bb
 
 
-def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
-                             E: float = 210000.0, nu: float = 0.3,
-                             topside_mass_t: float = 0.0,
-                             n_chain_modes: int = 12) -> ModalResults:
-    """Craig-Bampton reduced modal analysis for chain-refined jackets.
+class CBReduction(NamedTuple):
+    """Craig-Bampton reduction of a chain-refined jacket (see
+    :func:`modal_analysis_condensed`)."""
 
-    The dense path (:func:`modal_analysis`) is O(n^3) on the full refined
-    DOF count and caps out at a few thousand DOF.  Here every member chain
-    is reduced to its 12 interface DOFs (constraint modes = the exact static
-    condensation) plus its ``n_chain_modes`` lowest fixed-interface normal
-    modes — the classical Craig-Bampton (1968) superelement — all batched
-    over members.  The reduced eigenproblem has
-    ``6 n_coarse_nodes + Mc * n_chain_modes`` DOF (534 for the default
-    jacket at any refinement with 8 modes/chain) regardless of n_seg.
+    K_red: jnp.ndarray      # [n_red, n_red]
+    M_red: jnp.ndarray      # [n_red, n_red]
+    free: jnp.ndarray       # free reduced DOFs (fixed coarse nodes clamped)
+    Psi: jnp.ndarray        # [Mc, N, 12] constraint modes
+    Phi: jnp.ndarray        # [Mc, N, m] fixed-interface modes
+    bdof: jnp.ndarray       # [Mc, 12] interface DOF ids per member
+    qdof: jnp.ndarray       # [Mc, m] generalized DOF ids per member
+    n_red: int
+    nc: int
+    Mc: int
+    m: int
+    L_m: jnp.ndarray        # [Mr] refined member lengths
+    K_local: jnp.ndarray    # [Mr, 12, 12] for stress recovery
+    T: jnp.ndarray          # [Mr, 12, 12]
 
-    Retained-mode rule of thumb: global modes converge rapidly below the
-    lowest truncated chain frequency; with 12 modes/chain the first ~10
-    jacket modes match the dense solution to ~1e-7 at n_seg=8
-    (tests/test_dynamics.py).
-    """
+
+def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
+               topside_mass_t: float, n_chain_modes: int) -> CBReduction:
+    """Build the reduced (K, M) and the member transformation blocks."""
     from .assembly import assemble_dense
     from .solve import free_fixed_dofs
 
     dtype = refined.coords.dtype
     G = E / (2.0 * (1.0 + nu))
     with jax.default_matmul_precision("highest"):
-        Kg, _, _, L_m = element_stiffness(refined.coords, refined.conn,
-                                          refined.sections, refined.sect_id,
-                                          E, G)
+        Kg, K_local, T, L_m = element_stiffness(
+            refined.coords, refined.conn, refined.sections, refined.sect_id,
+            E, G)
         Mg = element_mass(refined.coords, refined.conn, refined.sections,
                           refined.sect_id)
         KA, KB, KC, KE = _chain_blocks(Kg, n_seg)
@@ -242,12 +245,14 @@ def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
         dk = 1.0 / jnp.sqrt(jnp.diagonal(K_ii, axis1=-2, axis2=-1))
         Ks = K_ii * dk[:, :, None] * dk[:, None, :]
         Lk = jnp.linalg.cholesky(Ks)
+
         def spd_solve(rhs):
             y = jax.scipy.linalg.solve_triangular(
                 Lk, dk[:, :, None] * rhs, lower=True)
             y = jax.scipy.linalg.solve_triangular(
                 jnp.swapaxes(Lk, -1, -2), y, lower=False)
             return dk[:, :, None] * y
+
         Psi = -spd_solve(K_ib)                          # [Mc, N, 12]
 
         # fixed-interface normal modes (batched generalized eigh)
@@ -267,7 +272,8 @@ def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
             + jnp.swapaxes(Psi, -1, -2) @ M_ib \
             + jnp.swapaxes(Psi, -1, -2) @ MPsi
         K_bb_r = K_bb + jnp.swapaxes(K_ib, -1, -2) @ Psi   # = K_super
-        M_bq = (jnp.swapaxes(M_ib, -1, -2) + jnp.swapaxes(Psi, -1, -2) @ M_ii) @ Phi  # [Mc, 12, m]
+        M_bq = (jnp.swapaxes(M_ib, -1, -2)
+                + jnp.swapaxes(Psi, -1, -2) @ M_ii) @ Phi  # [Mc, 12, m]
 
         # global reduced assembly: interface DOFs + per-member mode DOFs
         n_red = 6 * nc + Mc * m
@@ -299,23 +305,56 @@ def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
         free_b, _ = free_fixed_dofs(coarse.fixed_mask)
         free = jnp.concatenate([jnp.asarray(free_b),
                                 6 * nc + jnp.arange(Mc * m)])
-        K_ff = K_red[jnp.ix_(free, free)]
-        M_ff = M_red[jnp.ix_(free, free)]
-        omega, shapes_r = _modal_from_ff(K_ff, M_ff, free, n_red, n_modes,
-                                         dtype)
+    return CBReduction(K_red=K_red, M_red=M_red, free=free, Psi=Psi,
+                       Phi=Phi, bdof=bdof, qdof=qdof, n_red=n_red, nc=nc,
+                       Mc=Mc, m=m, L_m=L_m, K_local=K_local, T=T)
 
-        # expand to the refined mesh: v = Psi u_b + Phi q per member
-        u_b = shapes_r[:, :6 * nc]                       # [n_modes, 6 nc]
-        q = shapes_r[:, 6 * nc:].reshape(n_modes, Mc, m)
-        ub_e = u_b[:, bdof]                              # [n_modes, Mc, 12]
-        v = jnp.einsum("mnj,kmj->kmn", Psi, ub_e) \
-            + jnp.einsum("mnq,kmq->kmn", Phi, q)         # [n_modes, Mc, N]
-        shapes = jnp.concatenate([
-            u_b, v.reshape(n_modes, -1)], axis=1)        # refined layout
+
+def _cb_expand(cb: CBReduction, shapes_r):
+    """Expand reduced-coordinate vectors [..., n_red] to the refined mesh
+    layout [..., n_dof_refined] (v = Psi u_b + Phi q per member)."""
+    lead = shapes_r.shape[:-1]
+    u_b = shapes_r[..., :6 * cb.nc]
+    q = shapes_r[..., 6 * cb.nc:].reshape(*lead, cb.Mc, cb.m)
+    ub_e = u_b[..., cb.bdof.reshape(-1)].reshape(*lead, cb.Mc, 12)
+    v = jnp.einsum("mnj,...mj->...mn", cb.Psi, ub_e) \
+        + jnp.einsum("mnq,...mq->...mn", cb.Phi, q)    # [..., Mc, N]
+    return jnp.concatenate([u_b, v.reshape(*lead, -1)], axis=-1)
+
+
+def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
+                             E: float = 210000.0, nu: float = 0.3,
+                             topside_mass_t: float = 0.0,
+                             n_chain_modes: int = 12) -> ModalResults:
+    """Craig-Bampton reduced modal analysis for chain-refined jackets.
+
+    The dense path (:func:`modal_analysis`) is O(n^3) on the full refined
+    DOF count and caps out at a few thousand DOF.  Here every member chain
+    is reduced to its 12 interface DOFs (constraint modes = the exact static
+    condensation) plus its ``n_chain_modes`` lowest fixed-interface normal
+    modes — the classical Craig-Bampton (1968) superelement — all batched
+    over members.  The reduced eigenproblem has
+    ``6 n_coarse_nodes + Mc * n_chain_modes`` DOF (738 for the default
+    jacket at any refinement with 12 modes/chain) regardless of n_seg.
+
+    Retained-mode rule of thumb: global modes converge rapidly below the
+    lowest truncated chain frequency; with 16 modes/chain the first ~12
+    jacket modes match the dense solution to ~1e-6 at n_seg=8
+    (tests/test_dynamics.py).
+    """
+    dtype = refined.coords.dtype
+    cb = _cb_reduce(coarse, refined, n_seg, E, nu, topside_mass_t,
+                    n_chain_modes)
+    with jax.default_matmul_precision("highest"):
+        K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
+        M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]
+        omega, shapes_r = _modal_from_ff(K_ff, M_ff, cb.free, cb.n_red,
+                                         n_modes, dtype)
+        shapes = _cb_expand(cb, shapes_r)
         # interior layout: member-major [Mc, n_int, 6] == refine_model order
 
     mass_per_m = refined.sections.mass_per_m[refined.sect_id]
-    total_mass = jnp.sum(mass_per_m * L_m) / 1000.0 + topside_mass_t
+    total_mass = jnp.sum(mass_per_m * cb.L_m) / 1000.0 + topside_mass_t
     return ModalResults(
         frequencies_hz=omega / (2.0 * jnp.pi),
         omega=omega,
@@ -323,6 +362,119 @@ def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
         mode_shapes=shapes,
         total_mass_t=total_mass,
     )
+
+
+def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
+                               n_harmonics: int = 6,
+                               damping_ratio: float = 0.02,
+                               n_steps: int = 72, n_gauss: int = 15,
+                               topside_mass_t: float | None = None,
+                               n_chain_modes: int = 12) -> "HarmonicResponse":
+    """Steady-state dynamic response of a REFINED jacket on the
+    Craig-Bampton reduced basis.
+
+    Same physics as :func:`dynamic_response` (Fourier-decomposed Morison
+    loading incl. drag super-harmonics, Rayleigh damping, complex harmonic
+    solves) but the harmonic systems live in the refinement-independent
+    reduced space (interface DOFs + chain modes), so meshes far beyond the
+    dense ~3k-DOF cap run in seconds.  Loads are evaluated on the FULL
+    refined mesh and projected with the CB transformation (the work-
+    conjugate reduction), and responses are expanded back for full-field
+    stress recovery.
+    """
+    from ..api import assemble_loads
+    from .beams import matmul12, matvec12
+    from .morison import morison_phase_batch
+    from .sections import von_mises_8pt
+
+    dtype = refined.coords.dtype
+    case = case.cast(dtype)
+    if topside_mass_t is None:
+        topside_mass_t = float(case.custom_sw_tonnes)
+    cb = _cb_reduce(coarse, refined, n_seg, float(case.E), float(case.nu),
+                    topside_mass_t, n_chain_modes)
+    nc, Mc = cb.nc, cb.Mc
+
+    with jax.default_matmul_precision("highest"):
+        K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
+        M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]
+        omega_n, _ = _modal_from_ff(K_ff, M_ff, cb.free, cb.n_red, 6, dtype)
+    omega_np = np.asarray(omega_n)
+    w1 = float(omega_np[0])
+    w2 = next((float(w) for w in omega_np[1:] if w > 1.01 * w1), 3.0 * w1)
+    alpha = damping_ratio * 2.0 * w1 * w2 / (w1 + w2)
+    beta = damping_ratio * 2.0 / (w1 + w2)
+
+    with jax.default_matmul_precision("highest"):
+        # loads over one period on the refined mesh, projected to CB space
+        ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
+        D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+        mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
+                                 case.wave_dir_deg, case.current_dir_deg,
+                                 case.Cd, case.Cm, case.rho_water, ts,
+                                 n_gauss=n_gauss)
+        F = jax.vmap(lambda nodal: assemble_loads(
+            refined, case, nodal, cb.L_m))(mb.nodal_forces)  # [S, n_dof_ref]
+        Fn = F.reshape(n_steps, -1, 6)
+        F_b = Fn[:, :nc].reshape(n_steps, -1)                # [S, 6 nc]
+        n_int = n_seg - 1
+        F_i = Fn[:, nc:].reshape(n_steps, Mc, n_int * 6)     # [S, Mc, N]
+        F_red = jnp.zeros((n_steps, cb.n_red), dtype)
+        F_red = F_red.at[:, :6 * nc].set(F_b)
+        F_red = F_red.at[:, cb.bdof].add(
+            jnp.einsum("mnj,smn->smj", cb.Psi, F_i))
+        F_red = F_red.at[:, cb.qdof].add(
+            jnp.einsum("mnq,smn->smq", cb.Phi, F_i))
+        F_f = F_red[:, cb.free]
+
+        Fh = jnp.fft.rfft(F_f, axis=0) / n_steps
+        n_h = min(n_harmonics, Fh.shape[0] - 1)
+        coef = Fh[: n_h + 1].at[1:].multiply(2.0)
+        if n_steps % 2 == 0 and n_h == n_steps // 2:
+            coef = coef.at[-1].multiply(0.5)
+
+        omega = wave.omega.astype(dtype)
+        U_hat = harmonic_solve(K_ff, M_ff, coef, omega, alpha, beta)
+        U_hat_static = jnp.stack(
+            [jnp.linalg.solve(K_ff, coef[j].real).astype(U_hat.dtype)
+             + 1j * jnp.linalg.solve(K_ff, coef[j].imag).astype(U_hat.dtype)
+             for j in range(n_h + 1)])
+
+        j = jnp.arange(n_h + 1, dtype=dtype)
+        phase = jnp.exp(1j * j[None, :] * omega * ts[:, None])
+
+        def reconstruct(U_h):
+            u = jnp.real(jnp.einsum("sj,jf->sf", phase, U_h)).astype(dtype)
+            U_red = jnp.zeros((n_steps, cb.n_red), dtype)
+            U_red = U_red.at[:, cb.free].set(u)
+            return _cb_expand(cb, U_red)                 # [S, n_dof_ref]
+
+        U_time = reconstruct(U_hat)
+        U_static = reconstruct(U_hat_static)
+
+        KT6 = -matmul12(cb.K_local, cb.T)[:, :6, :]
+        dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
+                                6 * refined.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+
+        def util_of(U):
+            F1 = matvec12(KT6, U[:, dofs])
+            vm = von_mises_8pt(refined.sections, refined.sect_id,
+                               F1[..., 0], F1[..., 1], F1[..., 2],
+                               F1[..., 3], F1[..., 4], F1[..., 5])
+            return vm / case.fy
+
+        disp = lambda U: jnp.max(jnp.linalg.norm(
+            U.reshape(n_steps, -1, 6)[:, :, :3], axis=-1))
+        return HarmonicResponse(
+            ts=ts, U_time=U_time, U_static=U_static,
+            utilization=util_of(U_time),
+            utilization_static=util_of(U_static),
+            daf=disp(U_time) / jnp.maximum(disp(U_static), 1e-30),
+            omega=omega,
+            rayleigh_alpha=jnp.asarray(alpha, dtype),
+            rayleigh_beta=jnp.asarray(beta, dtype),
+        )
 
 
 class HarmonicResponse(NamedTuple):

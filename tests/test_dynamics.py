@@ -158,3 +158,28 @@ def test_craig_bampton_deep_refinement():
                                     n_chain_modes=12)
     np.testing.assert_allclose(np.asarray(cb32.frequencies_hz),
                                np.asarray(cb8.frequencies_hz), rtol=2e-3)
+
+
+def test_craig_bampton_dynamic_response_matches_dense():
+    """Reduced harmonic response equals the dense path (exact with all
+    chain modes retained); deep refinement runs beyond the dense cap."""
+    from small_fem_solver_tpu.ops.dynamics import (dynamic_response,
+                                                   dynamic_response_condensed)
+    coarse = sf.default_3leg_jacket()
+    n_seg = 4
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    d = dynamic_response(refined, wave, case, n_harmonics=4, n_steps=24)
+    c = dynamic_response_condensed(coarse, refined, n_seg, wave, case,
+                                   n_harmonics=4, n_steps=24,
+                                   n_chain_modes=18)  # all -> exact
+    np.testing.assert_allclose(float(c.daf), float(d.daf), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(c.U_time), np.asarray(d.U_time),
+                               rtol=1e-8,
+                               atol=1e-9 * float(np.abs(d.U_time).max()))
+    np.testing.assert_allclose(np.asarray(c.utilization),
+                               np.asarray(d.utilization), rtol=1e-8,
+                               atol=1e-10)
