@@ -1,0 +1,178 @@
+"""Buckling checks: member Euler screening and global linearized buckling.
+
+A capability beyond the reference, which excludes buckling entirely (its
+Info tab exclusion list, `/root/reference/JacketAnalysisGUI_v2.py:1544-1799`)
+— yet axially loaded tubular members are exactly where jacket designs fail
+first.  Two levels, both batched TPU-style:
+
+1. :func:`euler_member_screen` — per-member axial force vs the Euler
+   critical load pi^2 E I / (K L)^2 (a code-style slenderness screen;
+   effective-length factor selectable).
+2. :func:`buckling_analysis` — linearized (eigenvalue) buckling: the
+   consistent geometric stiffness K_G(N) is assembled from the linear
+   solution's member axial forces and the critical load factor comes from
+   K phi = -lambda K_G phi, solved as a symmetric eigenproblem through the
+   Cholesky factor of K_ff.  lambda_cr > 1 means the applied load case is
+   below the elastic buckling load.
+
+Geometric element stiffness: the standard consistent 12x12 beam matrix
+(lateral 6/5, coupling L/10, rotary 2L^2/15 / -L^2/30 terms in both bending
+planes, with the same theta_y sign pattern as the elastic matrix), expressed
+as one [M, 4] x [4, 144] pattern contraction like ops/beams.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .beams import congruence, local_axes, transformation_matrices
+
+
+def _build_gpat():
+    """Constant patterns: K_g_local = (N/L) P0 + N P1 + N L P2 + N L P3."""
+    P = np.zeros((4, 12, 12))
+
+    def sym(c, i, j, v):
+        P[c, i, j] += v
+        if i != j:
+            P[c, j, i] += v
+
+    # lateral terms 6/5 (both planes): v = dofs 1/7, w = dofs 2/8
+    for a, b in [(1, 7), (2, 8)]:
+        sym(0, a, a, 1.2)
+        sym(0, b, b, 1.2)
+        sym(0, a, b, -1.2)
+    # coupling N/10: v-theta_z (1,5 | 7,11) plane, sign like elastic K
+    sym(1, 1, 5, 0.1)
+    sym(1, 1, 11, 0.1)
+    sym(1, 7, 5, -0.1)
+    sym(1, 7, 11, -0.1)
+    # w-theta_y (2,4 | 8,10) plane: theta_y = -w' sign pattern
+    sym(1, 2, 4, -0.1)
+    sym(1, 2, 10, -0.1)
+    sym(1, 8, 4, 0.1)
+    sym(1, 8, 10, 0.1)
+    # rotary 2 L^2 / 15 on theta^2 diagonals
+    for a, b in [(5, 11), (4, 10)]:
+        sym(2, a, a, 2.0 / 15.0)
+        sym(2, b, b, 2.0 / 15.0)
+        sym(3, a, b, -1.0 / 30.0)
+    return P.reshape(4, 144)
+
+
+_GPAT = _build_gpat()
+
+
+def element_geometric_stiffness(coords, conn, N_axial):
+    """Stacked global-frame geometric stiffness [M, 12, 12].
+
+    ``N_axial``: [M] member axial force in N, POSITIVE IN COMPRESSION (so
+    the assembled K_G is the destabilizing matrix and the eigenproblem reads
+    K phi = lambda K_G phi).  Units: N/mm blocks like the elastic K.
+    """
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    dL = c2 - c1
+    L = jnp.linalg.norm(dL, axis=-1)
+    L_mm = L * 1000.0
+    coeffs = jnp.stack([
+        N_axial / L_mm,
+        N_axial,
+        N_axial * L_mm,
+        N_axial * L_mm,
+    ], axis=-1)                                            # [M, 4]
+    pat = jnp.asarray(_GPAT, dtype=coords.dtype)
+    Kg_local = (coeffs @ pat).reshape(-1, 12, 12)
+    R = local_axes(dL, L)
+    T = transformation_matrices(R)
+    return congruence(T, Kg_local)
+
+
+class BucklingResults(NamedTuple):
+    load_factor: jnp.ndarray        # [n_modes] lambda_cr (ascending, >0)
+    mode_shapes: jnp.ndarray        # [n_modes, n_dof]
+    member_axial_N: jnp.ndarray     # [M] axial force used (+ compression)
+
+
+class EulerScreen(NamedTuple):
+    axial_N: jnp.ndarray            # [M] axial force (+ compression)
+    P_euler_N: jnp.ndarray          # [M] pi^2 E I / (K L)^2
+    utilization: jnp.ndarray        # [M] axial / P_euler (0 for tension)
+
+
+def member_axial_forces(results) -> jnp.ndarray:
+    """[M] axial force, positive in compression, from an AnalysisResults.
+
+    F1_local carries the node-1 end force with the reference's sign flip
+    (`JacketAnalysisGUI_v2.py:424-432`), under which a member in pure
+    compression has F1_x = -P (verified against an axially loaded column),
+    hence the negation here.
+    """
+    return -results.F1_local[..., 0]
+
+
+def euler_member_screen(model, results, E: float = 210000.0,
+                        k_factor: float = 1.0) -> EulerScreen:
+    """Member-level Euler buckling screen (pin-ended by default).
+
+    ``k_factor``: effective-length factor (1.0 pinned-pinned; 0.7/2.0 etc.
+    per support conditions — jacket braces are commonly checked with 0.8).
+    """
+    _, _, _, L = model.member_geometry()
+    L_mm = L * 1000.0
+    Imin = jnp.minimum(model.sections.Iy, model.sections.Iz)[model.sect_id]
+    P_cr = jnp.pi**2 * E * Imin / (k_factor * L_mm) ** 2
+    N = member_axial_forces(results)
+    util = jnp.where(N > 0, N / P_cr, 0.0)
+    return EulerScreen(axial_N=N, P_euler_N=P_cr, utilization=util)
+
+
+def buckling_analysis(model, results, E: float = 210000.0, nu: float = 0.3,
+                      n_modes: int = 4) -> BucklingResults:
+    """Linearized global buckling factors for the applied load case.
+
+    Solves K phi = lambda K_G(N) phi on the free DOFs (dense path; use the
+    coarse model or mild refinements).  ``results`` supplies the member
+    axial forces of the linear solution; lambda_cr is the multiplier on the
+    WHOLE load case at which elastic bifurcation occurs.
+    """
+    from .assembly import assemble_dense
+    from .beams import element_stiffness
+    from .solve import free_fixed_dofs
+
+    dtype = model.coords.dtype
+    G = E / (2.0 * (1.0 + nu))
+    with jax.default_matmul_precision("highest"):
+        Kg, _, _, _ = element_stiffness(model.coords, model.conn,
+                                        model.sections, model.sect_id, E, G)
+        N = member_axial_forces(results).astype(dtype)
+        KGg = element_geometric_stiffness(model.coords, model.conn, N)
+        K = assemble_dense(Kg, model.conn, model.n_dof)
+        KG = assemble_dense(KGg, model.conn, model.n_dof)
+        free, _ = free_fixed_dofs(model.fixed_mask)
+        free = jnp.asarray(free)
+        K_ff = K[jnp.ix_(free, free)]
+        KG_ff = KG[jnp.ix_(free, free)]
+
+        # K phi = lambda K_G phi -> L^-1 K_G L^-T y = (1/lambda) y with
+        # K_ff = L L^T; the LARGEST eigenvalues mu give the LOWEST factors
+        d = 1.0 / jnp.sqrt(jnp.diagonal(K_ff))
+        Ks = K_ff * d[:, None] * d[None, :]
+        Lc = jnp.linalg.cholesky(Ks)
+        B = KG_ff * d[:, None] * d[None, :]
+        Y = jax.scipy.linalg.solve_triangular(Lc, B, lower=True)
+        A = jax.scipy.linalg.solve_triangular(Lc, Y.T, lower=True)
+        A = 0.5 * (A + A.T)
+        mu, V = jnp.linalg.eigh(A)                        # ascending
+        mu_top = mu[::-1][:n_modes]                       # largest first
+        lam = jnp.where(mu_top > 1e-12, 1.0 / mu_top, jnp.inf)
+        phi_y = V[:, ::-1][:, :n_modes]
+        phi_f = d[:, None] * jax.scipy.linalg.solve_triangular(
+            Lc.T, phi_y, lower=False)
+        shapes = jnp.zeros((n_modes, model.n_dof), dtype)
+        shapes = shapes.at[:, free].set(phi_f.T)
+    return BucklingResults(load_factor=lam, mode_shapes=shapes,
+                           member_axial_N=N)

@@ -1,0 +1,74 @@
+"""Buckling checks: Euler-column validation and jacket screening."""
+import jax.numpy as jnp
+import numpy as np
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.ops.buckling import (buckling_analysis,
+                                               euler_member_screen,
+                                               member_axial_forces)
+
+
+def _column(L=20.0, D=1000.0, t=20.0):
+    nodes = {"BASE": (0.0, 0.0, 0.0), "TIP": (0.0, 0.0, L)}
+    members = [{"name": "COL", "node1": "BASE", "node2": "TIP",
+                "type": "leg"}]
+    return sf.build_model(nodes, members, fixed_nodes=["BASE"],
+                          top_nodes=["TIP"], leg_section=(D, t))
+
+
+def test_cantilever_euler_load():
+    """Linearized buckling of a tip-loaded cantilever column reproduces
+    P_cr = pi^2 E I / (2L)^2 with the Timoshenko shear reduction
+    1 / (1 + P_E / (G A_s)) — the classic geometric-stiffness validation."""
+    L = 20.0
+    col = _column(L)
+    ref = sf.refine_model(col, 8)
+    wave = sf.airy_wave(1e-9, 9.4, 50.0)
+    P_kN = 1000.0
+    res = sf.analyze(ref, wave, sf.LoadCase(F_axial_kN=P_kN, sw_mode="none"),
+                     solver="chol")
+    # axial force: positive in compression, equal to the applied load
+    N = np.asarray(member_axial_forces(res))
+    np.testing.assert_allclose(N, P_kN * 1e3, rtol=1e-8)
+
+    lam = float(buckling_analysis(ref, res).load_factor[0])
+    E, G = 210000.0, 210000.0 / 2.6
+    I = float(col.sections.Iy[0])
+    As = float(col.sections.Ay[0])
+    P_E = np.pi**2 * E * I / (2 * L * 1000.0) ** 2
+    P_timo = P_E / (1.0 + P_E / (G * As))
+    np.testing.assert_allclose(lam * P_kN * 1e3, P_timo, rtol=2e-3)
+
+
+def test_buckling_factor_scales_inversely_with_load():
+    """Doubling the applied load halves the linearized buckling factor."""
+    col = _column()
+    ref = sf.refine_model(col, 4)
+    wave = sf.airy_wave(1e-9, 9.4, 50.0)
+    r1 = sf.analyze(ref, wave, sf.LoadCase(F_axial_kN=500.0, sw_mode="none"),
+                    solver="chol")
+    r2 = sf.analyze(ref, wave, sf.LoadCase(F_axial_kN=1000.0, sw_mode="none"),
+                    solver="chol")
+    l1 = float(buckling_analysis(ref, r1).load_factor[0])
+    l2 = float(buckling_analysis(ref, r2).load_factor[0])
+    np.testing.assert_allclose(l1 / l2, 2.0, rtol=1e-9)
+
+
+def test_jacket_storm_screen():
+    """Default storm case: the jacket is far from elastic buckling, legs
+    carry the compression, and tension members screen to zero."""
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom",
+                       t_analysis=0.34)
+    res = sf.analyze(model, wave, case, solver="chol")
+    b = buckling_analysis(model, res)
+    lam = np.asarray(b.load_factor)
+    assert lam[0] > 5.0 and np.all(np.diff(lam) >= -1e-9)
+    scr = euler_member_screen(model, res, k_factor=0.8)
+    util = np.asarray(scr.utilization)
+    assert 0.0 < util.max() < 0.5
+    N = np.asarray(scr.axial_N)
+    assert np.all(util[N <= 0] == 0.0)   # tension members excluded
