@@ -68,3 +68,29 @@ def test_stack_waves_rejects_mixed_clamp():
     ws = sf.stokes_wave(3.0, 9.0, 50.0, order=5, n_modes=5)
     with pytest.raises(ValueError):
         stack_waves([wa, ws])
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host plumbing degenerates correctly on one process: the global
+    mesh covers the 8 virtual devices, the local slice is everything, and
+    the host-batched envelope equals the plain sharded envelope."""
+    from small_fem_solver_tpu.parallel.multihost import (
+        global_case_mesh, init_multihost, multihost_design_envelope,
+        process_local_slice)
+
+    assert init_multihost() is False          # single-process no-op
+    mesh = global_case_mesh()
+    assert mesh.devices.size == 8
+    assert process_local_slice(10) == slice(0, 10)
+
+    model = sf.default_3leg_jacket()
+    Hs = np.linspace(3.0, 12.0, 8)
+    env = multihost_design_envelope(model, Hs, 9.4, 50.0, 1.7, _base_case(),
+                                    wave_model="stokes", N=5, n_modes=8,
+                                    n_steps=4, dtype=jnp.float64)
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    cases = make_case_batch(_base_case(), t_analysis=jnp.zeros(8))
+    ref = sf.design_envelope(model, waves, cases, n_steps=4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(env.max_util_per_case),
+                               np.asarray(ref.max_util_per_case), rtol=1e-12)
