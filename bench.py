@@ -174,6 +174,49 @@ def check_pallas_device():
           f"nodal rel {rel:.1e}, totals rel {tot:.1e}", file=sys.stderr)
 
 
+def measure_assembly(n_seg: int = 327):
+    """Global-K assembly throughput (BASELINE.md metric: GDOF/s).
+
+    Times batched element stiffness + BCSR assembly for the ~100k-DOF
+    refined jacket in float32 (the large-mesh production dtype for
+    assembly; the solve itself needs f64 at this depth).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.api import _cached_bcsr_pattern
+    from small_fem_solver_tpu.ops.assembly import assemble_bcsr
+    from small_fem_solver_tpu.ops.beams import element_stiffness
+
+    model = sf.refine_model(sf.default_3leg_jacket(dtype=jnp.float32), n_seg)
+    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+    E = jnp.float32(210000.0)
+
+    @jax.jit
+    def assemble(coords):
+        with jax.default_matmul_precision("highest"):
+            Kg, _, _, _ = element_stiffness(coords, model.conn,
+                                            model.sections, model.sect_id,
+                                            E, E / 2.6)
+            return assemble_bcsr(Kg, pattern)
+
+    assemble(model.coords).blocks.block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.time()
+        last = None
+        for _ in range(10):
+            last = assemble(model.coords)
+        last.blocks.block_until_ready()
+        best = min(best, (_time.time() - t0) / 10)
+    gdofs = model.n_dof / best / 1e9
+    print(f"[bench] assembly: {model.n_dof} DOF elementK+BCSR in "
+          f"{best*1e3:.2f} ms = {gdofs:.3f} GDOF/s", file=sys.stderr)
+
+
 def measure_large(n_seg: int = 327):
     """~100k-DOF end-to-end analysis (BASELINE.md large-mesh target).
 
@@ -257,6 +300,7 @@ def main():
 
     check_pallas_device()
     ms, ndof = measure_flagship(args.repeats)
+    measure_assembly()
 
     if args.large:
         measure_large()

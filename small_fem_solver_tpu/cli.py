@@ -295,6 +295,35 @@ def cmd_envelope(args):
         print(f"  {refined.member_names[e]:<30} {worst[e]:>8.2%}")
 
 
+def cmd_buckling(args):
+    """Member Euler screen + linearized global buckling factors."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+
+    model, wave, case = _setup(args)
+    res = sf.analyze(model, wave, case, solver="chol")
+    b = sf.buckling_analysis(model, res, E=args.E, nu=args.nu,
+                             n_modes=args.n_modes)
+    scr = sf.euler_member_screen(model, res, E=args.E,
+                                 k_factor=args.k_factor)
+    lam = np.asarray(b.load_factor)
+    print("linearized global buckling load factors (on this load case):")
+    for i, l in enumerate(lam):
+        print(f"  mode {i+1}: lambda_cr = {l:.2f}")
+    if lam[0] < 1.0:
+        print("  WARNING: lambda_cr < 1 — elastic buckling below the "
+              "applied load!")
+    util = np.asarray(scr.utilization)
+    N = np.asarray(scr.axial_N) / 1e3
+    order = np.argsort(util)[::-1][:10]
+    print(f"member Euler screen (K = {args.k_factor}):")
+    print(f"  {'Member':<22} {'N [kN]':>10} {'P_cr [kN]':>12} {'Util':>8}")
+    for e in order:
+        print(f"  {model.member_names[e]:<22} {N[e]:>10.0f} "
+              f"{np.asarray(scr.P_euler_N)[e]/1e3:>12.0f} {util[e]:>8.2%}")
+
+
 def cmd_modes(args):
     """Natural frequencies (modal analysis) — beyond the reference's scope."""
     import contextlib
@@ -438,6 +467,15 @@ def main(argv=None):
     dy.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per member chain")
     dy.set_defaults(fn=cmd_dynamic)
+
+    bk = sub.add_parser("buckling",
+                        help="member Euler screen + linearized global "
+                             "buckling (beyond the reference's scope)")
+    _add_common(bk)
+    bk.add_argument("--k-factor", type=float, default=0.8,
+                    help="member effective-length factor for the screen")
+    bk.add_argument("--n-modes", type=int, default=4)
+    bk.set_defaults(fn=cmd_buckling)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
     _add_common(md)

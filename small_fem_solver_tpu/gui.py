@@ -629,6 +629,7 @@ class JacketGUI:
             self.analysis_results = res
             self.analysis_model = model
             self.analysis_case = case
+            self.analysis_scan = scan
             util = float(np.asarray(res.utilization).max())
             messagebox.showinfo(
                 "Complete",
@@ -649,6 +650,8 @@ class JacketGUI:
                    command=self.show_summary).pack(side=tk.LEFT, padx=4)
         ttk.Button(btns, text="3D Utilization Plot",
                    command=self.plot_results).pack(side=tk.LEFT, padx=4)
+        ttk.Button(btns, text="Phase Scan Plot",
+                   command=self.plot_phase_scan).pack(side=tk.LEFT, padx=4)
         ttk.Button(btns, text="Export CSV...",
                    command=self.export_csv).pack(side=tk.LEFT, padx=4)
         self.results_text = tk.Text(f, font=("Consolas", 9))
@@ -681,6 +684,31 @@ class JacketGUI:
         _draw_structure(ax, self.analysis_model,
                         member_colors=[_util_color(u) for u in util])
         ax.set_title(f"Max utilization {util.max():.1%}")
+        plt.show()
+
+    def plot_phase_scan(self):
+        scan = getattr(self, "analysis_scan", None)
+        if scan is None:
+            messagebox.showwarning(
+                "Warning", "Run an analysis with the phase-scan option "
+                "checked first!")
+            return
+        import matplotlib
+        matplotlib.use("TkAgg")
+        import matplotlib.pyplot as plt
+        t = np.asarray(scan.t)
+        fig, ax = plt.subplots(figsize=(9, 5))
+        ax.plot(t, np.asarray(scan.total_kN), label="total", lw=2)
+        ax.plot(t, np.asarray(scan.drag_kN), label="drag", ls="--")
+        ax.plot(t, np.asarray(scan.inertia_kN), label="inertia", ls=":")
+        ci = int(scan.critical_index)
+        ax.axvline(t[ci], color="red", alpha=0.5,
+                   label=f"critical t={t[ci]:.2f}s")
+        ax.set_xlabel("t [s]")
+        ax.set_ylabel("|F| [kN]")
+        ax.set_title("Morison force over one wave period")
+        ax.legend()
+        ax.grid(alpha=0.3)
         plt.show()
 
     def export_csv(self):
