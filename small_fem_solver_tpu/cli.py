@@ -150,6 +150,17 @@ def cmd_run(args):
                               case.Cd, case.Cm, case.rho_water,
                               n_steps=args.phase_steps, accel=args.accel)
 
+    if getattr(args, "refine", 1) > 1:
+        refined = sf.refine_model(model, args.refine)
+        print(f"[refined] {refined.n_dof} DOF via exact chain condensation "
+              f"({'nested' if args.refine >= 64 and args.refine % 2 == 0 else 'flat'})")
+        chain = "nested" if args.refine >= 64 and args.refine % 2 == 0 \
+            else "thomas"
+        res = sf.analyze_condensed(model, refined, args.refine, wave, case,
+                                   accel=args.accel, chain_solver=chain)
+        print(render_report(refined, wave, case, res, phase_scan=scan))
+        _outputs(args, refined, res)
+        return
     res = sf.analyze(model, wave, case, solver=args.solver, accel=args.accel)
     print(render_report(model, wave, case, res, phase_scan=scan))
     _outputs(args, model, res)
@@ -426,6 +437,9 @@ def main(argv=None):
     run.add_argument("--phase-scan", action="store_true",
                      help="scan one period for the critical phase")
     run.add_argument("--phase-steps", type=int, default=36)
+    run.add_argument("--refine", type=int, default=1,
+                     help="subdivide members (>1 solves the refined mesh "
+                          "via exact chain condensation; 327 -> ~100k DOF)")
     run.set_defaults(fn=cmd_run)
 
     sw = sub.add_parser("sweep", help="vmapped (H, heading) design envelope")
