@@ -72,7 +72,7 @@ def measure_flagship(repeats: int = 5):
         # inflates timings, so take the min over several rounds.
         N = max(repeats, 10)
         amortized = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             last = None
             for _ in range(N):

@@ -134,3 +134,19 @@ def test_cli_run_smoke(tmp_path):
     assert out_csv.exists()
     data = json.loads(out_json.read_text())
     assert "member_forces" in data and len(data["member_forces"]) == 51
+
+
+def test_cli_run_refine(capsys):
+    """'run --refine N' routes through the condensed large-mesh solver."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "run", "--refine", "4"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "chain condensation" in out
+    assert "Nodes: 174, Members: 204" in out
+    assert "ANALYSIS COMPLETE" in out
