@@ -16,6 +16,8 @@ from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)
 from .models.model import JacketModel, build_model, refine_model
 from .models.presets import DEFAULT_STORM, default_3leg_jacket
+from .ops.design import (SectionSensitivities, SizingResult,
+                          optimize_sections, section_sensitivities)
 from .ops.buckling import (BucklingResults, EulerScreen,
                            buckling_analysis, euler_member_screen)
 from .ops.dynamics import (HarmonicResponse, ModalResults, dynamic_response,

@@ -132,7 +132,10 @@ def morison_loads(
     eb = e[:, None, :]
     U_perp = U - jnp.sum(U * eb, axis=-1, keepdims=True) * eb
     A_perp = A - jnp.sum(A * eb, axis=-1, keepdims=True) * eb
-    U_mag = jnp.linalg.norm(U_perp, axis=-1)
+    # grad-safe norm: U_perp is exactly zero at dry points and sqrt's vjp at
+    # 0 is NaN, which would poison design gradients (forward is unchanged)
+    U_sq = jnp.sum(U_perp * U_perp, axis=-1)
+    U_mag = jnp.where(U_sq > 0, jnp.sqrt(jnp.where(U_sq > 0, U_sq, 1.0)), 0.0)
 
     D = D_m[:, None]
     Lw = (L[:, None] * w[None, :])                        # [M, Q] line measure
@@ -354,7 +357,8 @@ def morison_phase_batch(
     Ae = Ax_ * ex + Ay_ * ey + Az_ * ez
     Upx, Upy, Upz = Ux - Ue * ex, Uy - Ue * ey, Uz - Ue * ez
     Apx, Apy, Apz = Ax_ - Ae * ex, Ay_ - Ae * ey, Az_ - Ae * ez
-    Umag = jnp.sqrt(Upx**2 + Upy**2 + Upz**2)
+    Usq = Upx**2 + Upy**2 + Upz**2
+    Umag = jnp.where(Usq > 0, jnp.sqrt(jnp.where(Usq > 0, Usq, 1.0)), 0.0)
 
     Dp = jnp.repeat(D_m, Q)[None, :]
     Lw = jnp.repeat(L, Q)[None, :] * jnp.tile(w, M)[None, :]

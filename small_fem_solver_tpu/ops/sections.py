@@ -120,8 +120,15 @@ def von_mises_8pt(sec: TubeSections, sect_id, Fx, Fy, Fz, Mx, My, Mz):
     y, z = stress_point_offsets(Ro)           # [M, 8]
     sigma = (Fx / Axs)[..., None] + (My / Iys)[..., None] * z + (Mz / Izs)[..., None] * y
     # R at every one of the 8 points is R_outer (y^2+z^2 = R_outer^2).
-    tau = jnp.sqrt((Mx * Ro / Ixs) ** 2 + (Fy / Ays) ** 2 + (Fz / Azs) ** 2)
-    vm = jnp.sqrt(sigma**2 + 3.0 * tau[..., None] ** 2)
+    # grad-safe sqrt (forward unchanged): sqrt's vjp at an exactly-zero
+    # argument is NaN, which would poison end-to-end design gradients for
+    # any member with zero shear+torsion
+    def _safe_sqrt(x):
+        pos = x > 0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+    tau = _safe_sqrt((Mx * Ro / Ixs) ** 2 + (Fy / Ays) ** 2 + (Fz / Azs) ** 2)
+    vm = _safe_sqrt(sigma**2 + 3.0 * tau[..., None] ** 2)
     return jnp.max(vm, axis=-1)
 
 
