@@ -23,6 +23,7 @@ from .ops.buckling import (BucklingResults, EulerScreen,
 from .ops.dynamics import (HarmonicResponse, ModalResults, dynamic_response,
                            dynamic_response_condensed, modal_analysis,
                            modal_analysis_condensed)
+from .ops.fatigue import FatigueScreen, fatigue_screen
 from .ops.fenton import fenton_wave
 from .ops.morison import MorisonLoads, morison_loads, phase_scan
 from .ops.sections import TubeSections, tube_sections

@@ -306,6 +306,71 @@ def cmd_envelope(args):
         print(f"  {refined.member_names[e]:<30} {worst[e]:>8.2%}")
 
 
+def cmd_optimize(args):
+    """Gradient-based section sizing (differentiable design)."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+
+    model, wave, case = _setup(args)
+    s = sf.section_sensitivities(model, wave, case)
+    print("sensitivities at the current design "
+          "(d/d(D_leg, t_leg, D_brace, t_brace), per mm):")
+    print(f"  max utilization: {np.asarray(s.dutil)}")
+    print(f"  mass [t]:        {np.asarray(s.dmass_t)}")
+    print(f"  starting: util {float(s.util_max):.3f}, "
+          f"mass {float(s.mass_t):.0f} t")
+    opt = sf.optimize_sections(model, wave, case,
+                               target_util=args.target_util,
+                               n_iter=args.n_iter)
+    print(f"optimized wall thicknesses (target util "
+          f"{args.target_util:.0%}, {args.n_iter} differentiated analyses):")
+    print(f"  t_leg   {float(model.sections.t[0]):.1f} -> "
+          f"{float(opt.t_leg):.1f} mm")
+    print(f"  t_brace {float(model.sections.t[1]):.1f} -> "
+          f"{float(opt.t_brace):.1f} mm")
+    print(f"  utilization {float(opt.util_max):.3f}, "
+          f"mass {float(opt.mass_t):.0f} t "
+          f"({1 - float(opt.mass_t)/float(s.mass_t):.0%} saved)")
+
+
+def cmd_fatigue(args):
+    """Deterministic fatigue screen on a phase-resolved scan."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from .ops.fatigue import fatigue_screen
+
+    model, wave, case = _setup(args)
+    refined = sf.refine_model(model, args.refine) if args.refine > 1 else model
+    if args.refine > 1:
+        scan = sf.phase_scan_condensed(model, refined, args.refine, wave,
+                                       case, n_steps=args.phase_steps)
+        vm = scan.von_mises
+    else:
+        _, batch = sf.analyze_phase_batch(model, wave, case,
+                                          n_steps=args.phase_steps)
+        vm = batch.von_mises
+    scr = fatigue_screen(vm, T_wave=args.T, exposure_years=args.years,
+                         curve=args.curve, scf=args.scf,
+                         occurrence=args.occurrence)
+    dmg = np.asarray(scr.damage)
+    life = np.asarray(scr.life_years)
+    order = np.argsort(dmg)[::-1][:10]
+    print(f"fatigue screen: curve {args.curve}, SCF {args.scf}, "
+          f"{args.years:.0f} y exposure x {args.occurrence:.0%} occurrence "
+          f"({scr.n_cycles:.2e} cycles)")
+    print(f"  {'Member':<24} {'dS [MPa]':>9} {'Damage':>10} {'Life [y]':>10}")
+    names = refined.member_names
+    S = np.asarray(scr.stress_range_mpa)
+    for e in order:
+        lf = f"{life[e]:.1f}" if np.isfinite(life[e]) else "inf"
+        print(f"  {names[e]:<24} {S[e]:>9.1f} {dmg[e]:>10.3e} {lf:>10}")
+    if dmg.max() > 1.0:
+        print("  WARNING: Miner damage > 1 — fatigue life shorter than "
+              "the exposure!")
+
+
 def cmd_buckling(args):
     """Member Euler screen + linearized global buckling factors."""
     import numpy as np
@@ -481,6 +546,28 @@ def main(argv=None):
     dy.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per member chain")
     dy.set_defaults(fn=cmd_dynamic)
+
+    op = sub.add_parser("optimize",
+                        help="gradient-based section sizing "
+                             "(differentiable design)")
+    _add_common(op)
+    op.add_argument("--target-util", type=float, default=0.8)
+    op.add_argument("--n-iter", type=int, default=80)
+    op.set_defaults(fn=cmd_optimize)
+
+    fa = sub.add_parser("fatigue",
+                        help="deterministic S-N fatigue screen on a "
+                             "phase-resolved scan")
+    _add_common(fa)
+    fa.add_argument("--years", type=float, default=25.0)
+    fa.add_argument("--curve", default="D-sea-cp",
+                    help="S-N curve: D, D-sea-cp, F")
+    fa.add_argument("--scf", type=float, default=1.5)
+    fa.add_argument("--occurrence", type=float, default=1.0,
+                    help="fraction of the exposure this sea state acts")
+    fa.add_argument("--phase-steps", type=int, default=36)
+    fa.add_argument("--refine", type=int, default=1)
+    fa.set_defaults(fn=cmd_fatigue)
 
     bk = sub.add_parser("buckling",
                         help="member Euler screen + linearized global "
