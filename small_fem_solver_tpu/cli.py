@@ -14,8 +14,10 @@ maps to a flag or a JSON model file:
   results tab            -> --csv out.csv --plot out.png (+ printed report)
 
 Extra subcommands beyond the GUI: ``sweep`` (vmapped design envelope),
-``refined`` (condensed large-mesh phase scan), ``save-default`` (write the
-default jacket to JSON), ``bench``.
+``refined`` (condensed large-mesh phase scan), ``envelope`` (multi-case
+storm envelope), ``modes`` / ``dynamic`` (Craig-Bampton-reduced for
+``--refine``), ``buckling``, ``optimize`` (differentiable sizing),
+``fatigue`` (S-N screen), ``save-default`` (write the default jacket JSON).
 
 Usage examples:
     python -m small_fem_solver_tpu.cli run --phase-scan --csv forces.csv
