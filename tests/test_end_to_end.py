@@ -114,7 +114,8 @@ def test_phase_batch_consistent_with_single_solves(golden_default):
     model = sf.default_3leg_jacket()
     wave = sf.airy_wave(p["H"], p["T"], p["d"], p["U_c"])
     case = _case_from_params(p)
-    ts, batch = sf.analyze_phase_batch(model, wave, case, n_steps=8)
+    ts, batch = sf.analyze_phase_batch(model, wave, case, n_steps=8,
+                                       accel="fd")   # match analyze()'s default
     for i in [0, 3, 7]:
         case_i = sf.LoadCase(**{**{f.name: getattr(case, f.name)
                                    for f in case.__dataclass_fields__.values()},
@@ -179,3 +180,23 @@ def test_pcg_diagnostics_and_nonconvergence_warning(golden_default):
         warnings.simplefilter("always")
         sf.analyze(model, wave, case, solver="pcg", pcg_maxiter=2)
         assert any("PCG did not converge" in str(x.message) for x in w)
+
+
+def test_phase_batch_analytic_default_avoids_fd_emergence_spike():
+    """The reference's dt=1e-3 FD acceleration produces an O(u/dt) inertia
+    spike at phases where a quadrature point emerges within the FD window;
+    densely sampled batches hit such phases, so analyze_phase_batch defaults
+    to the analytic derivative (documented; 'fd' remains available for
+    bit-level reference semantics)."""
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=18)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    _, b_an = sf.analyze_phase_batch(model, wave, case, n_steps=72)
+    _, b_fd = sf.analyze_phase_batch(model, wave, case, n_steps=72,
+                                     accel="fd")
+    u_an = float(np.asarray(b_an.utilization).max())
+    u_fd = float(np.asarray(b_fd.utilization).max())
+    assert u_an < 0.5                      # physical storm response
+    assert u_fd > 2.0 * u_an               # the documented spike
