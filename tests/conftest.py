@@ -33,3 +33,13 @@ def golden_default():
 @pytest.fixture(scope="session")
 def golden_variant():
     return json.loads((GOLDEN_DIR / "variant_case.json").read_text())
+
+
+@pytest.fixture(scope="session")
+def golden_shallow():
+    return json.loads((GOLDEN_DIR / "shallow_case.json").read_text())
+
+
+@pytest.fixture(scope="session")
+def golden_custom_tower():
+    return json.loads((GOLDEN_DIR / "custom_tower_case.json").read_text())

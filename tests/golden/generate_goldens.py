@@ -42,14 +42,21 @@ def load_reference():
     return mod
 
 
-def run_case(ref, params):
+def run_case(ref, params, geometry=None):
     """Replicates the computation flow of JacketAnalysisGUI.run_analysis
-    (`JacketAnalysisGUI_v2.py:1827-2082`) without the GUI."""
+    (`JacketAnalysisGUI_v2.py:1827-2082`) without the GUI.
+
+    ``geometry``: optional (nodes, members, fixed, top) tuple; default is
+    the built-in 3-leg jacket.
+    """
     p = params
     section_leg = ref.TubularSection(p["D_leg"], p["t_leg"], "Leg", p["rho_steel"])
     section_brace = ref.TubularSection(p["D_brace"], p["t_brace"], "Brace", p["rho_steel"])
 
-    nodes, members, fixed, top = ref.create_default_3leg_jacket(47.0)
+    if geometry is None:
+        nodes, members, fixed, top = ref.create_default_3leg_jacket(47.0)
+    else:
+        nodes, members, fixed, top = geometry
     structure = ref.CustomJacketStructure(nodes, members, section_leg,
                                           section_brace, fixed, top, p["rho_steel"])
 
@@ -164,11 +171,61 @@ VARIANT.update(
     sw_mode="calculated", t_analysis=2.35,
 )
 
+# shallow water (k d ~ 0.9), no current, no self-weight, oblique heading
+SHALLOW = dict(DEFAULT)
+SHALLOW.update(
+    H=4.2, T=12.5, d=15.0, U_c=0.0, wave_dir=270.0, current_dir=0.0,
+    F_axial_kN=8000.0, F_shear_kN=900.0, sw_mode="none", t_analysis=5.1,
+)
+
+
+def custom_tower_geometry():
+    """A NON-default structure (4-leg square tower, X-braced one bay) so
+    golden parity also covers user-built geometry, not just the preset."""
+    s = 8.0
+    nodes = {}
+    for i, (x, y) in enumerate([(-s, -s), (s, -s), (s, s), (-s, s)]):
+        nodes[f"L{i+1}B"] = np.array([x, y, -30.0])
+        nodes[f"L{i+1}M"] = np.array([0.8 * x, 0.8 * y, -12.0])
+        nodes[f"L{i+1}T"] = np.array([0.6 * x, 0.6 * y, 6.0])
+    members = []
+    for i in range(4):
+        members.append(dict(name=f"LEG{i+1}A", node1=f"L{i+1}B",
+                            node2=f"L{i+1}M", type="leg"))
+        members.append(dict(name=f"LEG{i+1}B", node1=f"L{i+1}M",
+                            node2=f"L{i+1}T", type="leg"))
+    ring = [1, 2, 3, 4, 1]
+    for a, b in zip(ring[:-1], ring[1:]):
+        members.append(dict(name=f"HB{a}{b}", node1=f"L{a}M",
+                            node2=f"L{b}M", type="h_brace"))
+        members.append(dict(name=f"XB{a}{b}", node1=f"L{a}B",
+                            node2=f"L{b}M", type="x_brace"))
+        members.append(dict(name=f"XT{a}{b}", node1=f"L{a}M",
+                            node2=f"L{b}T", type="x_brace"))
+    fixed = [f"L{i+1}B" for i in range(4)]
+    top = [f"L{i+1}T" for i in range(4)]
+    return nodes, members, fixed, top
+
+
+CUSTOM = dict(DEFAULT)
+CUSTOM.update(H=7.5, T=10.0, d=35.0, U_c=1.1, wave_dir=200.0,
+              current_dir=155.0, F_axial_kN=12000.0, F_shear_kN=1500.0,
+              M_moment_kNm=6000.0, sw_mode="calculated", t_analysis=1.8,
+              D_leg=1400.0, t_leg=50.0, D_brace=600.0, t_brace=25.0)
+
 
 def main():
     ref = load_reference()
-    for name, params in [("default_case", DEFAULT), ("variant_case", VARIANT)]:
-        out = run_case(ref, params)
+    cases = [("default_case", DEFAULT, None),
+             ("variant_case", VARIANT, None),
+             ("shallow_case", SHALLOW, None),
+             ("custom_tower_case", CUSTOM, custom_tower_geometry())]
+    for name, params, geom in cases:
+        out = run_case(ref, params, geometry=geom)
+        if geom is not None:
+            out["geometry"] = dict(
+                nodes={k: np.asarray(v).tolist() for k, v in geom[0].items()},
+                members=geom[1], fixed=geom[2], top=geom[3])
         path = HERE / f"{name}.json"
         path.write_text(json.dumps(out))
         print(f"wrote {path} ({path.stat().st_size} bytes)")

@@ -200,3 +200,50 @@ def test_phase_batch_analytic_default_avoids_fd_emergence_spike():
     u_fd = float(np.asarray(b_fd.utilization).max())
     assert u_an < 0.5                      # physical storm response
     assert u_fd > 2.0 * u_an               # the documented spike
+
+
+def test_shallow_water_case_matches_reference(golden_shallow):
+    """Golden parity in the shallow-water regime (k d ~ 0.9: the dispersion
+    solve and the cosh/sinh depth profiles behave very differently from the
+    deep default), sw_mode='none', zero current, westward heading."""
+    g = golden_shallow
+    model, res = _run(g)
+    for key, ours in [("F_global", res.F_applied), ("U", res.U)]:
+        ref = np.array(g["fem"][key])
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-8,
+                                   atol=1e-8 * scale)
+    vm_ref = np.array([m["von_mises_max_MPa"]
+                       for m in g["fem"]["internal_forces"]])
+    np.testing.assert_allclose(np.asarray(res.von_mises), vm_ref, rtol=1e-8)
+
+
+def test_custom_tower_case_matches_reference(golden_custom_tower):
+    """Golden parity for a NON-default structure (4-leg tower built from the
+    same dict schema users feed build_model): covers user geometry, member
+    auto-typing, 'calculated' self-weight and different sections."""
+    g = golden_custom_tower
+    p = g["params"]
+    geom = g["geometry"]
+    model = sf.build_model(
+        nodes={k: tuple(v) for k, v in geom["nodes"].items()},
+        members=geom["members"], fixed_nodes=geom["fixed"],
+        top_nodes=geom["top"],
+        leg_section=(p["D_leg"], p["t_leg"]),
+        brace_section=(p["D_brace"], p["t_brace"]),
+        rho_steel=p["rho_steel"])
+    wave = sf.airy_wave(p["H"], p["T"], p["d"], p["U_c"])
+    res = sf.analyze(model, wave, _case_from_params(p), solver="lu")
+    for key, ours in [("F_global", res.F_applied), ("U", res.U)]:
+        ref = np.array(g["fem"][key])
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-8,
+                                   atol=1e-8 * scale)
+    ref_if = g["fem"]["internal_forces"]
+    assert [m["member"] for m in ref_if] == list(model.member_names)
+    vm_ref = np.array([m["von_mises_max_MPa"] for m in ref_if])
+    np.testing.assert_allclose(np.asarray(res.von_mises), vm_ref, rtol=1e-8)
+    R_ref = np.array([g["fem"]["reactions"][n]
+                      for n in model.fixed_node_names()])
+    np.testing.assert_allclose(np.asarray(res.reactions), R_ref, rtol=1e-8,
+                               atol=1e-8 * np.abs(R_ref).max())
