@@ -298,9 +298,13 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
-    check_pallas_device()
+    # ordering matters: check_pallas_device and measure_large flip the
+    # global jax_enable_x64 flag (needed for their f64 oracles) and MUST run
+    # after the f32 flagship/assembly measurements so the primary metric's
+    # session config stays identical across rounds
     ms, ndof = measure_flagship(args.repeats)
     measure_assembly()
+    check_pallas_device()
 
     if args.large:
         measure_large()

@@ -243,49 +243,59 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
     return res
 
 
+@partial(jax.jit, static_argnames=("n_gauss", "accel", "stretching",
+                                   "current_alpha"))
+def _pcg_dist_prep(model, wave, case, pattern, n_gauss, accel, stretching,
+                   current_alpha):
+    with jax.default_matmul_precision("highest"):
+        G = case.E / (2.0 * (1.0 + case.nu))
+        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        mor = morison_loads(wave, model.coords, model.conn, D_m,
+                            case.wave_dir_deg, case.current_dir_deg,
+                            case.Cd, case.Cm, case.rho_water,
+                            case.t_analysis, n_gauss=n_gauss, accel=accel,
+                            stretching=stretching,
+                            current_alpha=current_alpha)
+        Kg, K_local, T, L_m = element_stiffness(
+            model.coords, model.conn, model.sections, model.sect_id,
+            case.E, G)
+        F = assemble_loads(model, case, mor.nodal_forces, L_m)
+        A = assemble_bcsr(Kg, pattern)
+        return mor, K_local, T, L_m, F, A
+
+
+@jax.jit
+def _pcg_dist_recover(model, case, A, U, F, fixed, K_local, T, L_m, mor,
+                      n_iter, resid):
+    with jax.default_matmul_precision("highest"):
+        R = bcsr_matvec(A, U) - F
+        return _recover_sparse(model, case, U, F, R, fixed,
+                               K_local, T, L_m, mor,
+                               solver_iters=n_iter, solver_residual=resid)
+
+
 def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
                       pcg_tol, pcg_maxiter, stretching="none",
                       current_alpha=None):
-    """Distributed-PCG variant of the single-analysis pipeline."""
+    """Distributed-PCG variant of the single-analysis pipeline.
+
+    The jitted prep/recovery programs are module-level (compiled once per
+    mesh topology, not per call)."""
     from .parallel.pcg_dist import distributed_pcg
 
     pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
     axis = mesh.axis_names[0]
 
-    @jax.jit
-    def prep(model, wave, case):
-        with jax.default_matmul_precision("highest"):
-            G = case.E / (2.0 * (1.0 + case.nu))
-            D_m = model.sections.D_outer[model.sect_id] / 1000.0
-            mor = morison_loads(wave, model.coords, model.conn, D_m,
-                                case.wave_dir_deg, case.current_dir_deg,
-                                case.Cd, case.Cm, case.rho_water,
-                                case.t_analysis, n_gauss=n_gauss, accel=accel,
-                                stretching=stretching,
-                                current_alpha=current_alpha)
-            Kg, K_local, T, L_m = element_stiffness(
-                model.coords, model.conn, model.sections, model.sect_id,
-                case.E, G)
-            F = assemble_loads(model, case, mor.nodal_forces, L_m)
-            A = assemble_bcsr(Kg, pattern)
-            return mor, K_local, T, L_m, F, A
-
-    mor, K_local, T, L_m, F, A = prep(model, wave, case)
+    mor, K_local, T, L_m, F, A = _pcg_dist_prep(
+        model, wave, case, pattern, n_gauss, accel, stretching,
+        current_alpha)
     U, n_iter, resid = distributed_pcg(A, F, model.fixed_mask, mesh,
                                        axis=axis, tol=pcg_tol,
                                        maxiter=pcg_maxiter)
     U = U.astype(F.dtype)
 
-    @jax.jit
-    def recover(U, F):
-        with jax.default_matmul_precision("highest"):
-            R = bcsr_matvec(A, U) - F
-            return _recover_sparse(model, case, U, F, R, fixed,
-                                   K_local, T, L_m, mor,
-                                   solver_iters=n_iter,
-                                   solver_residual=resid)
-
-    res = recover(U, F)
+    res = _pcg_dist_recover(model, case, A, U, F, fixed, K_local, T, L_m,
+                            mor, n_iter, resid)
     rel = float(res.solver_residual)
     if not rel <= pcg_tol:
         import warnings

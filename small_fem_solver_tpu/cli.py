@@ -153,13 +153,27 @@ def cmd_run(args):
                               n_steps=args.phase_steps, accel=args.accel)
 
     if getattr(args, "refine", 1) > 1:
+        import jax.numpy as jnp
+
+        from .ops.condense import nested_split
+        if args.f32 and args.refine > 32:
+            raise SystemExit(
+                "--f32 with --refine > 32 is numerically invalid: the "
+                "float32 chain factorization error grows ~n_seg^4 (O(1) by "
+                "n_seg ~ 300; see docs/ARCHITECTURE.md section 4). Drop "
+                "--f32 for deep refinements (float64 runs on TPU too).")
+        try:
+            nested_split(args.refine)
+            chain = "nested" if args.refine >= 64 else "thomas"
+        except ValueError:                      # prime n_seg: flat only
+            chain = "thomas"
+        solve_dtype = jnp.float32 if args.f32 else jnp.float64
         refined = sf.refine_model(model, args.refine)
         print(f"[refined] {refined.n_dof} DOF via exact chain condensation "
-              f"({'nested' if args.refine >= 64 and args.refine % 2 == 0 else 'flat'})")
-        chain = "nested" if args.refine >= 64 and args.refine % 2 == 0 \
-            else "thomas"
+              f"({chain})")
         res = sf.analyze_condensed(model, refined, args.refine, wave, case,
-                                   accel=args.accel, chain_solver=chain)
+                                   accel=args.accel, chain_solver=chain,
+                                   solve_dtype=solve_dtype)
         print(render_report(refined, wave, case, res, phase_scan=scan))
         _outputs(args, refined, res)
         return
@@ -308,6 +322,18 @@ def cmd_envelope(args):
         print(f"  {refined.member_names[e]:<30} {worst[e]:>8.2%}")
 
 
+def _cpu_if_f64(args):
+    """Route float64 dense factorizations (cholesky/eigh) to the host CPU
+    when the session is f64 on a TPU backend — same pattern as cmd_modes."""
+    import contextlib
+
+    import jax
+
+    if not getattr(args, "f32", False) and jax.devices()[0].platform != "cpu":
+        return jax.default_device(jax.devices("cpu")[0])
+    return contextlib.nullcontext()
+
+
 def cmd_optimize(args):
     """Gradient-based section sizing (differentiable design)."""
     import numpy as np
@@ -315,16 +341,18 @@ def cmd_optimize(args):
     import small_fem_solver_tpu as sf
 
     model, wave, case = _setup(args)
-    s = sf.section_sensitivities(model, wave, case)
+    with _cpu_if_f64(args):
+        s = sf.section_sensitivities(model, wave, case)
     print("sensitivities at the current design "
           "(d/d(D_leg, t_leg, D_brace, t_brace), per mm):")
     print(f"  max utilization: {np.asarray(s.dutil)}")
     print(f"  mass [t]:        {np.asarray(s.dmass_t)}")
     print(f"  starting: util {float(s.util_max):.3f}, "
           f"mass {float(s.mass_t):.0f} t")
-    opt = sf.optimize_sections(model, wave, case,
-                               target_util=args.target_util,
-                               n_iter=args.n_iter)
+    with _cpu_if_f64(args):
+        opt = sf.optimize_sections(model, wave, case,
+                                   target_util=args.target_util,
+                                   n_iter=args.n_iter)
     print(f"optimized wall thicknesses (target util "
           f"{args.target_util:.0%}, {args.n_iter} differentiated analyses):")
     print(f"  t_leg   {float(model.sections.t[0]):.1f} -> "
@@ -345,14 +373,15 @@ def cmd_fatigue(args):
 
     model, wave, case = _setup(args)
     refined = sf.refine_model(model, args.refine) if args.refine > 1 else model
-    if args.refine > 1:
-        scan = sf.phase_scan_condensed(model, refined, args.refine, wave,
-                                       case, n_steps=args.phase_steps)
-        vm = scan.von_mises
-    else:
-        _, batch = sf.analyze_phase_batch(model, wave, case,
-                                          n_steps=args.phase_steps)
-        vm = batch.von_mises
+    with _cpu_if_f64(args):
+        if args.refine > 1:
+            scan = sf.phase_scan_condensed(model, refined, args.refine, wave,
+                                           case, n_steps=args.phase_steps)
+            vm = scan.von_mises
+        else:
+            _, batch = sf.analyze_phase_batch(model, wave, case,
+                                              n_steps=args.phase_steps)
+            vm = batch.von_mises
     scr = fatigue_screen(vm, T_wave=args.T, exposure_years=args.years,
                          curve=args.curve, scf=args.scf,
                          occurrence=args.occurrence)
@@ -380,11 +409,12 @@ def cmd_buckling(args):
     import small_fem_solver_tpu as sf
 
     model, wave, case = _setup(args)
-    res = sf.analyze(model, wave, case, solver="chol")
-    b = sf.buckling_analysis(model, res, E=args.E, nu=args.nu,
-                             n_modes=args.n_modes)
-    scr = sf.euler_member_screen(model, res, E=args.E,
-                                 k_factor=args.k_factor)
+    with _cpu_if_f64(args):
+        res = sf.analyze(model, wave, case, solver="chol")
+        b = sf.buckling_analysis(model, res, E=args.E, nu=args.nu,
+                                 n_modes=args.n_modes)
+        scr = sf.euler_member_screen(model, res, E=args.E,
+                                     k_factor=args.k_factor)
     lam = np.asarray(b.load_factor)
     print("linearized global buckling load factors (on this load case):")
     for i, l in enumerate(lam):

@@ -115,17 +115,34 @@ def member_axial_forces(results) -> jnp.ndarray:
 
 
 def euler_member_screen(model, results, E: float = 210000.0,
-                        k_factor: float = 1.0) -> EulerScreen:
+                        k_factor: float = 1.0,
+                        n_seg: int = 1) -> EulerScreen:
     """Member-level Euler buckling screen (pin-ended by default).
 
     ``k_factor``: effective-length factor (1.0 pinned-pinned; 0.7/2.0 etc.
     per support conditions — jacket braces are commonly checked with 0.8).
+
+    IMPORTANT for refined meshes: Euler capacity depends on the PHYSICAL
+    member length.  When ``model``/``results`` live on a
+    ``refine_model(coarse, n_seg)`` mesh, pass that ``n_seg`` — the screen
+    then aggregates each parent member's chain (full length, worst-segment
+    axial force).  Screening refined elements with their segment lengths
+    would inflate P_euler by n_seg^2 and hide every real failure.
+    Outputs have one row per PHYSICAL member (M_refined / n_seg rows).
     """
     _, _, _, L = model.member_geometry()
-    L_mm = L * 1000.0
-    Imin = jnp.minimum(model.sections.Iy, model.sections.Iz)[model.sect_id]
-    P_cr = jnp.pi**2 * E * Imin / (k_factor * L_mm) ** 2
     N = member_axial_forces(results)
+    sect_id = model.sect_id
+    if n_seg > 1:
+        Mc = model.n_members // n_seg
+        # chain segments are member-major and colinear: the physical length
+        # is the sum; the governing axial force is the chain max
+        L = jnp.sum(L.reshape(Mc, n_seg), axis=1)
+        N = jnp.max(N.reshape(Mc, n_seg), axis=1)
+        sect_id = sect_id.reshape(Mc, n_seg)[:, 0]
+    L_mm = L * 1000.0
+    Imin = jnp.minimum(model.sections.Iy, model.sections.Iz)[sect_id]
+    P_cr = jnp.pi**2 * E * Imin / (k_factor * L_mm) ** 2
     util = jnp.where(N > 0, N / P_cr, 0.0)
     return EulerScreen(axial_N=N, P_euler_N=P_cr, utilization=util)
 

@@ -28,6 +28,24 @@ from .sections import tube_sections
 from .solve import free_fixed_dofs
 
 
+def _check_two_sections(model):
+    if np.asarray(model.sections.D_outer).shape[0] != 2:
+        raise ValueError(
+            "design sensitivities/sizing parameterize the standard "
+            "2-section (leg/brace) layout; this model carries "
+            f"{np.asarray(model.sections.D_outer).shape[0]} sections")
+
+
+def _mass_t(model, params):
+    """Structural mass [t] — depends only on sections and lengths (no FEM)."""
+    D_leg, t_leg, D_brace, t_brace = params
+    sections = tube_sections(jnp.stack([D_leg, D_brace]),
+                             jnp.stack([t_leg, t_brace]),
+                             model.sections.rho_steel)
+    L = model.member_geometry()[3]
+    return jnp.sum(sections.mass_per_m[model.sect_id] * L) / 1000.0
+
+
 def _respond(model, wave, case, params, n_gauss, accel, free, fixed, tau):
     """(util_soft, mass_t, utilization) for section params
     (D_leg, t_leg, D_brace, t_brace) [mm]."""
@@ -67,6 +85,7 @@ def section_sensitivities(model, wave, case, n_gauss: int = 15,
     (None = hard max; its gradient is the governing member's, which is the
     correct sensitivity almost everywhere).
     """
+    _check_two_sections(model)
     free_np, fixed_np = free_fixed_dofs(model.fixed_mask)
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
     dtype = model.coords.dtype
@@ -81,12 +100,10 @@ def section_sensitivities(model, wave, case, n_gauss: int = 15,
                 return _respond(model, wave, case, p, n_gauss, accel, free,
                                 fixed, tau)[0]
 
-            def f_mass(p):
-                return _respond(model, wave, case, p, n_gauss, accel, free,
-                                fixed, tau)[1]
-
+            # one differentiated FEM pass for utilization; the mass gradient
+            # needs no FEM (sections x lengths only)
             (u, du) = jax.value_and_grad(f_util)(params)
-            (mt, dm) = jax.value_and_grad(f_mass)(params)
+            (mt, dm) = jax.value_and_grad(lambda p: _mass_t(model, p))(params)
             return u, du, mt, dm
 
     u, du, mt, dm = val_and_grads(params)
@@ -114,6 +131,7 @@ def optimize_sections(model, wave, case, target_util: float = 0.8,
     after each step.  Diameters are held fixed (change the model's sections
     to size them too).  Each iteration is ONE differentiated full analysis.
     """
+    _check_two_sections(model)
     free_np, fixed_np = free_fixed_dofs(model.fixed_mask)
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
     dtype = model.coords.dtype
@@ -153,7 +171,15 @@ def optimize_sections(model, wave, case, target_util: float = 0.8,
         step_len = lr * (1.0 - 0.9 * i / n_iter)   # decaying step [mm]
         t_leg, t_brace, u, m = step(t_leg, t_brace,
                                     jnp.asarray(step_len, dtype))
+        # (u, m) describe the PRE-step design; history records the pair that
+        # was actually evaluated together
         hist[i] = [float(t_leg), float(t_brace), float(u), float(m)]
+
+    # evaluate the RETURNED design (hist carries the pre-step responses, so
+    # the final thicknesses would otherwise be reported with the previous
+    # iterate's utilization/mass)
+    u_fin, m_fin, _ = _respond(
+        model, wave, case, jnp.stack([D_leg, t_leg, D_brace, t_brace]),
+        n_gauss, accel, free, fixed, None)
     return SizingResult(t_leg=t_leg, t_brace=t_brace,
-                        util_max=jnp.asarray(hist[-1, 2]),
-                        mass_t=jnp.asarray(hist[-1, 3]), history=hist)
+                        util_max=u_fin, mass_t=m_fin, history=hist)

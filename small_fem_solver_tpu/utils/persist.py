@@ -124,6 +124,9 @@ def design_envelope_resumable(model_or_coarse, waves, cases, out_dir,
     blocks are computed this call (None = all; the return is None until
     every chunk exists).  Extra kwargs pass through to the envelope solver.
     """
+    import hashlib
+    import json
+
     import jax
 
     from ..api import design_envelope, design_envelope_condensed
@@ -132,6 +135,27 @@ def design_envelope_resumable(model_or_coarse, waves, cases, out_dir,
     out.mkdir(parents=True, exist_ok=True)
     n_cases = int(np.asarray(jax.tree.leaves(cases)[0]).shape[0])
     n_chunks = -(-n_cases // chunk_size)
+
+    # manifest: a resumed run must describe the SAME sweep — otherwise stale
+    # chunk files from a different partition/case set would merge silently
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves((waves, cases)):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    manifest = dict(schema=SCHEMA, n_cases=n_cases, chunk_size=chunk_size,
+                    n_steps=kw.get("n_steps"), case_hash=h.hexdigest(),
+                    condensed=refined is not None, n_seg=n_seg)
+    mpath = out / "manifest.json"
+    if mpath.exists():
+        old = json.loads(mpath.read_text())
+        if old != manifest:
+            diff = {k: (old.get(k), v) for k, v in manifest.items()
+                    if old.get(k) != v}
+            raise ValueError(
+                f"resume directory {out} holds chunks of a DIFFERENT sweep "
+                f"(mismatched fields: {diff}); use a fresh out_dir or delete "
+                f"the stale chunks")
+    else:
+        mpath.write_text(json.dumps(manifest))
 
     done = 0
     for i in range(n_chunks):

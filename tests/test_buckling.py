@@ -72,3 +72,28 @@ def test_jacket_storm_screen():
     assert 0.0 < util.max() < 0.5
     N = np.asarray(scr.axial_N)
     assert np.all(util[N <= 0] == 0.0)   # tension members excluded
+
+
+def test_euler_screen_refined_aggregates_physical_members():
+    """On a refined mesh the screen must use the PHYSICAL member length
+    (segment lengths would inflate P_euler by n_seg^2 and hide failures)."""
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=12)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom",
+                       t_analysis=0.34)
+    res_c = sf.analyze(model, wave, case, solver="chol")
+    scr_c = sf.euler_member_screen(model, res_c, k_factor=0.8)
+    n_seg = 4
+    refined = sf.refine_model(model, n_seg)
+    res_r = sf.analyze_condensed(model, refined, n_seg, wave, case)
+    scr_r = sf.euler_member_screen(refined, res_r, k_factor=0.8,
+                                   n_seg=n_seg)
+    # one row per PHYSICAL member, Euler capacities identical (same lengths)
+    assert scr_r.utilization.shape[0] == model.n_members
+    np.testing.assert_allclose(np.asarray(scr_r.P_euler_N),
+                               np.asarray(scr_c.P_euler_N), rtol=1e-9)
+    # governing utilizations agree to load-discretization accuracy
+    np.testing.assert_allclose(float(scr_r.utilization.max()),
+                               float(scr_c.utilization.max()), rtol=0.05)

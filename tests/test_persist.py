@@ -98,3 +98,29 @@ def test_envelope_resumable_condensed(tmp_path):
                                        n_steps=4, solve_dtype=jnp.float64)
     np.testing.assert_allclose(np.asarray(full.max_util_per_case),
                                np.asarray(ref.max_util_per_case), rtol=1e-12)
+
+
+def test_envelope_resumable_rejects_mismatched_resume(tmp_path):
+    """Resuming into a directory holding chunks of a DIFFERENT sweep must
+    raise instead of silently merging stale chunks."""
+    import pytest
+    model = sf.default_3leg_jacket()
+    B = 4
+    waves = make_wave_batch(np.linspace(3.0, 9.0, B), 9.4, 50.0, U_c=1.7,
+                            model="stokes", N=5, n_modes=8,
+                            dtype=jnp.float64)
+    cases = make_case_batch(_case(), t_analysis=jnp.zeros(B))
+    out = tmp_path / "env"
+    design_envelope_resumable(model, waves, cases, out, chunk_size=2,
+                              max_chunks=1, n_steps=4)
+    # different chunk partition -> mismatch
+    with pytest.raises(ValueError, match="DIFFERENT sweep"):
+        design_envelope_resumable(model, waves, cases, out, chunk_size=4,
+                                  n_steps=4)
+    # different case data -> mismatch
+    waves2 = make_wave_batch(np.linspace(4.0, 9.0, B), 9.4, 50.0, U_c=1.7,
+                             model="stokes", N=5, n_modes=8,
+                             dtype=jnp.float64)
+    with pytest.raises(ValueError, match="DIFFERENT sweep"):
+        design_envelope_resumable(model, waves2, cases, out, chunk_size=2,
+                                  n_steps=4)
