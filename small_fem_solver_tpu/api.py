@@ -500,7 +500,7 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
                          n_steps: int = 360, n_gauss: int = 15,
                          accel: str = "analytic",
                          kinematics: str = "separable",
-                         chain_solver: str = "thomas",
+                         chain_solver: str = "auto",
                          solve_dtype=jnp.float64,
                          refine_steps: int = 1,
                          stretching: str = "none",
@@ -561,11 +561,26 @@ def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
 def _chain_factor(Kg, n_seg: int, chain_solver: str):
     """(factor, condense_fn, backsub_fn) for the requested chain solver.
 
-    'thomas': flat block-Thomas scans (scan depth n_seg; the default);
+    'auto' (the default): 'nested' when the chain is deep enough for the
+    scan depth to dominate (n_seg >= 16) and n_seg is composite, else
+    'thomas' (measured at the flagship n_seg=32 TPU scan: nested cuts the
+    full-scan time ~10.5 -> 7.3 ms by shrinking the sequential factor scan
+    from 31 to 7+3 steps, and its shallower chains are slightly MORE
+    float32-accurate — both solvers are exact direct methods);
+    'thomas': flat block-Thomas scans (scan depth n_seg);
     'nested': two-level condensation (scan depth ~2 sqrt(n_seg); float32-
     stable at deep refinement, where 'thomas' needs float64 past ~100
     segments); 'pcr': parallel cyclic reduction (f64-validated experiment).
     """
+    if chain_solver == "auto":
+        chain_solver = "thomas"
+        if n_seg >= 16:
+            try:
+                condense_mod.nested_split(n_seg)
+            except ValueError:
+                pass  # prime depth: no balanced split, keep thomas
+            else:
+                chain_solver = "nested"
     if chain_solver == "pcr":
         return (condense_mod.factor_chains_pcr(Kg, n_seg),
                 condense_mod.condense_loads_pcr,
@@ -737,7 +752,7 @@ def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
                       accel: str = "analytic",
                       solve_dtype=jnp.float64,
                       refine_steps: int = 1,
-                      chain_solver: str = "thomas") -> AnalysisResults:
+                      chain_solver: str = "auto") -> AnalysisResults:
     """Full single-phase analysis of a deeply refined jacket — the ~100k-DOF
     end-to-end path.
 
@@ -940,7 +955,8 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
                               n_gauss: int = 15,
                               solve_dtype=jnp.float32,
                               case_batch: int = 32,
-                              kinematics: str = "separable") -> EnvelopeResults:
+                              kinematics: str = "separable",
+                              chain_solver: str = "auto") -> EnvelopeResults:
     """Storm envelope on a REFINED mesh: every case x phase, full FEM.
 
     Combines the two flagship paths: the exact chain condensation (interior
@@ -955,14 +971,16 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     return _design_envelope_condensed_jit(
         coarse, refined, waves, cases.cast(solve_dtype), n_seg, n_steps,
-        n_gauss, solve_dtype, case_batch, kinematics, jnp.asarray(free_np))
+        n_gauss, solve_dtype, case_batch, kinematics, chain_solver,
+        jnp.asarray(free_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
-                                   "solve_dtype", "case_batch", "kinematics"))
+                                   "solve_dtype", "case_batch", "kinematics",
+                                   "chain_solver"))
 def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                                    n_steps, n_gauss, solve_dtype, case_batch,
-                                   kinematics, free):
+                                   kinematics, chain_solver, free):
     with jax.default_matmul_precision("highest"):
         nc = coarse.n_nodes
         Mc = coarse.n_members
@@ -975,7 +993,7 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                              refined.sections)
         Kg, K_local, T, L_m = element_stiffness(
             coords_s, refined.conn, sec_s, refined.sect_id, cases.E[0], G)
-        fac = condense_mod.factor_chains(Kg, n_seg)
+        fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
         dfac = solve_mod.factor_dense(K_I, free)
         D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
@@ -1008,12 +1026,11 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
             F = F.astype(solve_dtype)
             Fn = F.reshape(n_steps, -1, 6)
             g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
-            fI, fJ, v_g = condense_mod.condense_loads(fac, g)
+            fI, fJ, v_g = _condense(fac, g)
             F_cond = Fn[:, :nc].at[:, node1].add(fI).at[:, node2].add(fJ)
             U_I = solve_mod.solve_factored(dfac, F_cond.reshape(n_steps, -1))
             U_In = U_I.reshape(n_steps, nc, 6)
-            v = condense_mod.back_substitute(fac, v_g, U_In[:, node1],
-                                             U_In[:, node2])
+            v = _backsub(fac, v_g, U_In[:, node1], U_In[:, node2])
             # recovery straight from the chain layout (see the scan impl)
             vext = jnp.concatenate([U_In[:, node1][:, None], v,
                                     U_In[:, node2][:, None]], axis=1)

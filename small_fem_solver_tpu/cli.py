@@ -155,24 +155,17 @@ def cmd_run(args):
     if getattr(args, "refine", 1) > 1:
         import jax.numpy as jnp
 
-        from .ops.condense import nested_split
         if args.f32 and args.refine > 32:
             raise SystemExit(
                 "--f32 with --refine > 32 is numerically invalid: the "
                 "float32 chain factorization error grows ~n_seg^4 (O(1) by "
                 "n_seg ~ 300; see docs/ARCHITECTURE.md section 4). Drop "
                 "--f32 for deep refinements (float64 runs on TPU too).")
-        try:
-            nested_split(args.refine)
-            chain = "nested" if args.refine >= 64 else "thomas"
-        except ValueError:                      # prime n_seg: flat only
-            chain = "thomas"
         solve_dtype = jnp.float32 if args.f32 else jnp.float64
         refined = sf.refine_model(model, args.refine)
-        print(f"[refined] {refined.n_dof} DOF via exact chain condensation "
-              f"({chain})")
+        print(f"[refined] {refined.n_dof} DOF via exact chain condensation")
         res = sf.analyze_condensed(model, refined, args.refine, wave, case,
-                                   accel=args.accel, chain_solver=chain,
+                                   accel=args.accel,
                                    solve_dtype=solve_dtype)
         print(render_report(refined, wave, case, res, phase_scan=scan))
         _outputs(args, refined, res)

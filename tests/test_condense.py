@@ -131,20 +131,25 @@ def test_flagship_f32_accuracy_at_bench_scale():
     s64 = phase_scan_condensed(coarse64, refined64, n_seg, w64, case,
                                n_steps=n_steps, kinematics="separable",
                                solve_dtype=jnp.float64)
-    s32 = phase_scan_condensed(coarse32, refined32, n_seg, w32, case,
-                               n_steps=n_steps, kinematics="separable",
-                               solve_dtype=jnp.float32)
-    U64, U32 = np.asarray(s64.U), np.asarray(s32.U, dtype=np.float64)
-    scale = np.abs(U64).max()
-    # measured ~3.6e-5 / ~8e-5 with the default one refinement round
-    # (vs ~4e-3 without refinement); 1e-4/2e-4 leave headroom for TPU noise
-    assert np.abs(U32 - U64).max() / scale < 1e-4
-    vm64 = np.asarray(s64.von_mises)
-    vm32 = np.asarray(s32.von_mises, dtype=np.float64)
-    assert np.abs(vm32 - vm64).max() / vm64.max() < 2e-4
-    # the governing answer (max utilization over the scan) agrees tightly
-    np.testing.assert_allclose(float(s32.utilization.max()),
-                               float(s64.utilization.max()), rtol=2e-4)
+    # both exact chain solvers at the bench config: 'thomas' (flat) and
+    # 'nested' (what chain_solver='auto' — the bench default — picks at
+    # n_seg=32; measured slightly MORE f32-accurate: ~1.8e-5 vs ~2.2e-5)
+    for chain_solver in ("thomas", "nested"):
+        s32 = phase_scan_condensed(coarse32, refined32, n_seg, w32, case,
+                                   n_steps=n_steps, kinematics="separable",
+                                   solve_dtype=jnp.float32,
+                                   chain_solver=chain_solver)
+        U64, U32 = np.asarray(s64.U), np.asarray(s32.U, dtype=np.float64)
+        scale = np.abs(U64).max()
+        # measured ~3.6e-5 / ~8e-5 with the default one refinement round
+        # (vs ~4e-3 without refinement); 1e-4/2e-4 leave headroom for TPU noise
+        assert np.abs(U32 - U64).max() / scale < 1e-4
+        vm64 = np.asarray(s64.von_mises)
+        vm32 = np.asarray(s32.von_mises, dtype=np.float64)
+        assert np.abs(vm32 - vm64).max() / vm64.max() < 2e-4
+        # the governing answer (max utilization over the scan) agrees tightly
+        np.testing.assert_allclose(float(s32.utilization.max()),
+                                   float(s64.utilization.max()), rtol=2e-4)
 
 
 @pytest.mark.parametrize("n_seg,n_sub", [(4, 2), (6, 3), (32, 8), (324, 18)])
