@@ -98,6 +98,27 @@ class AnalysisResults(NamedTuple):
 # Load assembly
 # ---------------------------------------------------------------------------
 
+def _topside_per_node(case: LoadCase, top_mask, dtype) -> jnp.ndarray:
+    """Per-top-node interface load [6] (N / N*mm), `:1962-1977` semantics."""
+    top = top_mask.astype(dtype)
+    # guard n_top = 0 (e.g. a JSON model without top nodes): interface loads
+    # have nowhere to go, so they are dropped instead of producing 0/0 NaNs
+    n_top = jnp.maximum(jnp.sum(top), 1.0)
+    theta = jnp.deg2rad(90.0 - case.wave_dir_deg)
+    F_axial_N = case.F_axial_kN * 1000.0
+    F_shear_N = case.F_shear_kN * 1000.0
+    M_moment = case.M_moment_kNm * 1e6
+    M_torsion = case.M_torsion_kNm * 1e6
+    return jnp.stack([
+        F_shear_N * jnp.cos(theta) / n_top,
+        F_shear_N * jnp.sin(theta) / n_top,
+        -F_axial_N / n_top,
+        M_torsion / n_top,
+        M_moment / n_top,
+        jnp.zeros_like(theta),
+    ])
+
+
 def assemble_loads(model: JacketModel, case: LoadCase, morison_nodal: jnp.ndarray,
                    L_m: jnp.ndarray) -> jnp.ndarray:
     """Global load vector [n_dof] in N / N*mm."""
@@ -107,22 +128,7 @@ def assemble_loads(model: JacketModel, case: LoadCase, morison_nodal: jnp.ndarra
 
     # -- topside interface loads (`:1962-1977`) --
     top = model.top_mask.astype(dtype)
-    # guard n_top = 0 (e.g. a JSON model without top nodes): interface loads
-    # have nowhere to go, so they are dropped instead of producing 0/0 NaNs
-    n_top = jnp.maximum(jnp.sum(top), 1.0)
-    theta = jnp.deg2rad(90.0 - case.wave_dir_deg)
-    F_axial_N = case.F_axial_kN * 1000.0
-    F_shear_N = case.F_shear_kN * 1000.0
-    M_moment = case.M_moment_kNm * 1e6
-    M_torsion = case.M_torsion_kNm * 1e6
-    per_top = jnp.stack([
-        F_shear_N * jnp.cos(theta) / n_top,
-        F_shear_N * jnp.sin(theta) / n_top,
-        -F_axial_N / n_top,
-        M_torsion / n_top,
-        M_moment / n_top,
-        jnp.zeros_like(theta),
-    ])
+    per_top = _topside_per_node(case, model.top_mask, dtype)
     F = F + top[:, None] * per_top[None, :]
 
     # -- Morison nodal forces, translations only (`:1986-1989`) --
@@ -596,6 +602,62 @@ def _chain_factor(Kg, n_seg: int, chain_solver: str):
     raise ValueError(f"unknown chain_solver {chain_solver!r}")
 
 
+def _chain_layout_loads(coarse: JacketModel, refined: JacketModel,
+                        case: LoadCase, F1, F2, L_m, n_seg: int):
+    """Load vectors for the condensed solver, built DIRECTLY in its chain
+    layout — no [S, n_dof] scatter/reshape ever materializes.
+
+    Semantics identical to ``assemble_loads`` + the reshape/swapaxes in the
+    condensed scan: the member-major chain layout makes every interior
+    node's load a slice sum (chain node p joins element p-1's far end and
+    element p's near end), and only the 2*Mc chain ends need a (tiny)
+    scatter onto the coarse interface nodes.
+
+    ``F1``/``F2``: [S, Mr, 3] Morison member end forces (N);
+    ``L_m``: [Mr] refined element lengths in metres.
+    Returns (F_I_nodes [S, nc, 6], g [S, n_int, Mc, 6]).
+    """
+    dtype = F1.dtype
+    nc, Mc = coarse.n_nodes, coarse.n_members
+    n_int = n_seg - 1
+    S = F1.shape[0]
+    F1c = F1.reshape(S, Mc, n_seg, 3)
+    F2c = F2.reshape(S, Mc, n_seg, 3)
+
+    # -- interior chain nodes --
+    g3 = F2c[:, :, :-1] + F1c[:, :, 1:]                 # [S, Mc, n_int, 3]
+    g = jnp.concatenate([g3, jnp.zeros_like(g3)], axis=-1)
+
+    # -- interface (coarse) nodes --
+    per_top = _topside_per_node(case, coarse.top_mask, dtype)
+    top = coarse.top_mask.astype(dtype)
+    F_I = jnp.broadcast_to(top[:, None] * per_top[None, :],
+                           (S, nc, 6)).astype(dtype)
+    ends = jnp.concatenate([F1c[:, :, 0], F2c[:, :, -1]], axis=1)  # [S, 2Mc, 3]
+    nodes = jnp.concatenate([coarse.conn[:, 0], coarse.conn[:, 1]])
+    nodal = jax.vmap(lambda c: jax.ops.segment_sum(
+        c, nodes, num_segments=nc))(ends)
+    F_I = F_I.at[..., :3].add(nodal)
+
+    # -- self-weight (`:1995-2013`), distributed over the REFINED mesh --
+    if case.sw_mode == "calculated":
+        mass_per_m = refined.sections.mass_per_m[refined.sect_id]
+        half = (mass_per_m.astype(dtype) * G_GRAV
+                * L_m.astype(dtype) / 2.0).reshape(Mc, n_seg)   # N
+        g = g.at[..., 2].add(-(half[:, :-1] + half[:, 1:]))
+        wI = jax.ops.segment_sum(
+            jnp.concatenate([half[:, 0], half[:, -1]]), nodes, num_segments=nc)
+        F_I = F_I.at[..., 2].add(-wI)
+    elif case.sw_mode == "custom":
+        per_node = case.custom_sw_tonnes * 1000.0 * G_GRAV / refined.n_nodes
+        g = g.at[..., 2].add(-per_node)
+        F_I = F_I.at[..., 2].add(-per_node)
+    elif case.sw_mode != "none":
+        raise ValueError(f"unknown self-weight mode {case.sw_mode!r}")
+
+    return F_I, g.swapaxes(1, 2)
+
+
 def _condensed_solve(F_I_nodes, g, fac, dfac, _condense, _backsub,
                      node1, node2):
     """One full condensed direct solve in the chain layout.
@@ -675,9 +737,6 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
                                      ts, n_gauss=n_gauss,
                                      current_alpha=current_alpha)
         total_morison = mb.total_morison
-        F_all = jax.vmap(
-            lambda nodal: assemble_loads(refined, case_l, nodal,
-                                         L_m.astype(ldtype)))(mb.nodal_forces)
     elif kinematics == "pointwise":
         def loads_at(t):
             mor = morison_loads(wave, refined.coords, refined.conn, D_m,
@@ -693,12 +752,21 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
         F_all, total_morison = jax.vmap(loads_at)(ts)      # [S, n_dof_ref]
     else:
         raise ValueError(f"unknown kinematics mode {kinematics!r}")
-    F_all = F_all.astype(solve_dtype)
     node1 = coarse.conn[:, 0]
     node2 = coarse.conn[:, 1]
-    Fn = F_all.reshape(n_steps, -1, 6)
-    F_I_nodes = Fn[:, :nc]                                 # [S, nc, 6]
-    g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
+    if kinematics in ("separable", "pallas"):
+        # loads built directly in the chain layout — the [S, n_dof] global
+        # load vector never materializes on the fast paths
+        F_I_nodes, g = _chain_layout_loads(coarse, refined, case_l,
+                                           mb.F1, mb.F2,
+                                           L_m.astype(ldtype), n_seg)
+        F_I_nodes = F_I_nodes.astype(solve_dtype)
+        g = g.astype(solve_dtype)
+    else:
+        F_all = F_all.astype(solve_dtype)
+        Fn = F_all.reshape(n_steps, -1, 6)
+        F_I_nodes = Fn[:, :nc]                             # [S, nc, 6]
+        g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
     solve_once = partial(_condensed_solve, fac=fac, dfac=dfac,
                          _condense=_condense, _backsub=_backsub,
                          node1=node1, node2=node2)
@@ -1021,13 +1089,13 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                                          n_gauss=n_gauss)
             else:
                 raise ValueError(f"unknown kinematics mode {kinematics!r}")
-            F = jax.vmap(lambda nodal: assemble_loads(
-                refined, case_l, nodal, L_m.astype(ldtype)))(mb.nodal_forces)
-            F = F.astype(solve_dtype)
-            Fn = F.reshape(n_steps, -1, 6)
-            g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
+            F_I_nodes, g = _chain_layout_loads(coarse, refined, case_l,
+                                               mb.F1, mb.F2,
+                                               L_m.astype(ldtype), n_seg)
+            F_I_nodes = F_I_nodes.astype(solve_dtype)
+            g = g.astype(solve_dtype)
             fI, fJ, v_g = _condense(fac, g)
-            F_cond = Fn[:, :nc].at[:, node1].add(fI).at[:, node2].add(fJ)
+            F_cond = F_I_nodes.at[:, node1].add(fI).at[:, node2].add(fJ)
             U_I = solve_mod.solve_factored(dfac, F_cond.reshape(n_steps, -1))
             U_In = U_I.reshape(n_steps, nc, 6)
             v = _backsub(fac, v_g, U_In[:, node1], U_In[:, node2])

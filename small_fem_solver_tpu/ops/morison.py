@@ -237,12 +237,20 @@ def phase_scan(
 # ---------------------------------------------------------------------------
 
 class MorisonPhaseBatch(NamedTuple):
-    """Per-phase Morison loads (leading axis = phase). Units: N, m."""
+    """Per-phase Morison loads (leading axis = phase). Units: N, m.
+
+    ``F1``/``F2`` are the lever-rule member end forces (node-1/node-2
+    shares) BEFORE the nodal scatter — the condensed solver reads them
+    directly in its member-major chain layout, skipping the [S, n_dof]
+    scatter entirely.
+    """
 
     nodal_forces: jnp.ndarray     # [S, n_nodes, 3]
     total_drag: jnp.ndarray       # [S, 3]
     total_inertia: jnp.ndarray    # [S, 3]
     total_morison: jnp.ndarray    # [S, 3]
+    F1: jnp.ndarray | None = None  # [S, M, 3] node-1 end forces
+    F2: jnp.ndarray | None = None  # [S, M, 3] node-2 end forces
 
 
 def morison_phase_batch(
@@ -386,4 +394,5 @@ def morison_phase_batch(
         total_drag=total_drag,
         total_inertia=total_inertia,
         total_morison=total_drag + total_inertia,
+        F1=F1, F2=F2,
     )

@@ -310,4 +310,5 @@ def morison_phase_batch_pallas(
         total_drag=total_drag,
         total_inertia=total_inertia,
         total_morison=total_drag + total_inertia,
+        F1=F1, F2=F2,
     )

@@ -66,6 +66,26 @@ def test_condensed_calculated_self_weight():
                                atol=1e-8 * np.abs(U_ref).max())
 
 
+def test_separable_calculated_self_weight():
+    """The chain-layout load builder handles sw_mode='calculated' (per-
+    element half weights to both chain ends) identically to the pointwise
+    path's assemble_loads + reshape."""
+    coarse = sf.default_3leg_jacket()
+    n_seg = 6
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.airy_wave(9.0, 9.4, 50.0, 1.2)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       sw_mode="calculated")
+    sp = phase_scan_condensed(coarse, refined, n_seg, wave, case, n_steps=3,
+                              kinematics="separable")
+    pw = phase_scan_condensed(coarse, refined, n_seg, wave, case, n_steps=3,
+                              kinematics="pointwise", accel="analytic")
+    U = np.asarray(pw.U)
+    np.testing.assert_allclose(np.asarray(sp.U), U, rtol=1e-10,
+                               atol=1e-10 * np.abs(U).max())
+
+
 def test_condensed_equilibrium():
     coarse = sf.default_3leg_jacket()
     refined = sf.refine_model(coarse, 4)
