@@ -9,8 +9,8 @@ sweeps, block-sparse assembly and preconditioned-CG solves, and
 """
 
 from .api import (AnalysisResults, CondensedScanResults, EnvelopeResults,
-                  LoadCase, analyze, analyze_condensed, analyze_phase_batch,
-                  design_envelope,
+                  LoadCase, analyze, analyze_condensed, analyze_pdelta,
+                  analyze_phase_batch, design_envelope,
                   design_envelope_condensed, phase_scan_condensed)
 from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)

@@ -92,6 +92,8 @@ class AnalysisResults(NamedTuple):
     # iterative-solver diagnostics (None for direct solvers)
     solver_iters: jnp.ndarray | None = None
     solver_residual: jnp.ndarray | None = None  # relative ||r||/||b||
+    # second-order diagnostics (analyze_pdelta only)
+    pdelta_amplification: jnp.ndarray | None = None  # max |U2|/|U1| ratio
 
 
 # ---------------------------------------------------------------------------
@@ -396,6 +398,77 @@ def _recover_sparse(model, case, U, F, R, fixed_dofs, K_local, T, L_m, mor,
         total_reaction=jnp.sum(reac, axis=0),
         solver_iters=solver_iters, solver_residual=solver_residual,
     )
+
+
+def analyze_pdelta(model: JacketModel, wave: FourierWave, case: LoadCase,
+                   n_iter: int = 3, n_gauss: int = 15, accel: str = "fd",
+                   stretching: str = "none",
+                   current_alpha=None) -> AnalysisResults:
+    """Second-order (P-delta) static analysis.
+
+    Equilibrium on the deformed geometry, linearized through the consistent
+    geometric stiffness: solve ``(K - K_G(N)) U = F`` where ``N`` are the
+    member axial forces (positive in compression), fixed-point iterated
+    ``n_iter`` times from the linear solution (N converges in 1-2 rounds
+    for load factors comfortably below buckling; the default 3 is
+    conservative).  This is the classic amplification effect the reference
+    explicitly excludes (`JacketAnalysisGUI_v2.py:1544-1799` exclusion
+    list: "no P-delta") — for a member/system at axial load P the lateral
+    response amplifies by ~1/(1 - P/P_cr).
+
+    The corrected system loses positive definiteness when the applied case
+    exceeds the elastic buckling load (lambda_cr < 1 in
+    :func:`buckling_analysis`); the Cholesky then produces NaNs, which is
+    the honest signal that a second-order STATIC equilibrium does not
+    exist.  Results carry ``pdelta_amplification`` = max nodal displacement
+    ratio vs the first-order solution.
+    """
+    free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
+    return _analyze_pdelta_jit(model, wave, case.cast(model.coords.dtype),
+                               n_iter, n_gauss, accel, stretching,
+                               current_alpha, jnp.asarray(free_np),
+                               jnp.asarray(fixed_np))
+
+
+@partial(jax.jit, static_argnames=("n_iter", "n_gauss", "accel",
+                                   "stretching", "current_alpha"))
+def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
+                        stretching, current_alpha, free, fixed):
+    from .ops.buckling import element_geometric_stiffness
+
+    with jax.default_matmul_precision("highest"):
+        G = case.E / (2.0 * (1.0 + case.nu))
+        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        mor = morison_loads(wave, model.coords, model.conn, D_m,
+                            case.wave_dir_deg, case.current_dir_deg,
+                            case.Cd, case.Cm, case.rho_water,
+                            case.t_analysis, n_gauss=n_gauss, accel=accel,
+                            stretching=stretching,
+                            current_alpha=current_alpha)
+        Kg, K_local, T, L_m = element_stiffness(
+            model.coords, model.conn, model.sections, model.sect_id,
+            case.E, G)
+        F = assemble_loads(model, case, mor.nodal_forces, L_m)
+        K = assemble_dense(Kg, model.conn, model.n_dof)
+        U = solve_mod.solve_factored(solve_mod.factor_dense(K, free), F)
+        dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
+                                6 * model.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+        disp1 = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+        K2 = K
+        for _ in range(n_iter):
+            # axial force sign convention: see buckling.member_axial_forces
+            F1, _ = internal_forces(K_local, T, U[dofs])
+            N = -F1[:, 0]
+            KGg = element_geometric_stiffness(model.coords, model.conn, N)
+            K2 = K - assemble_dense(KGg, model.conn, model.n_dof)
+            U = solve_mod.solve_factored(solve_mod.factor_dense(K2, free), F)
+        res = _recover(model, case, K2, U, F, fixed, K_local, T, L_m, mor)
+        disp2 = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+        amp = jnp.max(jnp.where(disp1 > 0, disp2 / jnp.where(disp1 > 0,
+                                                             disp1, 1.0),
+                                1.0))
+        return res._replace(pdelta_amplification=amp)
 
 
 def analyze_phase_batch(model: JacketModel, wave: FourierWave, case: LoadCase,

@@ -16,8 +16,9 @@ maps to a flag or a JSON model file:
 Extra subcommands beyond the GUI: ``sweep`` (vmapped design envelope),
 ``refined`` (condensed large-mesh phase scan), ``envelope`` (multi-case
 storm envelope), ``modes`` / ``dynamic`` (Craig-Bampton-reduced for
-``--refine``), ``buckling``, ``optimize`` (differentiable sizing),
-``fatigue`` (S-N screen), ``save-default`` (write the default jacket JSON).
+``--refine``), ``buckling``, ``pdelta`` (second-order amplification),
+``optimize`` (differentiable sizing), ``fatigue`` (S-N screen),
+``save-default`` (write the default jacket JSON).
 
 Usage examples:
     python -m small_fem_solver_tpu.cli run --phase-scan --csv forces.csv
@@ -425,6 +426,38 @@ def cmd_buckling(args):
               f"{np.asarray(scr.P_euler_N)[e]/1e3:>12.0f} {util[e]:>8.2%}")
 
 
+def cmd_pdelta(args):
+    """Second-order (P-delta) analysis vs first-order, side by side."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+
+    model, wave, case = _setup(args)
+    with _cpu_if_f64(args):
+        lin = sf.analyze(model, wave, case, solver="chol", accel=args.accel)
+        pd = sf.analyze_pdelta(model, wave, case, n_iter=args.n_iter,
+                               accel=args.accel)
+    amp = float(pd.pdelta_amplification)
+    print(f"P-delta amplification (max nodal |U2|/|U1|): {amp:.4f}")
+    print(f"  max displacement: {float(lin.max_displacement_mm):.2f} mm "
+          f"(1st order) -> {float(pd.max_displacement_mm):.2f} mm "
+          f"(2nd order)")
+    print(f"  max utilization:  {float(lin.utilization.max()):.4f} "
+          f"-> {float(pd.utilization.max()):.4f}")
+    if not np.isfinite(amp):
+        print("  WARNING: no second-order equilibrium — the load case "
+              "exceeds the elastic buckling load (run the 'buckling' "
+              "command)")
+    du = np.abs(np.asarray(pd.utilization) - np.asarray(lin.utilization))
+    order = np.argsort(du)[::-1][:8]
+    print("  largest utilization changes:")
+    for e in order:
+        print(f"    {model.member_names[e]:<22} "
+              f"{float(lin.utilization[e]):.4f} -> "
+              f"{float(pd.utilization[e]):.4f}")
+    _outputs(args, model, pd)
+
+
 def cmd_modes(args):
     """Natural frequencies (modal analysis) — beyond the reference's scope."""
     import contextlib
@@ -602,6 +635,14 @@ def main(argv=None):
                     help="member effective-length factor for the screen")
     bk.add_argument("--n-modes", type=int, default=4)
     bk.set_defaults(fn=cmd_buckling)
+
+    pdp = sub.add_parser("pdelta",
+                         help="second-order (P-delta) analysis "
+                              "(beyond the reference's scope)")
+    _add_common(pdp)
+    pdp.add_argument("--n-iter", type=int, default=3,
+                     help="fixed-point rounds on the axial-force state")
+    pdp.set_defaults(fn=cmd_pdelta)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
     _add_common(md)

@@ -136,6 +136,21 @@ def test_cli_run_smoke(tmp_path):
     assert "member_forces" in data and len(data["member_forces"]) == 51
 
 
+def test_cli_pdelta(capsys):
+    """'pdelta' prints the second-order amplification diagnostics."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "pdelta", "--wave-model", "airy"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "P-delta amplification" in out
+    assert "largest utilization changes" in out
+
+
 def test_cli_run_refine(capsys):
     """'run --refine N' routes through the condensed large-mesh solver."""
     import sys
