@@ -10,7 +10,7 @@ sweeps, block-sparse assembly and preconditioned-CG solves, and
 
 from .api import (AnalysisResults, CondensedScanResults, EnvelopeResults,
                   LoadCase, analyze, analyze_condensed, analyze_pdelta,
-                  analyze_phase_batch, design_envelope,
+                  analyze_phase_batch, analyze_ssi, design_envelope,
                   design_envelope_condensed, phase_scan_condensed)
 from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)

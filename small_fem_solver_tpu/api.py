@@ -400,6 +400,65 @@ def _recover_sparse(model, case, U, F, R, fixed_dofs, K_local, T, L_m, mor,
     )
 
 
+def analyze_ssi(model: JacketModel, wave: FourierWave, case: LoadCase,
+                support_stiffness, n_gauss: int = 15, accel: str = "fd",
+                stretching: str = "none",
+                current_alpha=None) -> AnalysisResults:
+    """Linear soil-structure interaction: supports on foundation springs.
+
+    Replaces the rigid clamp at the support nodes (the reference's only
+    boundary condition, `JacketAnalysisGUI_v2.py:473-479`; SSI is on its
+    exclusion list) with a 6-DOF linear spring at each fixed node:
+    ``K + diag(k)`` is solved over ALL DOFs and the spring forces
+    ``-k u_support`` become the reactions.  ``support_stiffness`` is a
+    [6] vector (every support identical) or [n_fixed, 6], in N/mm for
+    translations and N*mm/rad for rotations — e.g. pile-head stiffnesses
+    from a geotechnical pushover.  As k -> inf the clamped solution is
+    recovered (tested); softer springs lengthen the load path and grow
+    displacements monotonically.
+
+    Dense path (the spring-grounded K stays SPD): use on the coarse model
+    or mild refinements, like :func:`analyze`'s dense solvers.
+    """
+    fixed_nodes = np.where(np.asarray(model.fixed_mask))[0]
+    if fixed_nodes.size == 0:
+        raise ValueError("analyze_ssi needs at least one support node")
+    dtype = model.coords.dtype
+    k = jnp.asarray(support_stiffness, dtype=dtype)
+    k = jnp.broadcast_to(k, (fixed_nodes.size, 6))
+    return _analyze_ssi_jit(model, wave, case.cast(dtype), k, n_gauss,
+                            accel, stretching, current_alpha,
+                            jnp.asarray(fixed_nodes))
+
+
+@partial(jax.jit, static_argnames=("n_gauss", "accel", "stretching",
+                                   "current_alpha"))
+def _analyze_ssi_jit(model, wave, case, k_nodes, n_gauss, accel,
+                     stretching, current_alpha, fixed_nodes):
+    with jax.default_matmul_precision("highest"):
+        G = case.E / (2.0 * (1.0 + case.nu))
+        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        mor = morison_loads(wave, model.coords, model.conn, D_m,
+                            case.wave_dir_deg, case.current_dir_deg,
+                            case.Cd, case.Cm, case.rho_water,
+                            case.t_analysis, n_gauss=n_gauss, accel=accel,
+                            stretching=stretching,
+                            current_alpha=current_alpha)
+        Kg, K_local, T, L_m = element_stiffness(
+            model.coords, model.conn, model.sections, model.sect_id,
+            case.E, G)
+        F = assemble_loads(model, case, mor.nodal_forces, L_m)
+        K = assemble_dense(Kg, model.conn, model.n_dof)
+        sdofs = (6 * fixed_nodes[:, None] + jnp.arange(6)).reshape(-1)
+        K2 = K.at[sdofs, sdofs].add(k_nodes.reshape(-1))
+        fac = solve_mod.factor_dense(K2, jnp.arange(model.n_dof))
+        U = solve_mod.solve_factored(fac, F)
+        # reactions through the SPRINGLESS K: (K U - F) at the support DOFs
+        # equals exactly -k u_support (the spring force), zero elsewhere —
+        # the same recovery expression as the clamped path
+        return _recover(model, case, K, U, F, sdofs, K_local, T, L_m, mor)
+
+
 def analyze_pdelta(model: JacketModel, wave: FourierWave, case: LoadCase,
                    n_iter: int = 3, n_gauss: int = 15, accel: str = "fd",
                    stretching: str = "none",

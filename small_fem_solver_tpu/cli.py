@@ -153,6 +153,18 @@ def cmd_run(args):
                               case.Cd, case.Cm, case.rho_water,
                               n_steps=args.phase_steps, accel=args.accel)
 
+    if getattr(args, "support_spring", None):
+        if getattr(args, "refine", 1) > 1:
+            raise SystemExit("--support-spring works on the dense path; "
+                             "drop --refine (or refine mildly and call "
+                             "analyze_ssi from the API)")
+        res = sf.analyze_ssi(model, wave, case, args.support_spring,
+                             accel=args.accel)
+        print("[foundation] supports on 6-DOF springs "
+              f"k = {args.support_spring} (N/mm, N*mm/rad)")
+        print(render_report(model, wave, case, res, phase_scan=scan))
+        _outputs(args, model, res)
+        return
     if getattr(args, "refine", 1) > 1:
         import jax.numpy as jnp
 
@@ -563,6 +575,11 @@ def main(argv=None):
     run.add_argument("--refine", type=int, default=1,
                      help="subdivide members (>1 solves the refined mesh "
                           "via exact chain condensation; 327 -> ~100k DOF)")
+    run.add_argument("--support-spring", nargs=6, type=float,
+                     metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
+                     help="foundation springs at the support nodes "
+                          "(N/mm translations, N*mm/rad rotations) "
+                          "instead of rigid clamps")
     run.set_defaults(fn=cmd_run)
 
     sw = sub.add_parser("sweep", help="vmapped (H, heading) design envelope")

@@ -1,0 +1,75 @@
+"""Soil-structure interaction (foundation springs): limit and theory checks.
+
+SSI is on the reference's exclusion list (`JacketAnalysisGUI_v2.py:1544-1799`);
+analyze_ssi replaces the rigid support clamp with 6-DOF linear springs.
+"""
+import numpy as np
+
+import small_fem_solver_tpu as sf
+
+
+def _storm():
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=12)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom",
+                       t_analysis=0.34)
+    return model, wave, case
+
+
+def test_stiff_springs_recover_clamped_solution():
+    model, wave, case = _storm()
+    clamped = sf.analyze(model, wave, case, solver="chol")
+    # ~6 orders stiffer than the structure: translations ~1e6 N/mm scale
+    k = [1e13, 1e13, 1e13, 1e19, 1e19, 1e19]
+    ssi = sf.analyze_ssi(model, wave, case, k)
+    U0, U1 = np.asarray(clamped.U), np.asarray(ssi.U)
+    assert np.abs(U1 - U0).max() / np.abs(U0).max() < 1e-5
+    np.testing.assert_allclose(np.asarray(ssi.reactions),
+                               np.asarray(clamped.reactions), rtol=1e-5,
+                               atol=1e-5 * np.abs(np.asarray(clamped.reactions)).max())
+
+
+def test_soft_springs_grow_displacement_and_keep_equilibrium():
+    model, wave, case = _storm()
+    clamped = sf.analyze(model, wave, case, solver="chol")
+    ssi = sf.analyze_ssi(model, wave, case,
+                         [1e6, 1e6, 1e6, 1e12, 1e12, 1e12])
+    assert float(ssi.max_displacement_mm) > float(clamped.max_displacement_mm)
+    applied = np.asarray(ssi.F_applied).reshape(-1, 6)[:, :3].sum(axis=0)
+    np.testing.assert_allclose(np.asarray(ssi.total_reaction[:3]), -applied,
+                               rtol=1e-9)
+    # reactions ARE the spring forces: R = -k u at each support node
+    fixed = np.where(np.asarray(model.fixed_mask))[0]
+    u_sup = np.asarray(ssi.U).reshape(-1, 6)[fixed]
+    k = np.array([1e6, 1e6, 1e6, 1e12, 1e12, 1e12])
+    np.testing.assert_allclose(np.asarray(ssi.reactions), -k * u_sup,
+                               rtol=1e-8)
+
+
+def test_column_on_lateral_spring_matches_theory():
+    """Tip-loaded column on a lateral base spring: the extra tip deflection
+    is exactly F/k (series flexibility), rotations clamped stiff."""
+    L, D, t = 20.0, 1000.0, 20.0
+    nodes = {"BASE": (0.0, 0.0, 0.0), "TIP": (0.0, 0.0, L)}
+    members = [{"name": "COL", "node1": "BASE", "node2": "TIP",
+                "type": "leg"}]
+    col = sf.build_model(nodes, members, fixed_nodes=["BASE"],
+                         top_nodes=["TIP"], leg_section=(D, t))
+    col = sf.refine_model(col, 4)
+    wave = sf.airy_wave(1e-9, 9.4, 50.0)
+    case = sf.LoadCase(F_shear_kN=100.0, sw_mode="none")
+    clamped = sf.analyze(col, wave, case, solver="chol")
+    k_lat = 1e5  # N/mm
+    ssi = sf.analyze_ssi(col, wave, case, [k_lat, k_lat, 1e13,
+                                           1e19, 1e19, 1e19])
+    # tip lateral displacement (x) grows by F/k = 1e5 N / 1e5 N/mm = 1 mm
+    # (the shear is applied along x for wave_dir 0: theta = 90deg -> y...)
+    Uc = np.asarray(clamped.U).reshape(-1, 6)
+    Us = np.asarray(ssi.U).reshape(-1, 6)
+    tip = 1  # node order: BASE, TIP, then interior chain nodes
+    F_N = 100.0 * 1e3
+    d_extra = np.linalg.norm(Us[tip, :2] - Uc[tip, :2])
+    # 1e-5 admits the finite stiffness of the "rigid" z/rotation springs
+    np.testing.assert_allclose(d_extra, F_N / k_lat, rtol=1e-5)
