@@ -809,14 +809,20 @@ def _condensed_solve(F_I_nodes, g, fac, dfac, _condense, _backsub,
 
 
 def _refine_condensed(Kg, n_seg, conn_coarse, fixed_free_mask, solve_once,
-                      F_I_nodes, g, U_In, v, U_I, refine_steps):
+                      F_I_nodes, g, U_In, v, U_I, refine_steps,
+                      ks_nodes=None):
     """Iterative refinement in the chain layout: residual via
     ``chain_matvec`` (no refined-DOF gather/scatter), one more condensed
-    solve per round.  Returns updated (U_In, v, U_I)."""
+    solve per round.  ``ks_nodes`` ([nc, 6] foundation-spring diagonal,
+    SSI mode) joins the residual: the solved operator is K + diag(ks).
+    Returns updated (U_In, v, U_I)."""
     for _ in range(refine_steps):
         y_I, y_int = condense_mod.chain_matvec(Kg, n_seg, conn_coarse,
                                                U_In, v)
-        r_I = (F_I_nodes - y_I) * fixed_free_mask          # fixed rows -> 0
+        r_I = F_I_nodes - y_I
+        if ks_nodes is not None:
+            r_I = r_I - ks_nodes * U_In
+        r_I = r_I * fixed_free_mask                        # fixed rows -> 0
         r_int = g - y_int
         dU_In, dv, _, dU_I = solve_once(r_I, r_int)
         U_In = U_In + dU_In
@@ -952,7 +958,8 @@ def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
                       accel: str = "analytic",
                       solve_dtype=jnp.float64,
                       refine_steps: int = 1,
-                      chain_solver: str = "auto") -> AnalysisResults:
+                      chain_solver: str = "auto",
+                      support_stiffness=None) -> AnalysisResults:
     """Full single-phase analysis of a deeply refined jacket — the ~100k-DOF
     end-to-end path.
 
@@ -968,12 +975,30 @@ def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
     (tests/test_large.py pins both).
 
     ``refined`` must come from ``refine_model(coarse, n_seg)``.
+
+    ``support_stiffness`` (a [6] or [n_fixed, 6] spring vector, N/mm and
+    N*mm/rad, as in :func:`analyze_ssi`) replaces the rigid support clamp
+    with foundation springs: the condensed interface system is solved over
+    ALL coarse DOFs with ``K_I + diag(k)`` and the reactions become the
+    spring forces — soil-structure interaction at the ~100k-DOF scale.
     """
     _check_refined_layout(coarse, refined, n_seg)
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    ks_nodes = None
+    if support_stiffness is not None:
+        fixed_nodes = np.where(np.asarray(coarse.fixed_mask))[0]
+        if fixed_nodes.size == 0:
+            raise ValueError("support_stiffness needs at least one "
+                             "support node")
+        k = np.broadcast_to(np.asarray(support_stiffness, np.float64),
+                            (fixed_nodes.size, 6))
+        ks = np.zeros((coarse.n_nodes, 6))
+        ks[fixed_nodes] = k
+        ks_nodes = jnp.asarray(ks, dtype=solve_dtype)
+        free_np = np.arange(6 * coarse.n_nodes)  # springs ground everything
     return _analyze_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_gauss,
-        accel, solve_dtype, refine_steps, chain_solver,
+        accel, solve_dtype, refine_steps, chain_solver, ks_nodes,
         jnp.asarray(free_np), jnp.asarray(fixed_np))
 
 
@@ -982,7 +1007,7 @@ def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
                                    "chain_solver"))
 def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
                            accel, solve_dtype, refine_steps, chain_solver,
-                           free, fixed):
+                           ks_nodes, free, fixed):
     with jax.default_matmul_precision("highest"):
         nc = coarse.n_nodes
         Mc = coarse.n_members
@@ -997,7 +1022,15 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
             coords_s, refined.conn, sec_s, refined.sect_id, case.E, G)
         fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
-        dfac = solve_mod.factor_dense(K_I, free)
+        if ks_nodes is None:
+            dfac = solve_mod.factor_dense(K_I, free)
+        else:
+            # SSI: ground through the springs and solve over ALL interface
+            # DOFs; K_I itself stays springless so R = K_I U - F below
+            # recovers the spring forces exactly
+            idx = jnp.arange(6 * nc)
+            dfac = solve_mod.factor_dense(
+                K_I.at[idx, idx].add(ks_nodes.reshape(-1)), free)
 
         # ---- hydrodynamic + interface + self-weight loads (model dtype) ----
         ldtype = refined.coords.dtype
@@ -1022,11 +1055,15 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
                              node1=node1, node2=node2)
         U_In, v, F_cond_flat, U_I = solve_once(F_I_nodes, g)
         if refine_steps > 0:
-            free_I = solve_mod.dof_free_mask(coarse.fixed_mask) \
-                .astype(solve_dtype).reshape(nc, 6)
+            if ks_nodes is None:
+                free_I = solve_mod.dof_free_mask(coarse.fixed_mask) \
+                    .astype(solve_dtype).reshape(nc, 6)
+            else:
+                free_I = jnp.ones((nc, 6)).astype(solve_dtype)  # no clamps
             U_In, v, U_I = _refine_condensed(Kg, n_seg, coarse.conn, free_I,
                                              solve_once, F_I_nodes, g,
-                                             U_In, v, U_I, refine_steps)
+                                             U_In, v, U_I, refine_steps,
+                                             ks_nodes=ks_nodes)
         U = jnp.concatenate([U_In.reshape(1, -1),
                              v.swapaxes(1, 2).reshape(1, -1)], axis=1)[0]
 

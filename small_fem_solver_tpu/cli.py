@@ -153,15 +153,11 @@ def cmd_run(args):
                               case.Cd, case.Cm, case.rho_water,
                               n_steps=args.phase_steps, accel=args.accel)
 
-    if getattr(args, "support_spring", None):
-        if getattr(args, "refine", 1) > 1:
-            raise SystemExit("--support-spring works on the dense path; "
-                             "drop --refine (or refine mildly and call "
-                             "analyze_ssi from the API)")
-        res = sf.analyze_ssi(model, wave, case, args.support_spring,
-                             accel=args.accel)
+    spring = getattr(args, "support_spring", None)
+    if spring and getattr(args, "refine", 1) <= 1:
+        res = sf.analyze_ssi(model, wave, case, spring, accel=args.accel)
         print("[foundation] supports on 6-DOF springs "
-              f"k = {args.support_spring} (N/mm, N*mm/rad)")
+              f"k = {spring} (N/mm, N*mm/rad)")
         print(render_report(model, wave, case, res, phase_scan=scan))
         _outputs(args, model, res)
         return
@@ -177,9 +173,13 @@ def cmd_run(args):
         solve_dtype = jnp.float32 if args.f32 else jnp.float64
         refined = sf.refine_model(model, args.refine)
         print(f"[refined] {refined.n_dof} DOF via exact chain condensation")
+        if spring:
+            print("[foundation] supports on 6-DOF springs "
+                  f"k = {spring} (N/mm, N*mm/rad)")
         res = sf.analyze_condensed(model, refined, args.refine, wave, case,
                                    accel=args.accel,
-                                   solve_dtype=solve_dtype)
+                                   solve_dtype=solve_dtype,
+                                   support_stiffness=spring)
         print(render_report(refined, wave, case, res, phase_scan=scan))
         _outputs(args, refined, res)
         return
@@ -487,7 +487,11 @@ def cmd_modes(args):
     if not args.f32 and jax.devices()[0].platform != "cpu":
         ctx = jax.default_device(jax.devices("cpu")[0])
     with ctx:
+        spring = getattr(args, "support_spring", None)
         if getattr(args, "refine", 1) > 1:
+            if spring:
+                raise SystemExit("--support-spring modal analysis runs on "
+                                 "the dense path; drop --refine")
             refined = refine_model(model, args.refine)
             print(f"Craig-Bampton reduced modal analysis: "
                   f"{refined.n_dof} DOF -> "
@@ -498,8 +502,12 @@ def cmd_modes(args):
                 E=args.E, nu=args.nu, topside_mass_t=args.topside_mass,
                 n_chain_modes=args.chain_modes)
         else:
+            if spring:
+                print("[foundation] supports on 6-DOF springs "
+                      f"k = {spring} (N/mm, N*mm/rad)")
             res = modal_analysis(model, n_modes=args.n_modes, E=args.E,
-                                 nu=args.nu, topside_mass_t=args.topside_mass)
+                                 nu=args.nu, topside_mass_t=args.topside_mass,
+                                 support_stiffness=spring)
     print(f"structural mass: {float(res.total_mass_t):.1f} t "
           f"(incl. {args.topside_mass:.0f} t topside)")
     print(f"  {'Mode':>4} {'f [Hz]':>10} {'T [s]':>10}")
@@ -671,6 +679,10 @@ def main(argv=None):
                          "reduced path; works to 100k+ DOF)")
     md.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per member chain")
+    md.add_argument("--support-spring", nargs=6, type=float,
+                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
+                    help="foundation springs at the support nodes "
+                         "(N/mm, N*mm/rad) instead of rigid clamps")
     md.set_defaults(fn=cmd_modes)
 
     sd = sub.add_parser("save-default", help="write default jacket JSON")

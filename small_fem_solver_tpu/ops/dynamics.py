@@ -134,11 +134,17 @@ def _modal_from_ff(K_ff, M_ff, free, n_dof, n_modes, dtype):
 
 
 def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
-                   nu: float = 0.3, topside_mass_t: float = 0.0) -> ModalResults:
+                   nu: float = 0.3, topside_mass_t: float = 0.0,
+                   support_stiffness=None) -> ModalResults:
     """Natural frequencies/mode shapes of the (supported) structure.
 
     ``topside_mass_t`` lumps an optional deck mass equally onto the top
     nodes' translational DOFs — the dominant dynamic effect for jackets.
+    ``support_stiffness`` (a [6] or [n_fixed, 6] spring vector, N/mm and
+    N*mm/rad, as in :func:`api.analyze_ssi`) replaces the rigid support
+    clamp with foundation springs: the eigenproblem is solved over ALL
+    DOFs with ``K + diag(k)``, so foundation flexibility lengthens the
+    natural periods — the first-order SSI effect on jacket dynamics.
     Dense path (fine to a few thousand DOF).  Note: float64 factorizations
     are unimplemented on the TPU backend — run f64 modal analysis on the
     host CPU (see the CLI 'modes' command).
@@ -146,6 +152,13 @@ def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
     dtype = model.coords.dtype
     with jax.default_matmul_precision("highest"):
         K, M, free, (_, _, L_m) = _build_km(model, E, nu, topside_mass_t)
+        if support_stiffness is not None:
+            fixed = np.where(np.asarray(model.fixed_mask))[0]
+            ks = np.broadcast_to(np.asarray(support_stiffness, np.float64),
+                                 (fixed.size, 6))
+            sdofs = (6 * fixed[:, None] + np.arange(6)).reshape(-1)
+            K = K.at[sdofs, sdofs].add(jnp.asarray(ks.reshape(-1), dtype))
+            free = jnp.arange(model.n_dof)
         K_ff = K[jnp.ix_(free, free)]
         M_ff = M[jnp.ix_(free, free)]
         omega, shapes = _modal_from_ff(K_ff, M_ff, free, model.n_dof,

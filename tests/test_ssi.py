@@ -48,6 +48,49 @@ def test_soft_springs_grow_displacement_and_keep_equilibrium():
                                rtol=1e-8)
 
 
+def test_condensed_ssi_matches_dense_on_refined_mesh():
+    """analyze_condensed(support_stiffness=...) at n_seg=4 must agree with
+    the dense analyze_ssi on the same refined mesh (both direct, f64)."""
+    model, wave, case = _storm()
+    n_seg = 4
+    refined = sf.refine_model(model, n_seg)
+    k = [1e6, 1e6, 1e6, 1e12, 1e12, 1e12]
+    # same analytic acceleration on both paths (identical load vectors)
+    dense = sf.analyze_ssi(refined, wave, case, k, accel="analytic")
+    cond = sf.analyze_condensed(model, refined, n_seg, wave, case,
+                                support_stiffness=k)
+    U0, U1 = np.asarray(dense.U), np.asarray(cond.U)
+    assert np.abs(U1 - U0).max() / np.abs(U0).max() < 1e-8
+    np.testing.assert_allclose(np.asarray(cond.reactions),
+                               np.asarray(dense.reactions), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(cond.utilization),
+                               np.asarray(dense.utilization), rtol=1e-6)
+    # reactions are the spring forces at the support nodes
+    fixed = np.where(np.asarray(model.fixed_mask))[0]
+    u_sup = np.asarray(cond.U).reshape(-1, 6)[fixed]
+    np.testing.assert_allclose(np.asarray(cond.reactions),
+                               -np.asarray(k) * u_sup, rtol=1e-8)
+
+
+def test_modal_with_springs():
+    """Stiff springs recover the clamped frequencies; soft springs
+    lengthen the first natural period (the first-order SSI effect)."""
+    from small_fem_solver_tpu.ops.dynamics import modal_analysis
+
+    model = sf.default_3leg_jacket()
+    clamped = modal_analysis(model, n_modes=5, topside_mass_t=1100.0)
+    stiff = modal_analysis(model, n_modes=5, topside_mass_t=1100.0,
+                           support_stiffness=[1e14, 1e14, 1e14,
+                                              1e20, 1e20, 1e20])
+    np.testing.assert_allclose(np.asarray(stiff.frequencies_hz),
+                               np.asarray(clamped.frequencies_hz),
+                               rtol=1e-5)
+    soft = modal_analysis(model, n_modes=5, topside_mass_t=1100.0,
+                          support_stiffness=[1e6, 1e6, 1e6,
+                                             1e12, 1e12, 1e12])
+    assert float(soft.frequencies_hz[0]) < float(clamped.frequencies_hz[0])
+
+
 def test_column_on_lateral_spring_matches_theory():
     """Tip-loaded column on a lateral base spring: the extra tip deflection
     is exactly F/k (series flexibility), rotations clamped stiff."""
