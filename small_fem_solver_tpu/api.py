@@ -642,7 +642,8 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
                          solve_dtype=jnp.float64,
                          refine_steps: int = 1,
                          stretching: str = "none",
-                         current_alpha=None) -> CondensedScanResults:
+                         current_alpha=None,
+                         support_stiffness=None) -> CondensedScanResults:
     """Full FEM phase scan of a refined jacket via exact chain condensation.
 
     The flagship large-mesh path (see ops/condense.py): interior DOFs of all
@@ -666,9 +667,15 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     solve; with the default 1 round the float32 path measures ~4e-5 relative
     displacement error vs float64 at the flagship 9.6k-DOF scale (without it
     the f32 chain sweeps carry ~4e-3 — see tests/test_condense.py).
+
+    ``support_stiffness`` puts the supports on 6-DOF foundation springs
+    (soil-structure interaction; see :func:`analyze_ssi`) — every phase is
+    then solved on the sprung system and the reactions are spring forces.
     """
     _check_refined_layout(coarse, refined, n_seg)
-    free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    ks_nodes, free_np, fixed_np = _ssi_spring_nodes(coarse,
+                                                    support_stiffness,
+                                                    solve_dtype)
     if stretching != "none" and kinematics != "pointwise":
         raise ValueError("Wheeler stretching makes the depth profile "
                          "time-dependent, which breaks the separable/pallas "
@@ -676,7 +683,7 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     return _phase_scan_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
         n_gauss, accel, kinematics, chain_solver, solve_dtype, refine_steps,
-        stretching, current_alpha, jnp.asarray(free_np),
+        stretching, current_alpha, ks_nodes, jnp.asarray(free_np),
         jnp.asarray(fixed_np))
 
 
@@ -687,13 +694,14 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
 def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
                               n_gauss, accel, kinematics, chain_solver,
                               solve_dtype, refine_steps, stretching,
-                              current_alpha, free, fixed):
+                              current_alpha, ks_nodes, free, fixed):
     with jax.default_matmul_precision("highest"):
         return _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg,
                                           n_steps, n_gauss, accel, kinematics,
                                           chain_solver, solve_dtype,
                                           refine_steps, stretching,
-                                          current_alpha, free, fixed)
+                                          current_alpha, ks_nodes, free,
+                                          fixed)
 
 
 def _chain_factor(Kg, n_seg: int, chain_solver: str):
@@ -831,10 +839,52 @@ def _refine_condensed(Kg, n_seg, conn_coarse, fixed_free_mask, solve_once,
     return U_In, v, U_I
 
 
+def _ssi_spring_nodes(coarse, support_stiffness, solve_dtype):
+    """Foundation-spring prep shared by the condensed SSI entry points.
+
+    Returns ``(ks_nodes, free_np, fixed_np)``: the per-coarse-node spring
+    diagonal ([nc, 6], zero off the supports; None when unsprung), and the
+    free/fixed DOF index arrays — ALL DOFs are free in SSI mode (the
+    springs ground the structure).
+    """
+    free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    if support_stiffness is None:
+        return None, free_np, fixed_np
+    fixed_nodes = np.where(np.asarray(coarse.fixed_mask))[0]
+    if fixed_nodes.size == 0:
+        raise ValueError("support_stiffness needs at least one support node")
+    k = np.broadcast_to(np.asarray(support_stiffness, np.float64),
+                        (fixed_nodes.size, 6))
+    ks = np.zeros((coarse.n_nodes, 6))
+    ks[fixed_nodes] = k
+    return (jnp.asarray(ks).astype(solve_dtype),
+            np.arange(6 * coarse.n_nodes), fixed_np)
+
+
+def _spring_dfac(K_I, ks_nodes, free):
+    """Factor the interface system, grounded through foundation springs in
+    SSI mode.  K_I itself stays springless so the reaction recovery
+    ``R = K_I U - F`` yields the spring forces exactly."""
+    if ks_nodes is None:
+        return solve_mod.factor_dense(K_I, free)
+    idx = jnp.arange(K_I.shape[0])
+    return solve_mod.factor_dense(
+        K_I.at[idx, idx].add(ks_nodes.reshape(-1)), free)
+
+
+def _refine_mask(coarse, ks_nodes, solve_dtype):
+    """Free-equation mask for the refinement residual: clamped rows are
+    zeroed; in SSI mode nothing is clamped."""
+    if ks_nodes is None:
+        return solve_mod.dof_free_mask(coarse.fixed_mask) \
+            .astype(solve_dtype).reshape(coarse.n_nodes, 6)
+    return jnp.ones((coarse.n_nodes, 6)).astype(solve_dtype)
+
+
 def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
                                n_gauss, accel, kinematics, chain_solver,
                                solve_dtype, refine_steps, stretching,
-                               current_alpha, free, fixed):
+                               current_alpha, ks_nodes, free, fixed):
     nc = coarse.n_nodes
     Mc = coarse.n_members
     n_int = n_seg - 1
@@ -850,7 +900,7 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
 
     # interface stiffness on the coarse connectivity
     K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
-    dfac = solve_mod.factor_dense(K_I, free)
+    dfac = _spring_dfac(K_I, ks_nodes, free)
 
     # ---- loads at all phases (model dtype), then condense ----
     ldtype = refined.coords.dtype
@@ -914,11 +964,11 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     # fixed DOFs carry the reaction, so the residual is masked to free
     # equations before re-entering the factorization) ----
     if refine_steps > 0:
-        free_I = solve_mod.dof_free_mask(coarse.fixed_mask) \
-            .astype(solve_dtype).reshape(nc, 6)
+        free_I = _refine_mask(coarse, ks_nodes, solve_dtype)
         U_In, v, U_I = _refine_condensed(Kg, n_seg, coarse.conn, free_I,
                                          solve_once, F_I_nodes, g,
-                                         U_In, v, U_I, refine_steps)
+                                         U_In, v, U_I, refine_steps,
+                                         ks_nodes=ks_nodes)
 
     U = jnp.concatenate([
         U_In.reshape(n_steps, -1),
@@ -983,19 +1033,9 @@ def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
     spring forces — soil-structure interaction at the ~100k-DOF scale.
     """
     _check_refined_layout(coarse, refined, n_seg)
-    free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
-    ks_nodes = None
-    if support_stiffness is not None:
-        fixed_nodes = np.where(np.asarray(coarse.fixed_mask))[0]
-        if fixed_nodes.size == 0:
-            raise ValueError("support_stiffness needs at least one "
-                             "support node")
-        k = np.broadcast_to(np.asarray(support_stiffness, np.float64),
-                            (fixed_nodes.size, 6))
-        ks = np.zeros((coarse.n_nodes, 6))
-        ks[fixed_nodes] = k
-        ks_nodes = jnp.asarray(ks, dtype=solve_dtype)
-        free_np = np.arange(6 * coarse.n_nodes)  # springs ground everything
+    ks_nodes, free_np, fixed_np = _ssi_spring_nodes(coarse,
+                                                    support_stiffness,
+                                                    solve_dtype)
     return _analyze_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_gauss,
         accel, solve_dtype, refine_steps, chain_solver, ks_nodes,
@@ -1022,15 +1062,7 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
             coords_s, refined.conn, sec_s, refined.sect_id, case.E, G)
         fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
-        if ks_nodes is None:
-            dfac = solve_mod.factor_dense(K_I, free)
-        else:
-            # SSI: ground through the springs and solve over ALL interface
-            # DOFs; K_I itself stays springless so R = K_I U - F below
-            # recovers the spring forces exactly
-            idx = jnp.arange(6 * nc)
-            dfac = solve_mod.factor_dense(
-                K_I.at[idx, idx].add(ks_nodes.reshape(-1)), free)
+        dfac = _spring_dfac(K_I, ks_nodes, free)
 
         # ---- hydrodynamic + interface + self-weight loads (model dtype) ----
         ldtype = refined.coords.dtype
@@ -1055,11 +1087,7 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
                              node1=node1, node2=node2)
         U_In, v, F_cond_flat, U_I = solve_once(F_I_nodes, g)
         if refine_steps > 0:
-            if ks_nodes is None:
-                free_I = solve_mod.dof_free_mask(coarse.fixed_mask) \
-                    .astype(solve_dtype).reshape(nc, 6)
-            else:
-                free_I = jnp.ones((nc, 6)).astype(solve_dtype)  # no clamps
+            free_I = _refine_mask(coarse, ks_nodes, solve_dtype)
             U_In, v, U_I = _refine_condensed(Kg, n_seg, coarse.conn, free_I,
                                              solve_once, F_I_nodes, g,
                                              U_In, v, U_I, refine_steps,
@@ -1193,7 +1221,8 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
                               solve_dtype=jnp.float32,
                               case_batch: int = 32,
                               kinematics: str = "separable",
-                              chain_solver: str = "auto") -> EnvelopeResults:
+                              chain_solver: str = "auto",
+                              support_stiffness=None) -> EnvelopeResults:
     """Storm envelope on a REFINED mesh: every case x phase, full FEM.
 
     Combines the two flagship paths: the exact chain condensation (interior
@@ -1205,11 +1234,12 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     """
     _check_shared_material(cases)
     _check_refined_layout(coarse, refined, n_seg)
-    free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
+    ks_nodes, free_np, _ = _ssi_spring_nodes(coarse, support_stiffness,
+                                             solve_dtype)
     return _design_envelope_condensed_jit(
         coarse, refined, waves, cases.cast(solve_dtype), n_seg, n_steps,
         n_gauss, solve_dtype, case_batch, kinematics, chain_solver,
-        jnp.asarray(free_np))
+        ks_nodes, jnp.asarray(free_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
@@ -1217,7 +1247,7 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
                                    "chain_solver"))
 def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                                    n_steps, n_gauss, solve_dtype, case_batch,
-                                   kinematics, chain_solver, free):
+                                   kinematics, chain_solver, ks_nodes, free):
     with jax.default_matmul_precision("highest"):
         nc = coarse.n_nodes
         Mc = coarse.n_members
@@ -1232,7 +1262,7 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
             coords_s, refined.conn, sec_s, refined.sect_id, cases.E[0], G)
         fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
-        dfac = solve_mod.factor_dense(K_I, free)
+        dfac = _spring_dfac(K_I, ks_nodes, free)
         D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
         KT6 = -matmul12(K_local, T)[:, :6, :]              # [Mr, 6, 12]
         node1 = coarse.conn[:, 0]

@@ -72,6 +72,58 @@ def test_condensed_ssi_matches_dense_on_refined_mesh():
                                -np.asarray(k) * u_sup, rtol=1e-8)
 
 
+def test_scan_with_springs_matches_single_phase():
+    """phase_scan_condensed(support_stiffness=...) phase i == the
+    single-phase condensed SSI solve at t_i (same pointwise loads)."""
+    import dataclasses
+
+    model, wave, case = _storm()
+    n_seg = 3
+    refined = sf.refine_model(model, n_seg)
+    k = [1e6, 1e6, 1e6, 1e12, 1e12, 1e12]
+    scan = sf.phase_scan_condensed(model, refined, n_seg, wave, case,
+                                   n_steps=6, kinematics="pointwise",
+                                   accel="analytic", support_stiffness=k)
+    i = 2
+    one = sf.analyze_condensed(
+        model, refined, n_seg, wave,
+        dataclasses.replace(case, t_analysis=float(scan.ts[i])),
+        support_stiffness=k)
+    np.testing.assert_allclose(np.asarray(scan.U[i]), np.asarray(one.U),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(scan.reactions[i]),
+                               np.asarray(one.reactions), rtol=1e-9)
+
+
+def test_envelope_with_stiff_springs_matches_clamped():
+    from small_fem_solver_tpu.parallel.sweep import (make_case_batch,
+                                                     make_wave_batch)
+
+    model, _, case = _storm()
+    n_seg = 3
+    refined = sf.refine_model(model, n_seg)
+    waves = make_wave_batch(np.array([8.0, 15.0]), 9.4, 50.0, U_c=1.7,
+                            model="stokes", N=5, n_modes=8)
+    cases = make_case_batch(case, t_analysis=np.zeros(2))
+    clamped = sf.design_envelope_condensed(model, refined, n_seg, waves,
+                                           cases, n_steps=6,
+                                           solve_dtype=np.float64)
+    sprung = sf.design_envelope_condensed(
+        model, refined, n_seg, waves, cases, n_steps=6,
+        solve_dtype=np.float64,
+        support_stiffness=[1e13, 1e13, 1e13, 1e19, 1e19, 1e19])
+    np.testing.assert_allclose(np.asarray(sprung.max_util_per_case),
+                               np.asarray(clamped.max_util_per_case),
+                               rtol=1e-5)
+    soft = sf.design_envelope_condensed(
+        model, refined, n_seg, waves, cases, n_steps=6,
+        solve_dtype=np.float64,
+        support_stiffness=[1e5, 1e5, 1e5, 1e11, 1e11, 1e11])
+    # softer foundation must change the governing utilization
+    assert not np.allclose(np.asarray(soft.max_util_per_case),
+                           np.asarray(clamped.max_util_per_case), rtol=1e-3)
+
+
 def test_modal_with_springs():
     """Stiff springs recover the clamped frequencies; soft springs
     lengthen the first natural period (the first-order SSI effect)."""
