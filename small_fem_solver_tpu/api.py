@@ -420,12 +420,10 @@ def analyze_ssi(model: JacketModel, wave: FourierWave, case: LoadCase,
     Dense path (the spring-grounded K stays SPD): use on the coarse model
     or mild refinements, like :func:`analyze`'s dense solvers.
     """
+    ks = solve_mod.support_spring_nodes(model.fixed_mask, support_stiffness)
     fixed_nodes = np.where(np.asarray(model.fixed_mask))[0]
-    if fixed_nodes.size == 0:
-        raise ValueError("analyze_ssi needs at least one support node")
     dtype = model.coords.dtype
-    k = jnp.asarray(support_stiffness, dtype=dtype)
-    k = jnp.broadcast_to(k, (fixed_nodes.size, 6))
+    k = jnp.asarray(ks[fixed_nodes]).astype(dtype)
     return _analyze_ssi_jit(model, wave, case.cast(dtype), k, n_gauss,
                             accel, stretching, current_alpha,
                             jnp.asarray(fixed_nodes))
@@ -850,13 +848,7 @@ def _ssi_spring_nodes(coarse, support_stiffness, solve_dtype):
     free_np, fixed_np = solve_mod.free_fixed_dofs(coarse.fixed_mask)
     if support_stiffness is None:
         return None, free_np, fixed_np
-    fixed_nodes = np.where(np.asarray(coarse.fixed_mask))[0]
-    if fixed_nodes.size == 0:
-        raise ValueError("support_stiffness needs at least one support node")
-    k = np.broadcast_to(np.asarray(support_stiffness, np.float64),
-                        (fixed_nodes.size, 6))
-    ks = np.zeros((coarse.n_nodes, 6))
-    ks[fixed_nodes] = k
+    ks = solve_mod.support_spring_nodes(coarse.fixed_mask, support_stiffness)
     return (jnp.asarray(ks).astype(solve_dtype),
             np.arange(6 * coarse.n_nodes), fixed_np)
 

@@ -154,13 +154,10 @@ def cmd_run(args):
                               n_steps=args.phase_steps, accel=args.accel)
 
     spring = getattr(args, "support_spring", None)
-    if spring and getattr(args, "refine", 1) <= 1:
-        res = sf.analyze_ssi(model, wave, case, spring, accel=args.accel)
+    if spring:
         print("[foundation] supports on 6-DOF springs "
               f"k = {spring} (N/mm, N*mm/rad)")
-        print(render_report(model, wave, case, res, phase_scan=scan))
-        _outputs(args, model, res)
-        return
+    rmodel = model
     if getattr(args, "refine", 1) > 1:
         import jax.numpy as jnp
 
@@ -171,21 +168,23 @@ def cmd_run(args):
                 "n_seg ~ 300; see docs/ARCHITECTURE.md section 4). Drop "
                 "--f32 for deep refinements (float64 runs on TPU too).")
         solve_dtype = jnp.float32 if args.f32 else jnp.float64
-        refined = sf.refine_model(model, args.refine)
-        print(f"[refined] {refined.n_dof} DOF via exact chain condensation")
-        if spring:
-            print("[foundation] supports on 6-DOF springs "
-                  f"k = {spring} (N/mm, N*mm/rad)")
-        res = sf.analyze_condensed(model, refined, args.refine, wave, case,
+        rmodel = sf.refine_model(model, args.refine)
+        print(f"[refined] {rmodel.n_dof} DOF via exact chain condensation")
+        res = sf.analyze_condensed(model, rmodel, args.refine, wave, case,
                                    accel=args.accel,
                                    solve_dtype=solve_dtype,
                                    support_stiffness=spring)
-        print(render_report(refined, wave, case, res, phase_scan=scan))
-        _outputs(args, refined, res)
-        return
-    res = sf.analyze(model, wave, case, solver=args.solver, accel=args.accel)
-    print(render_report(model, wave, case, res, phase_scan=scan))
-    _outputs(args, model, res)
+    elif spring:
+        if args.solver != "chol":
+            print(f"[foundation] note: --solver {args.solver} ignored — "
+                  "the spring path uses the dense Cholesky solver",
+                  file=sys.stderr)
+        res = sf.analyze_ssi(model, wave, case, spring, accel=args.accel)
+    else:
+        res = sf.analyze(model, wave, case, solver=args.solver,
+                         accel=args.accel)
+    print(render_report(rmodel, wave, case, res, phase_scan=scan))
+    _outputs(args, rmodel, res)
 
 
 def _outputs(args, model, res):

@@ -92,7 +92,8 @@ class ModalResults(NamedTuple):
     frequencies_hz: jnp.ndarray    # [n_modes]
     omega: jnp.ndarray             # [n_modes] rad/s
     periods_s: jnp.ndarray         # [n_modes]
-    mode_shapes: jnp.ndarray       # [n_modes, n_dof] (zeros at fixed DOFs)
+    mode_shapes: jnp.ndarray       # [n_modes, n_dof] (zeros at fixed DOFs
+                                   #  when clamped; nonzero there on springs)
     total_mass_t: jnp.ndarray      # structural mass [tonnes]
 
 
@@ -153,12 +154,11 @@ def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
     with jax.default_matmul_precision("highest"):
         K, M, free, (_, _, L_m) = _build_km(model, E, nu, topside_mass_t)
         if support_stiffness is not None:
-            fixed = np.where(np.asarray(model.fixed_mask))[0]
-            ks = np.broadcast_to(np.asarray(support_stiffness, np.float64),
-                                 (fixed.size, 6))
-            sdofs = (6 * fixed[:, None] + np.arange(6)).reshape(-1)
-            K = K.at[sdofs, sdofs].add(jnp.asarray(ks.reshape(-1), dtype))
-            free = jnp.arange(model.n_dof)
+            from .solve import support_spring_nodes
+            ks = support_spring_nodes(model.fixed_mask, support_stiffness)
+            idx = jnp.arange(model.n_dof)
+            K = K.at[idx, idx].add(jnp.asarray(ks.reshape(-1), dtype))
+            free = idx
         K_ff = K[jnp.ix_(free, free)]
         M_ff = M[jnp.ix_(free, free)]
         omega, shapes = _modal_from_ff(K_ff, M_ff, free, model.n_dof,

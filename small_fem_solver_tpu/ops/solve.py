@@ -53,6 +53,36 @@ def dof_free_mask(fixed_mask) -> jnp.ndarray:
     return m
 
 
+def support_spring_nodes(fixed_mask, support_stiffness) -> np.ndarray:
+    """Validated foundation-spring diagonal per node ([n_nodes, 6] numpy,
+    zero off the supports) — the single prep point for every SSI entry.
+
+    ``support_stiffness`` is a [6] vector (every support identical) or
+    [n_fixed, 6], N/mm translations and N*mm/rad rotations.  Negative
+    entries are always a sign typo (a non-SPD system would produce silent
+    Cholesky NaNs) and all-zero translational stiffness in any direction
+    leaves a rigid-body mode; both raise.  Zero ROTATIONAL entries are
+    legitimate (a pinned pile head) and pass.
+    """
+    fixed_nodes = np.where(np.asarray(fixed_mask))[0]
+    if fixed_nodes.size == 0:
+        raise ValueError("support_stiffness needs at least one support node")
+    k = np.broadcast_to(np.asarray(support_stiffness, np.float64),
+                        (fixed_nodes.size, 6))
+    if np.any(k < 0):
+        raise ValueError("support_stiffness entries must be >= 0 "
+                         f"(got min {k.min():g})")
+    if np.any(k[:, :3].sum(axis=0) == 0):
+        raise ValueError(
+            "support_stiffness has zero total translational stiffness in "
+            "at least one direction: the structure would float (singular "
+            "system). Use a stiff spring (e.g. 1e13 N/mm) for a rigid "
+            "direction.")
+    ks = np.zeros((np.asarray(fixed_mask).shape[0], 6))
+    ks[fixed_nodes] = k
+    return ks
+
+
 # ---------------------------------------------------------------------------
 # Dense path
 # ---------------------------------------------------------------------------

@@ -48,6 +48,19 @@ def test_soft_springs_grow_displacement_and_keep_equilibrium():
                                rtol=1e-8)
 
 
+def test_spring_validation():
+    import pytest
+
+    model, wave, case = _storm()
+    with pytest.raises(ValueError, match=">= 0"):
+        sf.analyze_ssi(model, wave, case, [-1e6, 1e6, 1e6, 1e12, 1e12, 1e12])
+    with pytest.raises(ValueError, match="float"):
+        sf.analyze_ssi(model, wave, case, [0.0] * 6)
+    # pinned pile heads (zero ROTATIONAL springs) are legitimate
+    res = sf.analyze_ssi(model, wave, case, [1e7, 1e7, 1e7, 0.0, 0.0, 0.0])
+    assert np.isfinite(np.asarray(res.U)).all()
+
+
 def test_condensed_ssi_matches_dense_on_refined_mesh():
     """analyze_condensed(support_stiffness=...) at n_seg=4 must agree with
     the dense analyze_ssi on the same refined mesh (both direct, f64)."""
