@@ -540,6 +540,23 @@ class JacketGUI:
             ttk.Radiobutton(f, text=label, variable=self.sw_mode,
                             value=val).grid(row=5 + r, column=0, columnspan=2,
                                             sticky="w")
+        # foundation springs (soil-structure interaction; beyond the
+        # reference, which clamps the supports rigidly and lists SSI as
+        # excluded in its Info tab)
+        self.use_springs = tk.BooleanVar(value=False)
+        ttk.Checkbutton(
+            f, text="Supports on foundation springs (kx ky kz [N/mm], "
+                    "krx kry krz [N*mm/rad]):",
+            variable=self.use_springs).grid(row=8, column=0, columnspan=3,
+                                            sticky="w", pady=(10, 0))
+        sp = ttk.Frame(f)
+        sp.grid(row=9, column=0, columnspan=3, sticky="w")
+        self.spring_entries = []
+        for default in ["1e6", "1e6", "1e6", "1e12", "1e12", "1e12"]:
+            e = ttk.Entry(sp, width=8)
+            e.insert(0, default)
+            e.pack(side=tk.LEFT, padx=2)
+            self.spring_entries.append(e)
 
     # ------------------------------------------------------------- analysis
     def _build_analysis_tab(self):
@@ -596,7 +613,8 @@ class JacketGUI:
         try:
             import jax
             jax.config.update("jax_enable_x64", True)
-            from . import LoadCase, analyze, make_wave, phase_scan, validate_wave
+            from . import (LoadCase, analyze, analyze_ssi, make_wave,
+                           phase_scan, validate_wave)
             from .utils.report import render_report
 
             p = self._params()
@@ -624,7 +642,13 @@ class JacketGUI:
                                   n_steps=36)
 
             self.log("Solving (first run compiles the XLA program)...")
-            res = analyze(model, wave, case, solver="chol")
+            if self.use_springs.get():
+                springs = [float(e.get()) for e in self.spring_entries]
+                self.log("[foundation] supports on 6-DOF springs "
+                         f"k = {springs} (N/mm, N*mm/rad)")
+                res = analyze_ssi(model, wave, case, springs)
+            else:
+                res = analyze(model, wave, case, solver="chol")
             self.log(render_report(model, wave, case, res, phase_scan=scan))
             self.analysis_results = res
             self.analysis_model = model
