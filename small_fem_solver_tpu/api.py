@@ -1130,7 +1130,8 @@ class EnvelopeResults(NamedTuple):
 
 def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
                     n_steps: int = 36, n_gauss: int = 15,
-                    mesh=None) -> EnvelopeResults:
+                    mesh=None, current_alpha=None,
+                    support_stiffness=None) -> EnvelopeResults:
     """Full-FEM storm envelope: every case x every wave phase, one program.
 
     The BASELINE 'design envelope' configuration: a batch of (H, T, heading)
@@ -1145,12 +1146,18 @@ def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
     ``parallel.sweep.make_wave_batch`` / ``make_case_batch``).  With ``mesh``
     (1-D device mesh, axis 'cases') the batch is sharded across chips and
     the governing-case reduction is an ICI all-reduce.
+
+    ``current_alpha`` applies the power-law current profile (as in
+    :func:`analyze`); ``support_stiffness`` puts the supports on 6-DOF
+    foundation springs (see :func:`analyze_ssi`) for the whole envelope.
     """
     _check_shared_material(cases)
-    free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
+    ks_nodes, free_np, _ = _ssi_spring_nodes(model, support_stiffness,
+                                             model.coords.dtype)
     free = jnp.asarray(free_np)
 
-    fn = partial(_design_envelope_jit, n_steps=n_steps, n_gauss=n_gauss)
+    fn = partial(_design_envelope_jit, n_steps=n_steps, n_gauss=n_gauss,
+                 current_alpha=current_alpha, ks_nodes=ks_nodes)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         cs = NamedSharding(mesh, P("cases"))
@@ -1160,8 +1167,9 @@ def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
     return fn(model, waves, cases.cast(model.coords.dtype), free)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_gauss"))
-def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
+@partial(jax.jit, static_argnames=("n_steps", "n_gauss", "current_alpha"))
+def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss,
+                         current_alpha, ks_nodes):
     with jax.default_matmul_precision("highest"):
         dtype = model.coords.dtype
         G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
@@ -1169,7 +1177,7 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
             model.coords, model.conn, model.sections, model.sect_id,
             cases.E[0], G)
         K = assemble_dense(Kg, model.conn, model.n_dof)
-        fac = solve_mod.factor_dense(K, free)
+        fac = _spring_dfac(K, ks_nodes, free)
         D_m = model.sections.D_outer[model.sect_id] / 1000.0
         KT6 = -matmul12(K_local, T)[:, :6, :]
         dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
@@ -1181,7 +1189,8 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss):
             mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
                                      case.wave_dir_deg, case.current_dir_deg,
                                      case.Cd, case.Cm, case.rho_water, ts,
-                                     n_gauss=n_gauss)
+                                     n_gauss=n_gauss,
+                                     current_alpha=current_alpha)
             F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
                                                       L_m))(mb.nodal_forces)
             U = solve_mod.solve_factored(fac, F)           # [S, n_dof]
@@ -1214,6 +1223,7 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
                               case_batch: int = 32,
                               kinematics: str = "separable",
                               chain_solver: str = "auto",
+                              current_alpha=None,
                               support_stiffness=None) -> EnvelopeResults:
     """Storm envelope on a REFINED mesh: every case x phase, full FEM.
 
@@ -1231,15 +1241,16 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     return _design_envelope_condensed_jit(
         coarse, refined, waves, cases.cast(solve_dtype), n_seg, n_steps,
         n_gauss, solve_dtype, case_batch, kinematics, chain_solver,
-        ks_nodes, jnp.asarray(free_np))
+        current_alpha, ks_nodes, jnp.asarray(free_np))
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
                                    "solve_dtype", "case_batch", "kinematics",
-                                   "chain_solver"))
+                                   "chain_solver", "current_alpha"))
 def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                                    n_steps, n_gauss, solve_dtype, case_batch,
-                                   kinematics, chain_solver, ks_nodes, free):
+                                   kinematics, chain_solver, current_alpha,
+                                   ks_nodes, free):
     with jax.default_matmul_precision("highest"):
         nc = coarse.n_nodes
         Mc = coarse.n_members
@@ -1270,14 +1281,16 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                 mb = morison_phase_batch_pallas(
                     wave, refined.coords, refined.conn, D_m,
                     case_l.wave_dir_deg, case_l.current_dir_deg, case_l.Cd,
-                    case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss)
+                    case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss,
+                    current_alpha=current_alpha)
                 mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
             elif kinematics == "separable":
                 mb = morison_phase_batch(wave, refined.coords, refined.conn,
                                          D_m, case_l.wave_dir_deg,
                                          case_l.current_dir_deg, case_l.Cd,
                                          case_l.Cm, case_l.rho_water, ts,
-                                         n_gauss=n_gauss)
+                                         n_gauss=n_gauss,
+                                         current_alpha=current_alpha)
             else:
                 raise ValueError(f"unknown kinematics mode {kinematics!r}")
             F_I_nodes, g = _chain_layout_loads(coarse, refined, case_l,

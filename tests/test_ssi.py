@@ -137,6 +137,38 @@ def test_envelope_with_stiff_springs_matches_clamped():
                            np.asarray(clamped.max_util_per_case), rtol=1e-3)
 
 
+def test_dense_envelope_with_springs_matches_per_case():
+    """design_envelope(support_stiffness=...): phase j of case i equals
+    the one-shot sprung analysis with the same wave and load time."""
+    import dataclasses
+
+    import jax
+
+    from small_fem_solver_tpu.parallel.sweep import (make_case_batch,
+                                                     make_wave_batch)
+
+    model, _, case = _storm()
+    k = [1e6, 1e6, 1e6, 1e12, 1e12, 1e12]
+    waves = make_wave_batch(np.array([8.0, 15.0]), 9.4, 50.0, U_c=1.7,
+                            model="stokes", N=5, n_modes=8)
+    cases = make_case_batch(case, t_analysis=np.zeros(2))
+    env = sf.design_envelope(model, waves, cases, n_steps=6,
+                             support_stiffness=k)
+    i, j = 1, 2
+    wave_i = jax.tree.map(lambda x: x[i], waves)
+    one = sf.analyze_ssi(
+        model, wave_i,
+        dataclasses.replace(case, t_analysis=float(env.ts[i, j])),
+        k, accel="analytic")
+    np.testing.assert_allclose(np.asarray(env.utilization[i, j]),
+                               np.asarray(one.utilization), rtol=1e-7)
+    # and the current profile changes the envelope
+    env_a = sf.design_envelope(model, waves, cases, n_steps=6,
+                               support_stiffness=k, current_alpha=1 / 7)
+    assert not np.allclose(np.asarray(env_a.max_util_per_case),
+                           np.asarray(env.max_util_per_case), rtol=1e-4)
+
+
 def test_modal_with_springs():
     """Stiff springs recover the clamped frequencies; soft springs
     lengthen the first natural period (the first-order SSI effect)."""
