@@ -65,6 +65,45 @@ def test_envelope_sharded_matches_unsharded():
     assert int(env1.governing_case) == int(env0.governing_case)
 
 
+def test_thousand_case_envelope_sharded():
+    """The BASELINE.md 'design envelope' target: 1k (H, T, heading) cases
+    as ONE vmapped + device-sharded batch, full FEM at every phase."""
+    import dataclasses
+
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("cases",))
+    model = sf.default_3leg_jacket()
+    B = 1000
+    Hs = np.linspace(2.0, 17.0, B)
+    Ts = np.linspace(7.5, 11.0, B)
+    dirs = np.linspace(0.0, 355.0, B)
+    waves = make_wave_batch(Hs, Ts, 50.0, U_c=1.7, model="airy",
+                            n_modes=4, dtype=jnp.float64)
+    base = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    cases = make_case_batch(base, t_analysis=jnp.zeros(B),
+                            wave_dir_deg=jnp.asarray(dirs),
+                            current_dir_deg=jnp.asarray(dirs))
+    env = design_envelope(model, waves, cases, n_steps=6, mesh=mesh)
+    assert env.max_util_per_case.shape == (B,)
+    util = np.asarray(env.max_util_per_case)
+    assert np.isfinite(util).all() and (util > 0).all()
+    # spot-check the governing case against a solo phase batch
+    g = int(env.governing_case)
+    wave_g = jax.tree.map(lambda x: x[g], waves)
+    case_g = dataclasses.replace(base, wave_dir_deg=float(dirs[g]),
+                                 current_dir_deg=float(dirs[g]))
+    ts, batch = analyze_phase_batch(model, wave_g, case_g, n_steps=6,
+                                    accel="analytic")
+    # phase-batch is pointwise-with-clamp; envelope is separable: ~1e-6
+    np.testing.assert_allclose(util[g],
+                               float(np.asarray(batch.utilization).max()),
+                               rtol=2e-5)
+    # the envelope max must dominate every case
+    assert np.all(util <= util[g] + 1e-12)
+
+
 def test_condensed_envelope_matches_per_case_scans():
     from small_fem_solver_tpu.api import design_envelope_condensed, phase_scan_condensed
     coarse = sf.default_3leg_jacket()
