@@ -1224,7 +1224,8 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
                               kinematics: str = "separable",
                               chain_solver: str = "auto",
                               current_alpha=None,
-                              support_stiffness=None) -> EnvelopeResults:
+                              support_stiffness=None,
+                              mesh=None) -> EnvelopeResults:
     """Storm envelope on a REFINED mesh: every case x phase, full FEM.
 
     Combines the two flagship paths: the exact chain condensation (interior
@@ -1233,45 +1234,61 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     in chunks of ``case_batch`` so the refined displacement fields never
     materialize for the whole envelope at once; only reduced quantities
     (per-case-phase max utilization, the member envelope) accumulate.
+
+    With ``mesh`` (a 1-D device mesh, axis 'cases') the case batch is
+    partitioned across devices: every device factors the case-independent
+    chains (replicated compute, no communication) and streams its local
+    case block; only the member-envelope reduction crosses ICI.
     """
     _check_shared_material(cases)
     _check_refined_layout(coarse, refined, n_seg)
     ks_nodes, free_np, _ = _ssi_spring_nodes(coarse, support_stiffness,
                                              solve_dtype)
+    cases = cases.cast(solve_dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cs = NamedSharding(mesh, P("cases"))
+        rep = NamedSharding(mesh, P())
+        waves = jax.device_put(waves, cs)
+        cases = jax.device_put(cases, cs)
+        coarse = jax.device_put(coarse, rep)
+        refined = jax.device_put(refined, rep)
+        return _design_envelope_condensed_sharded(
+            coarse, refined, waves, cases, n_seg, n_steps, n_gauss,
+            solve_dtype, case_batch, kinematics, chain_solver,
+            current_alpha, ks_nodes, jnp.asarray(free_np), mesh)
     return _design_envelope_condensed_jit(
-        coarse, refined, waves, cases.cast(solve_dtype), n_seg, n_steps,
+        coarse, refined, waves, cases, n_seg, n_steps,
         n_gauss, solve_dtype, case_batch, kinematics, chain_solver,
         current_alpha, ks_nodes, jnp.asarray(free_np))
 
 
-@partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
-                                   "solve_dtype", "case_batch", "kinematics",
-                                   "chain_solver", "current_alpha"))
-def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
-                                   n_steps, n_gauss, solve_dtype, case_batch,
-                                   kinematics, chain_solver, current_alpha,
-                                   ks_nodes, free):
-    with jax.default_matmul_precision("highest"):
-        nc = coarse.n_nodes
-        Mc = coarse.n_members
-        n_int = n_seg - 1
-        G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
-        ldtype = refined.coords.dtype
+def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
+                                 n_gauss, solve_dtype, kinematics,
+                                 chain_solver, current_alpha, ks_nodes,
+                                 free):
+    """Build the per-case closure shared by the single-device and
+    mesh-sharded condensed envelopes: element stiffness + chain factor +
+    grounded interface factorization happen ONCE here (case-independent);
+    the returned ``one_case`` maps (wave, case) -> per-case reductions."""
+    nc = coarse.n_nodes
+    G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
+    ldtype = refined.coords.dtype
 
-        coords_s = refined.coords.astype(solve_dtype)
-        sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
-                             refined.sections)
-        Kg, K_local, T, L_m = element_stiffness(
-            coords_s, refined.conn, sec_s, refined.sect_id, cases.E[0], G)
-        fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
-        K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
-        dfac = _spring_dfac(K_I, ks_nodes, free)
-        D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
-        KT6 = -matmul12(K_local, T)[:, :6, :]              # [Mr, 6, 12]
-        node1 = coarse.conn[:, 0]
-        node2 = coarse.conn[:, 1]
+    coords_s = refined.coords.astype(solve_dtype)
+    sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
+                         refined.sections)
+    Kg, K_local, T, L_m = element_stiffness(
+        coords_s, refined.conn, sec_s, refined.sect_id, cases.E[0], G)
+    fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
+    K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
+    dfac = _spring_dfac(K_I, ks_nodes, free)
+    D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+    KT6 = -matmul12(K_local, T)[:, :6, :]                  # [Mr, 6, 12]
+    node1 = coarse.conn[:, 0]
+    node2 = coarse.conn[:, 1]
 
-        def one_case(args):
+    def one_case(args):
             wave, case = args
             case_l = case.cast(ldtype)
             ts = jnp.arange(n_steps, dtype=ldtype) \
@@ -1316,20 +1333,74 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
             return (ts, jnp.max(util, axis=1), jnp.max(util, axis=0),
                     mb.total_morison.astype(solve_dtype))
 
+    return one_case
+
+
+def _envelope_from_reductions(ts, per_phase, member_envelope, tot):
+    crit_phase = jnp.argmax(per_phase, axis=-1)
+    max_per_case = jnp.max(per_phase, axis=-1)
+    return EnvelopeResults(
+        ts=ts, utilization=None,  # full [C, S, M] field not materialized
+        max_util_per_phase=per_phase,
+        max_util_per_case=max_per_case,
+        critical_phase=crit_phase,
+        governing_case=jnp.argmax(max_per_case),
+        member_envelope=member_envelope,
+        total_morison=tot,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
+                                   "solve_dtype", "case_batch", "kinematics",
+                                   "chain_solver", "current_alpha"))
+def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
+                                   n_steps, n_gauss, solve_dtype, case_batch,
+                                   kinematics, chain_solver, current_alpha,
+                                   ks_nodes, free):
+    with jax.default_matmul_precision("highest"):
+        one_case = _condensed_envelope_one_case(
+            coarse, refined, cases, n_seg, n_steps, n_gauss, solve_dtype,
+            kinematics, chain_solver, current_alpha, ks_nodes, free)
         # batch_size vmaps the body per chunk, which the pallas kernel does
         # not support — the pallas path streams cases sequentially instead
         # (each case is already a 360-phase batched kernel invocation)
         bs = None if kinematics == "pallas" else case_batch
         ts, per_phase, member_max, tot = jax.lax.map(
             one_case, (waves, cases), batch_size=bs)
-        crit_phase = jnp.argmax(per_phase, axis=-1)
-        max_per_case = jnp.max(per_phase, axis=-1)
-        return EnvelopeResults(
-            ts=ts, utilization=None,  # full [C, S, M] field not materialized
-            max_util_per_phase=per_phase,
-            max_util_per_case=max_per_case,
-            critical_phase=crit_phase,
-            governing_case=jnp.argmax(max_per_case),
-            member_envelope=jnp.max(member_max, axis=0),
-            total_morison=tot,
-        )
+        return _envelope_from_reductions(ts, per_phase,
+                                         jnp.max(member_max, axis=0), tot)
+
+
+@partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
+                                   "solve_dtype", "case_batch", "kinematics",
+                                   "chain_solver", "current_alpha", "mesh"))
+def _design_envelope_condensed_sharded(coarse, refined, waves, cases, n_seg,
+                                       n_steps, n_gauss, solve_dtype,
+                                       case_batch, kinematics, chain_solver,
+                                       current_alpha, ks_nodes, free, mesh):
+    """Mesh-sharded condensed envelope: the case axis is partitioned over
+    the 1-D device mesh (axis 'cases'); each device factors the (case-
+    independent) chains once — replicated compute, no communication — and
+    streams its local case block through ``lax.map``.  Only the member-
+    envelope reduction crosses devices (one ``pmax`` over ICI)."""
+    from jax.sharding import PartitionSpec as P
+
+    with jax.default_matmul_precision("highest"):
+        one_case = _condensed_envelope_one_case(
+            coarse, refined, cases, n_seg, n_steps, n_gauss, solve_dtype,
+            kinematics, chain_solver, current_alpha, ks_nodes, free)
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P("cases"),),
+                 out_specs=(P("cases"), P("cases"), P(), P("cases")))
+        def local(wc):
+            n_local = wc[1].E.shape[0]
+            bs = None if kinematics == "pallas" \
+                else min(case_batch, max(n_local, 1))
+            ts, per_phase, member_max, tot = jax.lax.map(
+                one_case, wc, batch_size=bs)
+            member_env = jax.lax.pmax(jnp.max(member_max, axis=0), "cases")
+            return ts, per_phase, member_env, tot
+
+        ts, per_phase, member_env, tot = local((waves, cases))
+        return _envelope_from_reductions(ts, per_phase, member_env, tot)

@@ -126,6 +126,32 @@ def test_condensed_envelope_matches_per_case_scans():
     assert int(env.governing_case) == 2  # largest wave governs
 
 
+def test_condensed_envelope_sharded_matches_unsharded():
+    """design_envelope_condensed(mesh=...): the case axis partitions over
+    the device mesh with bitwise-equal reductions."""
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("cases",))
+    coarse = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(coarse, n_seg)
+    B = 16
+    Hs = np.linspace(3.0, 15.0, B)
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    cases = _cases(B)
+    env0 = sf.design_envelope_condensed(coarse, refined, n_seg, waves, cases,
+                                        n_steps=6, solve_dtype=jnp.float64)
+    env1 = sf.design_envelope_condensed(coarse, refined, n_seg, waves, cases,
+                                        n_steps=6, solve_dtype=jnp.float64,
+                                        mesh=mesh)
+    np.testing.assert_allclose(np.asarray(env1.max_util_per_case),
+                               np.asarray(env0.max_util_per_case),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(env1.member_envelope),
+                               np.asarray(env0.member_envelope), rtol=1e-12)
+    assert int(env1.governing_case) == int(env0.governing_case)
+
+
 def test_envelope_rejects_varying_material():
     from small_fem_solver_tpu.api import design_envelope
     model = sf.default_3leg_jacket()
