@@ -312,9 +312,14 @@ def cmd_envelope(args):
     refined = sf.refine_model(model, args.n_seg)
     print(f"[envelope] {B} cases x {args.phase_steps} phases @ "
           f"{refined.n_dof} DOF", file=sys.stderr)
+    spring = getattr(args, "support_spring", None)
+    if spring:
+        print("[foundation] supports on 6-DOF springs "
+              f"k = {spring} (N/mm, N*mm/rad)")
     env = design_envelope_condensed(model, refined, args.n_seg, waves, cases,
                                     n_steps=args.phase_steps,
-                                    solve_dtype=dtype)
+                                    solve_dtype=dtype,
+                                    support_stiffness=spring)
     g = int(env.governing_case)
     print(f"governing case: H={HH[g]:.2f} m, T={TT[g]:.2f} s, "
           f"dir={DD[g]:.0f} deg -> max utilization "
@@ -613,6 +618,10 @@ def main(argv=None):
     ev.add_argument("--dirs", nargs="*", type=float, help="headings [deg]")
     ev.add_argument("--n-seg", type=int, default=8)
     ev.add_argument("--phase-steps", type=int, default=36)
+    ev.add_argument("--support-spring", nargs=6, type=float,
+                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
+                    help="foundation springs at the support nodes "
+                         "(N/mm, N*mm/rad) instead of rigid clamps")
     ev.set_defaults(fn=cmd_envelope)
 
     dy = sub.add_parser("dynamic",
