@@ -109,3 +109,41 @@ def multihost_design_envelope(model, H_list, T, d, U_c, base_case,
     cases = shard_cases_from_local(cases_local, n_cases, mesh)
     return design_envelope(model, waves, cases, n_steps=n_steps,
                            mesh=mesh, **envelope_kw)
+
+
+def multihost_design_envelope_condensed(coarse, refined, n_seg, H_list, T,
+                                        d, U_c, base_case,
+                                        wave_model: str = "fenton",
+                                        N: int = 18, n_modes: int = 18,
+                                        n_steps: int = 36, dtype=None,
+                                        solve_dtype=None, **envelope_kw):
+    """Flagship-scale storm envelope across hosts: the REFINED mesh's exact
+    chain condensation (``api.design_envelope_condensed``) with the case
+    axis sharded over the global device set.  Wave setup is host-batched
+    exactly like :func:`multihost_design_envelope`; each device factors the
+    case-independent chains locally (replicated compute), so the only DCN
+    traffic is the member-envelope pmax.
+    """
+    import jax.numpy as jnp
+
+    from ..api import design_envelope_condensed
+    from .sweep import make_case_batch, make_wave_batch
+
+    dtype = dtype or jnp.float32
+    solve_dtype = solve_dtype or jnp.float32
+    H = np.asarray(H_list, dtype=np.float64)
+    n_cases = H.shape[0]
+    mesh = global_case_mesh()
+
+    sl = process_local_slice(n_cases)
+    waves_local = make_wave_batch(H[sl], T, d, U_c=U_c, model=wave_model,
+                                  N=N, n_modes=n_modes, dtype=dtype)
+    cases_local = make_case_batch(
+        base_case, t_analysis=jnp.zeros(sl.stop - sl.start, dtype))
+
+    waves = shard_cases_from_local(waves_local, n_cases, mesh)
+    cases = shard_cases_from_local(cases_local, n_cases, mesh)
+    return design_envelope_condensed(coarse, refined, n_seg, waves, cases,
+                                     n_steps=n_steps,
+                                     solve_dtype=solve_dtype, mesh=mesh,
+                                     **envelope_kw)

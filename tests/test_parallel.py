@@ -94,3 +94,29 @@ def test_multihost_helpers_single_process():
     ref = sf.design_envelope(model, waves, cases, n_steps=4, mesh=mesh)
     np.testing.assert_allclose(np.asarray(env.max_util_per_case),
                                np.asarray(ref.max_util_per_case), rtol=1e-12)
+
+
+def test_multihost_condensed_envelope_single_process():
+    """The flagship condensed envelope through the multi-host layer equals
+    the plain mesh-sharded condensed envelope on one process."""
+    from small_fem_solver_tpu.parallel.multihost import (
+        global_case_mesh, multihost_design_envelope_condensed)
+
+    coarse = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(coarse, n_seg)
+    Hs = np.linspace(3.0, 12.0, 8)
+    env = multihost_design_envelope_condensed(
+        coarse, refined, n_seg, Hs, 9.4, 50.0, 1.7, _base_case(),
+        wave_model="stokes", N=5, n_modes=8, n_steps=4,
+        dtype=jnp.float64, solve_dtype=jnp.float64)
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    cases = make_case_batch(_base_case(), t_analysis=jnp.zeros(8))
+    ref = sf.design_envelope_condensed(coarse, refined, n_seg, waves, cases,
+                                       n_steps=4, solve_dtype=jnp.float64,
+                                       mesh=global_case_mesh())
+    np.testing.assert_allclose(np.asarray(env.max_util_per_case),
+                               np.asarray(ref.max_util_per_case), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(env.member_envelope),
+                               np.asarray(ref.member_envelope), rtol=1e-12)
