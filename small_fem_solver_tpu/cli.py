@@ -492,10 +492,10 @@ def cmd_modes(args):
         ctx = jax.default_device(jax.devices("cpu")[0])
     with ctx:
         spring = getattr(args, "support_spring", None)
+        if spring:
+            print("[foundation] supports on 6-DOF springs "
+                  f"k = {spring} (N/mm, N*mm/rad)")
         if getattr(args, "refine", 1) > 1:
-            if spring:
-                raise SystemExit("--support-spring modal analysis runs on "
-                                 "the dense path; drop --refine")
             refined = refine_model(model, args.refine)
             print(f"Craig-Bampton reduced modal analysis: "
                   f"{refined.n_dof} DOF -> "
@@ -504,11 +504,8 @@ def cmd_modes(args):
             res = modal_analysis_condensed(
                 model, refined, args.refine, n_modes=args.n_modes,
                 E=args.E, nu=args.nu, topside_mass_t=args.topside_mass,
-                n_chain_modes=args.chain_modes)
+                n_chain_modes=args.chain_modes, support_stiffness=spring)
         else:
-            if spring:
-                print("[foundation] supports on 6-DOF springs "
-                      f"k = {spring} (N/mm, N*mm/rad)")
             res = modal_analysis(model, n_modes=args.n_modes, E=args.E,
                                  nu=args.nu, topside_mass_t=args.topside_mass,
                                  support_stiffness=spring)

@@ -233,7 +233,8 @@ class CBReduction(NamedTuple):
 
 
 def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
-               topside_mass_t: float, n_chain_modes: int) -> CBReduction:
+               topside_mass_t: float, n_chain_modes: int,
+               support_stiffness=None) -> CBReduction:
     """Build the reduced (K, M) and the member transformation blocks."""
     from .assembly import assemble_dense
     from .solve import free_fixed_dofs
@@ -314,10 +315,20 @@ def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
                 for c in range(3):
                     M_red = M_red.at[6 * i + c, 6 * i + c].add(per)
 
-        # boundary conditions: clamp fixed coarse nodes; all q DOFs free
-        free_b, _ = free_fixed_dofs(coarse.fixed_mask)
-        free = jnp.concatenate([jnp.asarray(free_b),
-                                6 * nc + jnp.arange(Mc * m)])
+        # boundary conditions: clamp fixed coarse nodes (all q DOFs free) —
+        # or, with foundation springs, ground through diag(k) on the
+        # support interface DOFs and free EVERY reduced DOF
+        if support_stiffness is not None:
+            from .solve import support_spring_nodes
+            ks = support_spring_nodes(coarse.fixed_mask, support_stiffness)
+            idx = jnp.arange(6 * nc)
+            K_red = K_red.at[idx, idx].add(
+                jnp.asarray(ks.reshape(-1), dtype))
+            free = jnp.arange(n_red)
+        else:
+            free_b, _ = free_fixed_dofs(coarse.fixed_mask)
+            free = jnp.concatenate([jnp.asarray(free_b),
+                                    6 * nc + jnp.arange(Mc * m)])
     return CBReduction(K_red=K_red, M_red=M_red, free=free, Psi=Psi,
                        Phi=Phi, bdof=bdof, qdof=qdof, n_red=n_red, nc=nc,
                        Mc=Mc, m=m, L_m=L_m, K_local=K_local, T=T)
@@ -338,7 +349,8 @@ def _cb_expand(cb: CBReduction, shapes_r):
 def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
                              E: float = 210000.0, nu: float = 0.3,
                              topside_mass_t: float = 0.0,
-                             n_chain_modes: int = 12) -> ModalResults:
+                             n_chain_modes: int = 12,
+                             support_stiffness=None) -> ModalResults:
     """Craig-Bampton reduced modal analysis for chain-refined jackets.
 
     The dense path (:func:`modal_analysis`) is O(n^3) on the full refined
@@ -357,7 +369,7 @@ def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
     """
     dtype = refined.coords.dtype
     cb = _cb_reduce(coarse, refined, n_seg, E, nu, topside_mass_t,
-                    n_chain_modes)
+                    n_chain_modes, support_stiffness=support_stiffness)
     with jax.default_matmul_precision("highest"):
         K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
         M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]

@@ -188,6 +188,25 @@ def test_modal_with_springs():
     assert float(soft.frequencies_hz[0]) < float(clamped.frequencies_hz[0])
 
 
+def test_cb_modal_with_springs_matches_dense():
+    """Craig-Bampton reduced modal analysis on foundation springs matches
+    the dense spring-supported eigensolve on the same refined mesh."""
+    from small_fem_solver_tpu.ops.dynamics import (modal_analysis,
+                                                   modal_analysis_condensed)
+
+    model = sf.default_3leg_jacket()
+    n_seg = 4
+    refined = sf.refine_model(model, n_seg)
+    k = [1e6, 1e6, 1e6, 1e12, 1e12, 1e12]
+    dense = modal_analysis(refined, n_modes=6, topside_mass_t=1100.0,
+                           support_stiffness=k)
+    red = modal_analysis_condensed(model, refined, n_seg, n_modes=6,
+                                   topside_mass_t=1100.0, n_chain_modes=16,
+                                   support_stiffness=k)
+    np.testing.assert_allclose(np.asarray(red.frequencies_hz),
+                               np.asarray(dense.frequencies_hz), rtol=1e-6)
+
+
 def test_column_on_lateral_spring_matches_theory():
     """Tip-loaded column on a lateral base spring: the extra tip deflection
     is exactly F/k (series flexibility), rotations clamped stiff."""
