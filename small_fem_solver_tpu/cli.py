@@ -536,6 +536,10 @@ def cmd_dynamic(args):
     ctx = contextlib.nullcontext()
     if jax.devices()[0].platform != "cpu":
         ctx = jax.default_device(jax.devices("cpu")[0])
+    spring = getattr(args, "support_spring", None)
+    if spring:
+        print("[foundation] supports on 6-DOF springs "
+              f"k = {spring} (N/mm, N*mm/rad)")
     with ctx:
         if getattr(args, "refine", 1) > 1:
             from .models.model import refine_model
@@ -545,12 +549,14 @@ def cmd_dynamic(args):
             resp = dynamic_response_condensed(
                 model, refined, args.refine, wave, case,
                 n_harmonics=args.n_harmonics, damping_ratio=args.damping,
-                n_steps=args.phase_steps, n_chain_modes=args.chain_modes)
+                n_steps=args.phase_steps, n_chain_modes=args.chain_modes,
+                support_stiffness=spring)
         else:
             resp = dynamic_response(model, wave, case,
                                     n_harmonics=args.n_harmonics,
                                     damping_ratio=args.damping,
-                                    n_steps=args.phase_steps)
+                                    n_steps=args.phase_steps,
+                                    support_stiffness=spring)
     print(f"Rayleigh damping: alpha={float(resp.rayleigh_alpha):.4f} "
           f"beta={float(resp.rayleigh_beta):.2e} "
           f"(zeta={args.damping:.1%})")
@@ -633,6 +639,10 @@ def main(argv=None):
                          "reduced path)")
     dy.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per member chain")
+    dy.add_argument("--support-spring", nargs=6, type=float,
+                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
+                    help="foundation springs at the support nodes "
+                         "(N/mm, N*mm/rad) instead of rigid clamps")
     dy.set_defaults(fn=cmd_dynamic)
 
     op = sub.add_parser("optimize",

@@ -394,7 +394,8 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
                                damping_ratio: float = 0.02,
                                n_steps: int = 72, n_gauss: int = 15,
                                topside_mass_t: float | None = None,
-                               n_chain_modes: int = 12) -> "HarmonicResponse":
+                               n_chain_modes: int = 12,
+                               support_stiffness=None) -> "HarmonicResponse":
     """Steady-state dynamic response of a REFINED jacket on the
     Craig-Bampton reduced basis.
 
@@ -417,7 +418,8 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
     if topside_mass_t is None:
         topside_mass_t = float(case.custom_sw_tonnes)
     cb = _cb_reduce(coarse, refined, n_seg, float(case.E), float(case.nu),
-                    topside_mass_t, n_chain_modes)
+                    topside_mass_t, n_chain_modes,
+                    support_stiffness=support_stiffness)
     nc, Mc = cb.nc, cb.Mc
 
     with jax.default_matmul_precision("highest"):
@@ -543,7 +545,8 @@ def harmonic_solve(K_ff, M_ff, F_hat_f, omega, alpha, beta):
 def dynamic_response(model, wave, case, n_harmonics: int = 6,
                      damping_ratio: float = 0.02, n_steps: int = 72,
                      n_gauss: int = 15,
-                     topside_mass_t: float | None = None) -> HarmonicResponse:
+                     topside_mass_t: float | None = None,
+                     support_stiffness=None) -> HarmonicResponse:
     """Steady-state dynamic response to the (nonlinear) Morison wave loading.
 
     Beyond the reference's quasi-static-only scope: the load time history
@@ -570,6 +573,12 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
     with jax.default_matmul_precision("highest"):
         K, M, free, (K_local, T, L_m) = _build_km(
             model, float(E), float(case.nu), topside_mass_t)
+        if support_stiffness is not None:
+            from .solve import support_spring_nodes
+            ks = support_spring_nodes(model.fixed_mask, support_stiffness)
+            idx = jnp.arange(model.n_dof)
+            K = K.at[idx, idx].add(jnp.asarray(ks.reshape(-1), dtype))
+            free = idx
         K_ff = K[jnp.ix_(free, free)]
         M_ff = M[jnp.ix_(free, free)]
 

@@ -188,6 +188,31 @@ def test_modal_with_springs():
     assert float(soft.frequencies_hz[0]) < float(clamped.frequencies_hz[0])
 
 
+def test_dynamic_response_with_springs():
+    """Stiff-spring harmonic response recovers the clamped DAF; the
+    condensed (Craig-Bampton) variant agrees with the dense one."""
+    from small_fem_solver_tpu.ops.dynamics import (dynamic_response,
+                                                   dynamic_response_condensed)
+
+    model, wave, case = _storm()
+    k_stiff = [1e13, 1e13, 1e13, 1e19, 1e19, 1e19]
+    clamped = dynamic_response(model, wave, case, n_harmonics=3, n_steps=24)
+    stiff = dynamic_response(model, wave, case, n_harmonics=3, n_steps=24,
+                             support_stiffness=k_stiff)
+    np.testing.assert_allclose(float(stiff.daf), float(clamped.daf),
+                               rtol=1e-4)
+    k = [1e6, 1e6, 1e6, 1e12, 1e12, 1e12]
+    dense = dynamic_response(model, wave, case, n_harmonics=3, n_steps=24,
+                             support_stiffness=k)
+    n_seg = 2
+    refined = sf.refine_model(model, n_seg)
+    red = dynamic_response_condensed(model, refined, n_seg, wave, case,
+                                     n_harmonics=3, n_steps=24,
+                                     n_chain_modes=12, support_stiffness=k)
+    # same sprung physics on the refined reduced basis: DAF agrees to ~1%
+    np.testing.assert_allclose(float(red.daf), float(dense.daf), rtol=2e-2)
+
+
 def test_cb_modal_with_springs_matches_dense():
     """Craig-Bampton reduced modal analysis on foundation springs matches
     the dense spring-supported eigensolve on the same refined mesh."""
