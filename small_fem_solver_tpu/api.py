@@ -459,8 +459,8 @@ def _analyze_ssi_jit(model, wave, case, k_nodes, n_gauss, accel,
 
 def analyze_pdelta(model: JacketModel, wave: FourierWave, case: LoadCase,
                    n_iter: int = 3, n_gauss: int = 15, accel: str = "fd",
-                   stretching: str = "none",
-                   current_alpha=None) -> AnalysisResults:
+                   stretching: str = "none", current_alpha=None,
+                   support_stiffness=None) -> AnalysisResults:
     """Second-order (P-delta) static analysis.
 
     Equilibrium on the deformed geometry, linearized through the consistent
@@ -479,18 +479,27 @@ def analyze_pdelta(model: JacketModel, wave: FourierWave, case: LoadCase,
     the honest signal that a second-order STATIC equilibrium does not
     exist.  Results carry ``pdelta_amplification`` = max nodal displacement
     ratio vs the first-order solution.
+
+    ``support_stiffness`` combines P-delta with foundation springs (see
+    :func:`analyze_ssi`): the corrected system is ``K + diag(k) - K_G``.
     """
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
+    ks_diag = None
+    if support_stiffness is not None:
+        ks = solve_mod.support_spring_nodes(model.fixed_mask,
+                                            support_stiffness)
+        ks_diag = jnp.asarray(ks.reshape(-1)).astype(model.coords.dtype)
+        free_np = np.arange(model.n_dof)
     return _analyze_pdelta_jit(model, wave, case.cast(model.coords.dtype),
                                n_iter, n_gauss, accel, stretching,
-                               current_alpha, jnp.asarray(free_np),
+                               current_alpha, ks_diag, jnp.asarray(free_np),
                                jnp.asarray(fixed_np))
 
 
 @partial(jax.jit, static_argnames=("n_iter", "n_gauss", "accel",
                                    "stretching", "current_alpha"))
 def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
-                        stretching, current_alpha, free, fixed):
+                        stretching, current_alpha, ks_diag, free, fixed):
     from .ops.buckling import element_geometric_stiffness
 
     with jax.default_matmul_precision("highest"):
@@ -507,7 +516,16 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
             case.E, G)
         F = assemble_loads(model, case, mor.nodal_forces, L_m)
         K = assemble_dense(Kg, model.conn, model.n_dof)
-        U = solve_mod.solve_factored(solve_mod.factor_dense(K, free), F)
+
+        def fact(Kx):
+            # foundation springs ground the solve; Kx itself stays
+            # springless so reaction recovery yields the spring forces
+            if ks_diag is None:
+                return solve_mod.factor_dense(Kx, free)
+            idx = jnp.arange(model.n_dof)
+            return solve_mod.factor_dense(Kx.at[idx, idx].add(ks_diag), free)
+
+        U = solve_mod.solve_factored(fact(K), F)
         dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
                                 6 * model.conn[:, 1:2] + jnp.arange(6)],
                                axis=-1)
@@ -519,7 +537,7 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
             N = -F1[:, 0]
             KGg = element_geometric_stiffness(model.coords, model.conn, N)
             K2 = K - assemble_dense(KGg, model.conn, model.n_dof)
-            U = solve_mod.solve_factored(solve_mod.factor_dense(K2, free), F)
+            U = solve_mod.solve_factored(fact(K2), F)
         res = _recover(model, case, K2, U, F, fixed, K_local, T, L_m, mor)
         disp2 = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
         amp = jnp.max(jnp.where(disp1 > 0, disp2 / jnp.where(disp1 > 0,

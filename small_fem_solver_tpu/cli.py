@@ -419,10 +419,18 @@ def cmd_buckling(args):
     import small_fem_solver_tpu as sf
 
     model, wave, case = _setup(args)
+    spring = getattr(args, "support_spring", None)
+    if spring:
+        print("[foundation] supports on 6-DOF springs "
+              f"k = {spring} (N/mm, N*mm/rad)")
     with _cpu_if_f64(args):
-        res = sf.analyze(model, wave, case, solver="chol")
+        if spring:
+            res = sf.analyze_ssi(model, wave, case, spring)
+        else:
+            res = sf.analyze(model, wave, case, solver="chol")
         b = sf.buckling_analysis(model, res, E=args.E, nu=args.nu,
-                                 n_modes=args.n_modes)
+                                 n_modes=args.n_modes,
+                                 support_stiffness=spring)
         scr = sf.euler_member_screen(model, res, E=args.E,
                                      k_factor=args.k_factor)
     lam = np.asarray(b.load_factor)
@@ -449,10 +457,19 @@ def cmd_pdelta(args):
     import small_fem_solver_tpu as sf
 
     model, wave, case = _setup(args)
+    spring = getattr(args, "support_spring", None)
+    if spring:
+        print("[foundation] supports on 6-DOF springs "
+              f"k = {spring} (N/mm, N*mm/rad)")
     with _cpu_if_f64(args):
-        lin = sf.analyze(model, wave, case, solver="chol", accel=args.accel)
+        if spring:
+            lin = sf.analyze_ssi(model, wave, case, spring,
+                                 accel=args.accel)
+        else:
+            lin = sf.analyze(model, wave, case, solver="chol",
+                             accel=args.accel)
         pd = sf.analyze_pdelta(model, wave, case, n_iter=args.n_iter,
-                               accel=args.accel)
+                               accel=args.accel, support_stiffness=spring)
     amp = float(pd.pdelta_amplification)
     print(f"P-delta amplification (max nodal |U2|/|U1|): {amp:.4f}")
     print(f"  max displacement: {float(lin.max_displacement_mm):.2f} mm "
@@ -674,6 +691,10 @@ def main(argv=None):
     bk.add_argument("--k-factor", type=float, default=0.8,
                     help="member effective-length factor for the screen")
     bk.add_argument("--n-modes", type=int, default=4)
+    bk.add_argument("--support-spring", nargs=6, type=float,
+                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
+                    help="foundation springs at the support nodes "
+                         "(N/mm, N*mm/rad) instead of rigid clamps")
     bk.set_defaults(fn=cmd_buckling)
 
     pdp = sub.add_parser("pdelta",
@@ -682,6 +703,10 @@ def main(argv=None):
     _add_common(pdp)
     pdp.add_argument("--n-iter", type=int, default=3,
                      help="fixed-point rounds on the axial-force state")
+    pdp.add_argument("--support-spring", nargs=6, type=float,
+                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
+                    help="foundation springs at the support nodes "
+                         "(N/mm, N*mm/rad) instead of rigid clamps")
     pdp.set_defaults(fn=cmd_pdelta)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")

@@ -148,13 +148,18 @@ def euler_member_screen(model, results, E: float = 210000.0,
 
 
 def buckling_analysis(model, results, E: float = 210000.0, nu: float = 0.3,
-                      n_modes: int = 4) -> BucklingResults:
+                      n_modes: int = 4,
+                      support_stiffness=None) -> BucklingResults:
     """Linearized global buckling factors for the applied load case.
 
     Solves K phi = lambda K_G(N) phi on the free DOFs (dense path; use the
     coarse model or mild refinements).  ``results`` supplies the member
     axial forces of the linear solution; lambda_cr is the multiplier on the
     WHOLE load case at which elastic bifurcation occurs.
+
+    ``support_stiffness`` puts the supports on 6-DOF foundation springs
+    (see ``api.analyze_ssi``): the eigenproblem runs over ALL DOFs with
+    ``K + diag(k)`` — foundation flexibility lowers the buckling factors.
     """
     from .assembly import assemble_dense
     from .beams import element_stiffness
@@ -169,8 +174,15 @@ def buckling_analysis(model, results, E: float = 210000.0, nu: float = 0.3,
         KGg = element_geometric_stiffness(model.coords, model.conn, N)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         KG = assemble_dense(KGg, model.conn, model.n_dof)
-        free, _ = free_fixed_dofs(model.fixed_mask)
-        free = jnp.asarray(free)
+        if support_stiffness is not None:
+            from .solve import support_spring_nodes
+            ks = support_spring_nodes(model.fixed_mask, support_stiffness)
+            idx = jnp.arange(model.n_dof)
+            K = K.at[idx, idx].add(jnp.asarray(ks.reshape(-1), dtype))
+            free = idx
+        else:
+            free, _ = free_fixed_dofs(model.fixed_mask)
+            free = jnp.asarray(free)
         K_ff = K[jnp.ix_(free, free)]
         KG_ff = KG[jnp.ix_(free, free)]
 

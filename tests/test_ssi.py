@@ -188,6 +188,35 @@ def test_modal_with_springs():
     assert float(soft.frequencies_hz[0]) < float(clamped.frequencies_hz[0])
 
 
+def test_pdelta_and_buckling_with_springs():
+    """Stiff springs recover clamped P-delta and buckling results; soft
+    springs LOWER the global buckling factor (foundation flexibility)."""
+    from small_fem_solver_tpu.ops.buckling import buckling_analysis
+
+    model, wave, case = _storm()
+    k_stiff = [1e13, 1e13, 1e13, 1e19, 1e19, 1e19]
+    clamped = sf.analyze_pdelta(model, wave, case)
+    stiff = sf.analyze_pdelta(model, wave, case, support_stiffness=k_stiff)
+    np.testing.assert_allclose(float(stiff.pdelta_amplification),
+                               float(clamped.pdelta_amplification),
+                               rtol=1e-5)
+    # atol covers the support DOFs: clamped U is exactly 0 there while the
+    # 1e13 N/mm springs still comply ~1e-7 mm (displacements of interest
+    # are ~60 mm)
+    np.testing.assert_allclose(np.asarray(stiff.U), np.asarray(clamped.U),
+                               rtol=1e-4, atol=1e-5)
+
+    lin = sf.analyze(model, wave, case)
+    b0 = buckling_analysis(model, lin)
+    b1 = buckling_analysis(model, lin, support_stiffness=k_stiff)
+    np.testing.assert_allclose(np.asarray(b1.load_factor),
+                               np.asarray(b0.load_factor), rtol=1e-4)
+    soft = buckling_analysis(model, lin,
+                             support_stiffness=[1e5, 1e5, 1e5,
+                                                1e11, 1e11, 1e11])
+    assert float(soft.load_factor[0]) < float(b0.load_factor[0])
+
+
 def test_dynamic_response_with_springs():
     """Stiff-spring harmonic response recovers the clamped DAF; the
     condensed (Craig-Bampton) variant agrees with the dense one."""
