@@ -94,7 +94,8 @@ def make_case_batch(base: LoadCase, **overrides) -> LoadCase:
 
 def design_sweep(model: JacketModel, waves: FourierWave, cases: LoadCase,
                  solver: str = "chol", n_gauss: int = 15,
-                 accel: str = "analytic", mesh: Mesh | None = None):
+                 accel: str = "analytic", mesh: Mesh | None = None,
+                 support_stiffness=None):
     """Analyze a batch of (wave, case) pairs as one compiled program.
 
     With ``mesh`` (a 1-D device mesh with axis 'cases'), the batch is
@@ -114,6 +115,12 @@ def design_sweep(model: JacketModel, waves: FourierWave, cases: LoadCase,
                          f"('chol'/'lu'); got {solver!r}")
     _check_shared_material(cases)
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
+    ks_nodes = None
+    if support_stiffness is not None:
+        ks = solve_mod.support_spring_nodes(model.fixed_mask,
+                                            support_stiffness)
+        ks_nodes = jnp.asarray(ks).astype(model.coords.dtype)
+        free_np = np.arange(6 * model.coords.shape[0])
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
 
     if mesh is not None:
@@ -123,18 +130,26 @@ def design_sweep(model: JacketModel, waves: FourierWave, cases: LoadCase,
         cases = jax.device_put(cases, case_sharding)
         model = jax.device_put(model, replicated)
     return _design_sweep_jit(model, waves, cases.cast(model.coords.dtype),
-                             free, fixed, n_gauss, accel)
+                             free, fixed, ks_nodes, n_gauss, accel)
 
 
 @partial(jax.jit, static_argnames=("n_gauss", "accel"))
-def _design_sweep_jit(model, waves, cases, free, fixed, n_gauss, accel):
+def _design_sweep_jit(model, waves, cases, free, fixed, ks_nodes, n_gauss,
+                      accel):
     with jax.default_matmul_precision("highest"):
         G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
             cases.E[0], G)
         K = assemble_dense(Kg, model.conn, model.n_dof)
-        fac = solve_mod.factor_dense(K, free)
+        if ks_nodes is None:
+            fac = solve_mod.factor_dense(K, free)
+        else:
+            # foundation springs ground the factor; K stays springless so
+            # _recover's K U - F at the support DOFs is the spring force
+            idx = jnp.arange(model.n_dof)
+            fac = solve_mod.factor_dense(
+                K.at[idx, idx].add(ks_nodes.reshape(-1)), free)
         D_m = model.sections.D_outer[model.sect_id] / 1000.0
 
         def one(wave, case):

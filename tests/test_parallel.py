@@ -96,6 +96,24 @@ def test_multihost_helpers_single_process():
                                np.asarray(ref.max_util_per_case), rtol=1e-12)
 
 
+def test_design_sweep_with_springs():
+    """Sprung design_sweep case i equals the one-shot analyze_ssi."""
+    model = sf.default_3leg_jacket()
+    Hs = [6.0, 12.0]
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.7, model="stokes", N=5,
+                            n_modes=8, dtype=jnp.float64)
+    cases = make_case_batch(_base_case(), t_analysis=jnp.zeros(2))
+    k = [1e6, 1e6, 1e6, 1e12, 1e12, 1e12]
+    res = design_sweep(model, waves, cases, support_stiffness=k)
+    import jax
+    wave1 = jax.tree.map(lambda x: x[1], waves)
+    one = sf.analyze_ssi(model, wave1, _base_case(), k, accel="analytic")
+    np.testing.assert_allclose(np.asarray(res.U[1]), np.asarray(one.U),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.reactions[1]),
+                               np.asarray(one.reactions), rtol=1e-9)
+
+
 def test_multihost_condensed_envelope_single_process():
     """The flagship condensed envelope through the multi-host layer equals
     the plain mesh-sharded condensed envelope on one process."""
