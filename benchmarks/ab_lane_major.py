@@ -73,7 +73,7 @@ def lane_major(g, uI, uJ):
         fJ = -jnp.moveaxis(fac.Cn @ vT[-1], -1, 0)
         v = vT - jnp.einsum("pmij,mjs->pmis", fac.Z0, uIT) \
             - jnp.einsum("pmij,mjs->pmis", fac.Zn, uJT)
-        return fI, fJ, jnp.moveaxis(v, -1, 0).swapaxes(1, 1)
+        return fI, fJ, jnp.moveaxis(v, -1, 0)
 
 
 def bench(name, fn, rounds=5, n=20):

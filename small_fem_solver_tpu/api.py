@@ -517,15 +517,7 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
         F = assemble_loads(model, case, mor.nodal_forces, L_m)
         K = assemble_dense(Kg, model.conn, model.n_dof)
 
-        def fact(Kx):
-            # foundation springs ground the solve; Kx itself stays
-            # springless so reaction recovery yields the spring forces
-            if ks_diag is None:
-                return solve_mod.factor_dense(Kx, free)
-            idx = jnp.arange(model.n_dof)
-            return solve_mod.factor_dense(Kx.at[idx, idx].add(ks_diag), free)
-
-        U = solve_mod.solve_factored(fact(K), F)
+        U = solve_mod.solve_factored(_spring_dfac(K, ks_diag, free), F)
         dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
                                 6 * model.conn[:, 1:2] + jnp.arange(6)],
                                axis=-1)
@@ -537,7 +529,7 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
             N = -F1[:, 0]
             KGg = element_geometric_stiffness(model.coords, model.conn, N)
             K2 = K - assemble_dense(KGg, model.conn, model.n_dof)
-            U = solve_mod.solve_factored(fact(K2), F)
+            U = solve_mod.solve_factored(_spring_dfac(K2, ks_diag, free), F)
         res = _recover(model, case, K2, U, F, fixed, K_local, T, L_m, mor)
         disp2 = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
         amp = jnp.max(jnp.where(disp1 > 0, disp2 / jnp.where(disp1 > 0,

@@ -82,6 +82,20 @@ def _add_common(ap: argparse.ArgumentParser):
     o.add_argument("--save-model", help="write the (possibly default) model JSON")
 
 
+def _add_spring_arg(ap: argparse.ArgumentParser):
+    ap.add_argument("--support-spring", nargs=6, type=float,
+                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
+                    help="foundation springs at the support nodes "
+                         "(N/mm translations, N*mm/rad rotations) "
+                         "instead of rigid clamps")
+
+
+def _spring_banner(spring):
+    if spring:
+        print("[foundation] supports on 6-DOF springs "
+              f"k = {spring} (N/mm, N*mm/rad)")
+
+
 def _setup(args):
     import jax
 
@@ -154,9 +168,7 @@ def cmd_run(args):
                               n_steps=args.phase_steps, accel=args.accel)
 
     spring = getattr(args, "support_spring", None)
-    if spring:
-        print("[foundation] supports on 6-DOF springs "
-              f"k = {spring} (N/mm, N*mm/rad)")
+    _spring_banner(spring)
     rmodel = model
     if getattr(args, "refine", 1) > 1:
         import jax.numpy as jnp
@@ -313,9 +325,7 @@ def cmd_envelope(args):
     print(f"[envelope] {B} cases x {args.phase_steps} phases @ "
           f"{refined.n_dof} DOF", file=sys.stderr)
     spring = getattr(args, "support_spring", None)
-    if spring:
-        print("[foundation] supports on 6-DOF springs "
-              f"k = {spring} (N/mm, N*mm/rad)")
+    _spring_banner(spring)
     env = design_envelope_condensed(model, refined, args.n_seg, waves, cases,
                                     n_steps=args.phase_steps,
                                     solve_dtype=dtype,
@@ -420,9 +430,7 @@ def cmd_buckling(args):
 
     model, wave, case = _setup(args)
     spring = getattr(args, "support_spring", None)
-    if spring:
-        print("[foundation] supports on 6-DOF springs "
-              f"k = {spring} (N/mm, N*mm/rad)")
+    _spring_banner(spring)
     with _cpu_if_f64(args):
         if spring:
             res = sf.analyze_ssi(model, wave, case, spring)
@@ -458,9 +466,7 @@ def cmd_pdelta(args):
 
     model, wave, case = _setup(args)
     spring = getattr(args, "support_spring", None)
-    if spring:
-        print("[foundation] supports on 6-DOF springs "
-              f"k = {spring} (N/mm, N*mm/rad)")
+    _spring_banner(spring)
     with _cpu_if_f64(args):
         if spring:
             lin = sf.analyze_ssi(model, wave, case, spring,
@@ -509,9 +515,7 @@ def cmd_modes(args):
         ctx = jax.default_device(jax.devices("cpu")[0])
     with ctx:
         spring = getattr(args, "support_spring", None)
-        if spring:
-            print("[foundation] supports on 6-DOF springs "
-                  f"k = {spring} (N/mm, N*mm/rad)")
+        _spring_banner(spring)
         if getattr(args, "refine", 1) > 1:
             refined = refine_model(model, args.refine)
             print(f"Craig-Bampton reduced modal analysis: "
@@ -554,9 +558,7 @@ def cmd_dynamic(args):
     if jax.devices()[0].platform != "cpu":
         ctx = jax.default_device(jax.devices("cpu")[0])
     spring = getattr(args, "support_spring", None)
-    if spring:
-        print("[foundation] supports on 6-DOF springs "
-              f"k = {spring} (N/mm, N*mm/rad)")
+    _spring_banner(spring)
     with ctx:
         if getattr(args, "refine", 1) > 1:
             from .models.model import refine_model
@@ -607,11 +609,7 @@ def main(argv=None):
     run.add_argument("--refine", type=int, default=1,
                      help="subdivide members (>1 solves the refined mesh "
                           "via exact chain condensation; 327 -> ~100k DOF)")
-    run.add_argument("--support-spring", nargs=6, type=float,
-                     metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
-                     help="foundation springs at the support nodes "
-                          "(N/mm translations, N*mm/rad rotations) "
-                          "instead of rigid clamps")
+    _add_spring_arg(run)
     run.set_defaults(fn=cmd_run)
 
     sw = sub.add_parser("sweep", help="vmapped (H, heading) design envelope")
@@ -638,10 +636,7 @@ def main(argv=None):
     ev.add_argument("--dirs", nargs="*", type=float, help="headings [deg]")
     ev.add_argument("--n-seg", type=int, default=8)
     ev.add_argument("--phase-steps", type=int, default=36)
-    ev.add_argument("--support-spring", nargs=6, type=float,
-                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
-                    help="foundation springs at the support nodes "
-                         "(N/mm, N*mm/rad) instead of rigid clamps")
+    _add_spring_arg(ev)
     ev.set_defaults(fn=cmd_envelope)
 
     dy = sub.add_parser("dynamic",
@@ -656,10 +651,7 @@ def main(argv=None):
                          "reduced path)")
     dy.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per member chain")
-    dy.add_argument("--support-spring", nargs=6, type=float,
-                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
-                    help="foundation springs at the support nodes "
-                         "(N/mm, N*mm/rad) instead of rigid clamps")
+    _add_spring_arg(dy)
     dy.set_defaults(fn=cmd_dynamic)
 
     op = sub.add_parser("optimize",
@@ -691,10 +683,7 @@ def main(argv=None):
     bk.add_argument("--k-factor", type=float, default=0.8,
                     help="member effective-length factor for the screen")
     bk.add_argument("--n-modes", type=int, default=4)
-    bk.add_argument("--support-spring", nargs=6, type=float,
-                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
-                    help="foundation springs at the support nodes "
-                         "(N/mm, N*mm/rad) instead of rigid clamps")
+    _add_spring_arg(bk)
     bk.set_defaults(fn=cmd_buckling)
 
     pdp = sub.add_parser("pdelta",
@@ -703,10 +692,7 @@ def main(argv=None):
     _add_common(pdp)
     pdp.add_argument("--n-iter", type=int, default=3,
                      help="fixed-point rounds on the axial-force state")
-    pdp.add_argument("--support-spring", nargs=6, type=float,
-                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
-                    help="foundation springs at the support nodes "
-                         "(N/mm, N*mm/rad) instead of rigid clamps")
+    _add_spring_arg(pdp)
     pdp.set_defaults(fn=cmd_pdelta)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
@@ -719,10 +705,7 @@ def main(argv=None):
                          "reduced path; works to 100k+ DOF)")
     md.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per member chain")
-    md.add_argument("--support-spring", nargs=6, type=float,
-                    metavar=("KX", "KY", "KZ", "KRX", "KRY", "KRZ"),
-                    help="foundation springs at the support nodes "
-                         "(N/mm, N*mm/rad) instead of rigid clamps")
+    _add_spring_arg(md)
     md.set_defaults(fn=cmd_modes)
 
     sd = sub.add_parser("save-default", help="write default jacket JSON")

@@ -175,11 +175,9 @@ def buckling_analysis(model, results, E: float = 210000.0, nu: float = 0.3,
         K = assemble_dense(Kg, model.conn, model.n_dof)
         KG = assemble_dense(KGg, model.conn, model.n_dof)
         if support_stiffness is not None:
-            from .solve import support_spring_nodes
-            ks = support_spring_nodes(model.fixed_mask, support_stiffness)
-            idx = jnp.arange(model.n_dof)
-            K = K.at[idx, idx].add(jnp.asarray(ks.reshape(-1), dtype))
-            free = idx
+            from .solve import ground_with_springs
+            K, free = ground_with_springs(K, model.fixed_mask,
+                                          support_stiffness, dtype)
         else:
             free, _ = free_fixed_dofs(model.fixed_mask)
             free = jnp.asarray(free)

@@ -154,11 +154,9 @@ def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
     with jax.default_matmul_precision("highest"):
         K, M, free, (_, _, L_m) = _build_km(model, E, nu, topside_mass_t)
         if support_stiffness is not None:
-            from .solve import support_spring_nodes
-            ks = support_spring_nodes(model.fixed_mask, support_stiffness)
-            idx = jnp.arange(model.n_dof)
-            K = K.at[idx, idx].add(jnp.asarray(ks.reshape(-1), dtype))
-            free = idx
+            from .solve import ground_with_springs
+            K, free = ground_with_springs(K, model.fixed_mask,
+                                          support_stiffness, dtype)
         K_ff = K[jnp.ix_(free, free)]
         M_ff = M[jnp.ix_(free, free)]
         omega, shapes = _modal_from_ff(K_ff, M_ff, free, model.n_dof,
@@ -321,7 +319,7 @@ def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
         if support_stiffness is not None:
             from .solve import support_spring_nodes
             ks = support_spring_nodes(coarse.fixed_mask, support_stiffness)
-            idx = jnp.arange(6 * nc)
+            idx = jnp.arange(6 * nc)      # springs live on interface DOFs
             K_red = K_red.at[idx, idx].add(
                 jnp.asarray(ks.reshape(-1), dtype))
             free = jnp.arange(n_red)
@@ -574,11 +572,9 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
         K, M, free, (K_local, T, L_m) = _build_km(
             model, float(E), float(case.nu), topside_mass_t)
         if support_stiffness is not None:
-            from .solve import support_spring_nodes
-            ks = support_spring_nodes(model.fixed_mask, support_stiffness)
-            idx = jnp.arange(model.n_dof)
-            K = K.at[idx, idx].add(jnp.asarray(ks.reshape(-1), dtype))
-            free = idx
+            from .solve import ground_with_springs
+            K, free = ground_with_springs(K, model.fixed_mask,
+                                          support_stiffness, dtype)
         K_ff = K[jnp.ix_(free, free)]
         M_ff = M[jnp.ix_(free, free)]
 

@@ -69,18 +69,37 @@ def support_spring_nodes(fixed_mask, support_stiffness) -> np.ndarray:
         raise ValueError("support_stiffness needs at least one support node")
     k = np.broadcast_to(np.asarray(support_stiffness, np.float64),
                         (fixed_nodes.size, 6))
-    if np.any(k < 0):
-        raise ValueError("support_stiffness entries must be >= 0 "
-                         f"(got min {k.min():g})")
+    if not np.all(k >= 0):                 # catches negatives AND NaN
+        raise ValueError("support_stiffness entries must be finite and "
+                         f">= 0 (got {np.asarray(support_stiffness)!r})")
     if np.any(k[:, :3].sum(axis=0) == 0):
         raise ValueError(
             "support_stiffness has zero total translational stiffness in "
             "at least one direction: the structure would float (singular "
             "system). Use a stiff spring (e.g. 1e13 N/mm) for a rigid "
             "direction.")
+    if fixed_nodes.size == 1 and np.any(k[0, 3:] == 0):
+        raise ValueError(
+            "a SINGLE support node with a zero rotational spring leaves a "
+            "rigid-body rotation about that point (singular system); "
+            "pinned (zero-rotation) pile heads need >= 2 support nodes or "
+            "a stiff rotational spring")
     ks = np.zeros((np.asarray(fixed_mask).shape[0], 6))
     ks[fixed_nodes] = k
     return ks
+
+
+def ground_with_springs(K, fixed_mask, support_stiffness, dtype):
+    """(K + diag(k), free = ALL DOFs): ground an assembled K through
+    validated foundation springs — the shared grounding step of every
+    spring-supported eigen/response path (modal, Craig-Bampton, harmonic,
+    buckling).  Reaction-recovering paths keep K springless and add the
+    diagonal only inside the factorization instead (see api._spring_dfac).
+    """
+    ks = support_spring_nodes(fixed_mask, support_stiffness)
+    idx = jnp.arange(K.shape[0])
+    K = K.at[idx, idx].add(jnp.asarray(ks.reshape(-1), dtype))
+    return K, idx
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..api import (LoadCase, _check_shared_material, _recover,
-                   assemble_loads)
+                   _spring_dfac, assemble_loads)
 from ..models.model import JacketModel
 from ..ops import solve as solve_mod
 from ..ops.assembly import assemble_dense
@@ -142,14 +142,7 @@ def _design_sweep_jit(model, waves, cases, free, fixed, ks_nodes, n_gauss,
             model.coords, model.conn, model.sections, model.sect_id,
             cases.E[0], G)
         K = assemble_dense(Kg, model.conn, model.n_dof)
-        if ks_nodes is None:
-            fac = solve_mod.factor_dense(K, free)
-        else:
-            # foundation springs ground the factor; K stays springless so
-            # _recover's K U - F at the support DOFs is the spring force
-            idx = jnp.arange(model.n_dof)
-            fac = solve_mod.factor_dense(
-                K.at[idx, idx].add(ks_nodes.reshape(-1)), free)
+        fac = _spring_dfac(K, ks_nodes, free)
         D_m = model.sections.D_outer[model.sect_id] / 1000.0
 
         def one(wave, case):

@@ -56,6 +56,17 @@ def test_spring_validation():
         sf.analyze_ssi(model, wave, case, [-1e6, 1e6, 1e6, 1e12, 1e12, 1e12])
     with pytest.raises(ValueError, match="float"):
         sf.analyze_ssi(model, wave, case, [0.0] * 6)
+    with pytest.raises(ValueError, match="finite"):
+        sf.analyze_ssi(model, wave, case,
+                       [np.nan, 1e7, 1e7, 1e12, 1e12, 1e12])
+    # a SINGLE pinned support leaves a rigid rotation -> rejected
+    col = sf.build_model({"BASE": (0.0, 0.0, 0.0), "TIP": (0.0, 0.0, 20.0)},
+                         [{"name": "COL", "node1": "BASE", "node2": "TIP",
+                           "type": "leg"}],
+                         fixed_nodes=["BASE"], top_nodes=["TIP"],
+                         leg_section=(1000.0, 20.0))
+    with pytest.raises(ValueError, match="SINGLE support"):
+        sf.analyze_ssi(col, wave, case, [1e7, 1e7, 1e7, 0.0, 0.0, 0.0])
     # pinned pile heads (zero ROTATIONAL springs) are legitimate
     res = sf.analyze_ssi(model, wave, case, [1e7, 1e7, 1e7, 0.0, 0.0, 0.0])
     assert np.isfinite(np.asarray(res.U)).all()
