@@ -69,16 +69,20 @@ def measure_flagship(repeats: int = 5):
         # amortized per-scan time with pipelined async dispatch — the
         # sustained-production number (back-to-back scans, block at the end).
         # The relay is shared across processes and contention only ever
-        # inflates timings, so take the min over several rounds.
+        # inflates timings, so take the min over several rounds; contended
+        # windows last minutes, so space the rounds out a little to sample
+        # more than one contention slice.
         N = max(repeats, 10)
         amortized = float("inf")
-        for _ in range(5):
+        for r in range(8):
             t0 = time.time()
             last = None
             for _ in range(N):
                 last = run().utilization
             last.block_until_ready()
             amortized = min(amortized, (time.time() - t0) / N)
+            if r < 7:
+                time.sleep(2.0)
 
         util = float(scan.utilization.max())
         crit_t = float(scan.ts[int(scan.critical_index)])
