@@ -141,3 +141,71 @@ def test_analyze_and_scan_accept_hydro_options():
     with pytest.raises(ValueError):
         sf.phase_scan_condensed(coarse, refined, 2, wave, case, n_steps=3,
                                 kinematics="separable", stretching="wheeler")
+
+
+def test_marine_growth_zero_preserves_reference_numbers():
+    import dataclasses
+
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    base = sf.analyze(model, wave, case)
+    zero = sf.analyze(model, wave,
+                      dataclasses.replace(case, marine_growth_mm=0.0))
+    np.testing.assert_array_equal(np.asarray(base.U), np.asarray(zero.U))
+
+
+def test_marine_growth_scales_morison_loads():
+    """Growth adds 2t to the hydrodynamic diameter: drag scales ~D,
+    inertia ~D^2, and the structural solve sees only the larger loads."""
+    import dataclasses
+
+    from small_fem_solver_tpu.ops.morison import morison_loads
+
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(10.0, 9.4, 50.0, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=0.0, current_dir_deg=0.0, sw_mode="none")
+    t_g = 100.0                                     # mm of growth
+    r0 = sf.analyze(model, wave, case)
+    r1 = sf.analyze(model, wave,
+                    dataclasses.replace(case, marine_growth_mm=t_g))
+    # per member the scaling is EXACT: drag ~ D, inertia ~ D^2 at the
+    # same kinematics (growth does not move the quadrature points)
+    D = np.asarray(model.sections.D_outer)[np.asarray(model.sect_id)]
+    f = (D + 2 * t_g) / D                                  # [M]
+    d0 = np.linalg.norm(np.asarray(r0.morison.member_drag), axis=1)
+    d1 = np.linalg.norm(np.asarray(r1.morison.member_drag), axis=1)
+    i0 = np.linalg.norm(np.asarray(r0.morison.member_inertia), axis=1)
+    i1 = np.linalg.norm(np.asarray(r1.morison.member_inertia), axis=1)
+    wet = d0 > 1e-6
+    np.testing.assert_allclose(d1[wet] / d0[wet], f[wet], rtol=1e-9)
+    np.testing.assert_allclose(i1[wet] / i0[wet], f[wet] ** 2, rtol=1e-9)
+    assert float(r1.max_displacement_mm) > float(r0.max_displacement_mm)
+
+
+def test_marine_growth_on_condensed_and_batched_paths():
+    import dataclasses
+
+    from small_fem_solver_tpu.parallel.sweep import (make_case_batch,
+                                                     make_wave_batch)
+
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(10.0, 9.4, 50.0, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=0.0, current_dir_deg=0.0, sw_mode="none",
+                       marine_growth_mm=75.0)
+    n_seg = 3
+    refined = sf.refine_model(model, n_seg)
+    dense = sf.analyze(refined, wave, case, accel="analytic")
+    cond = sf.analyze_condensed(model, refined, n_seg, wave, case)
+    np.testing.assert_allclose(np.asarray(cond.U), np.asarray(dense.U),
+                               rtol=1e-8, atol=1e-12)
+    # per-case growth in an envelope batch
+    waves = make_wave_batch([8.0, 8.0], 9.4, 50.0, model="stokes", N=5,
+                            n_modes=8, dtype=np.float64)
+    cases = make_case_batch(case, t_analysis=np.zeros(2),
+                            marine_growth_mm=np.array([0.0, 150.0]))
+    env = sf.design_envelope(model, waves, cases, n_steps=4)
+    u = np.asarray(env.max_util_per_case)
+    assert u[1] > u[0]                    # more growth -> more load
