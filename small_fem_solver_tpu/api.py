@@ -36,7 +36,8 @@ from .ops.assembly import (assemble_bcsr, assemble_dense, bcsr_block_diagonal,
                            bcsr_matvec, build_bcsr_pattern)
 from .ops.beams import (element_stiffness, internal_forces, matmul12,
                         matvec12)
-from .ops.morison import MorisonLoads, morison_loads, morison_phase_batch
+from .ops.morison import (MorisonLoads, hydro_diameter_m, morison_loads,
+                          morison_phase_batch)
 from .ops.sections import von_mises_8pt
 from .ops.waves import FourierWave
 
@@ -65,6 +66,9 @@ class LoadCase:
     M_torsion_kNm: jnp.ndarray = 0.0     # torsion
     custom_sw_tonnes: jnp.ndarray = 0.0  # used when sw_mode == 'custom'
     t_analysis: jnp.ndarray = 0.0        # wave phase time [s]
+    marine_growth_mm: jnp.ndarray = 0.0  # radial growth thickness (API RP
+    #   2A practice): adds 2*t to the HYDRODYNAMIC diameter only (loads),
+    #   not to the structural section. 0 = reference semantics.
     # static:
     sw_mode: str = dataclasses.field(default="custom", metadata=dict(static=True))
 
@@ -257,7 +261,8 @@ def _pcg_dist_prep(model, wave, case, pattern, n_gauss, accel, stretching,
                    current_alpha):
     with jax.default_matmul_precision("highest"):
         G = case.E / (2.0 * (1.0 + case.nu))
-        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        D_m = hydro_diameter_m(model.sections, model.sect_id,
+                               case.marine_growth_mm)
         mor = morison_loads(wave, model.coords, model.conn, D_m,
                             case.wave_dir_deg, case.current_dir_deg,
                             case.Cd, case.Cm, case.rho_water,
@@ -334,7 +339,8 @@ def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
                   pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False,
                   stretching="none", current_alpha=None):
     G = case.E / (2.0 * (1.0 + case.nu))                    # (`:443`)
-    D_m = model.sections.D_outer[model.sect_id] / 1000.0    # (`:610`)
+    D_m = hydro_diameter_m(model.sections, model.sect_id,
+                       case.marine_growth_mm)    # (`:610`)
 
     mor = morison_loads(wave, model.coords, model.conn, D_m,
                         case.wave_dir_deg, case.current_dir_deg,
@@ -435,7 +441,8 @@ def _analyze_ssi_jit(model, wave, case, k_nodes, n_gauss, accel,
                      stretching, current_alpha, fixed_nodes):
     with jax.default_matmul_precision("highest"):
         G = case.E / (2.0 * (1.0 + case.nu))
-        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        D_m = hydro_diameter_m(model.sections, model.sect_id,
+                               case.marine_growth_mm)
         mor = morison_loads(wave, model.coords, model.conn, D_m,
                             case.wave_dir_deg, case.current_dir_deg,
                             case.Cd, case.Cm, case.rho_water,
@@ -504,7 +511,8 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
 
     with jax.default_matmul_precision("highest"):
         G = case.E / (2.0 * (1.0 + case.nu))
-        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        D_m = hydro_diameter_m(model.sections, model.sect_id,
+                               case.marine_growth_mm)
         mor = morison_loads(wave, model.coords, model.conn, D_m,
                             case.wave_dir_deg, case.current_dir_deg,
                             case.Cd, case.Cm, case.rho_water,
@@ -576,7 +584,8 @@ def _phase_batch_jit(model, wave, case, n_steps, n_gauss, accel, free, fixed):
 
 def _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel, free, fixed):
     G = case.E / (2.0 * (1.0 + case.nu))
-    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    D_m = hydro_diameter_m(model.sections, model.sect_id,
+                           case.marine_growth_mm)
     dtype = model.coords.dtype
     ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
 
@@ -907,7 +916,8 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     # ---- loads at all phases (model dtype), then condense ----
     ldtype = refined.coords.dtype
     ts = jnp.arange(n_steps, dtype=ldtype) * wave.T.astype(ldtype) / n_steps
-    D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+    D_m = hydro_diameter_m(refined.sections, refined.sect_id,
+                           case.marine_growth_mm.astype(ldtype))
 
     case_l = case.cast(ldtype)
     if kinematics in ("separable", "pallas"):
@@ -1069,7 +1079,8 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
         # ---- hydrodynamic + interface + self-weight loads (model dtype) ----
         ldtype = refined.coords.dtype
         case_l = case.cast(ldtype)
-        D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
+                               case_l.marine_growth_mm)
         mor = morison_loads(wave, refined.coords, refined.conn, D_m,
                             case_l.wave_dir_deg, case_l.current_dir_deg,
                             case_l.Cd, case_l.Cm, case_l.rho_water,
@@ -1188,7 +1199,6 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss,
             cases.E[0], G)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         fac = _spring_dfac(K, ks_nodes, free)
-        D_m = model.sections.D_outer[model.sect_id] / 1000.0
         KT6 = -matmul12(K_local, T)[:, :6, :]
         dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
                                 6 * model.conn[:, 1:2] + jnp.arange(6)],
@@ -1196,6 +1206,8 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss,
 
         def one_case(wave, case):
             ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
+            D_m = hydro_diameter_m(model.sections, model.sect_id,
+                                   case.marine_growth_mm)
             mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
                                      case.wave_dir_deg, case.current_dir_deg,
                                      case.Cd, case.Cm, case.rho_water, ts,
@@ -1293,7 +1305,6 @@ def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
     fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
     K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
     dfac = _spring_dfac(K_I, ks_nodes, free)
-    D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
     KT6 = -matmul12(K_local, T)[:, :6, :]                  # [Mr, 6, 12]
     node1 = coarse.conn[:, 0]
     node2 = coarse.conn[:, 1]
@@ -1301,6 +1312,8 @@ def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
     def one_case(args):
             wave, case = args
             case_l = case.cast(ldtype)
+            D_m = hydro_diameter_m(refined.sections, refined.sect_id,
+                                   case_l.marine_growth_mm)
             ts = jnp.arange(n_steps, dtype=ldtype) \
                 * wave.T.astype(ldtype) / n_steps
             if kinematics == "pallas":

@@ -61,6 +61,9 @@ def _add_common(ap: argparse.ArgumentParser):
     w.add_argument("--N", type=int, default=10, help="wave order / modes")
     w.add_argument("--Cd", type=float, default=0.7, help="drag coefficient")
     w.add_argument("--Cm", type=float, default=2.0, help="inertia coefficient")
+    w.add_argument("--marine-growth", type=float, default=0.0,
+                   help="radial marine-growth thickness [mm]; adds 2t to "
+                        "the hydrodynamic diameter only (API RP 2A)")
     l = ap.add_argument_group("loads (GUI tab 5)")
     l.add_argument("--F-axial", type=float, default=25100.0, help="[kN]")
     l.add_argument("--F-shear", type=float, default=2900.0, help="[kN]")
@@ -145,6 +148,7 @@ def _setup(args):
         F_axial_kN=args.F_axial, F_shear_kN=args.F_shear,
         M_moment_kNm=args.M_moment, M_torsion_kNm=args.M_torsion,
         custom_sw_tonnes=args.custom_sw, sw_mode=args.self_weight,
+        marine_growth_mm=args.marine_growth,
     )
     return model, wave, case
 
@@ -161,7 +165,9 @@ def cmd_run(args):
 
     scan = None
     if args.phase_scan:
-        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        from .ops.morison import hydro_diameter_m
+        D_m = hydro_diameter_m(model.sections, model.sect_id,
+                               case.marine_growth_mm)
         scan = mor_phase_scan(wave, model.coords, model.conn, D_m,
                               case.wave_dir_deg, case.current_dir_deg,
                               case.Cd, case.Cm, case.rho_water,

@@ -101,7 +101,9 @@ INFO_TEXT = """\
 
   Assumptions/limits:
   - slender members (D/L < 0.2): diffraction neglected;
-  - no marine growth allowance (enter an increased D to model it);
+  - marine growth: the Wave tab's radial thickness is added to the
+    HYDRODYNAMIC diameter (2t per member) for drag and inertia;
+    it carries no structural stiffness or weight;
   - no member shielding or interference;
   - relative velocity ignored (structure assumed rigid vs flow).
 
@@ -152,7 +154,7 @@ INFO_TEXT = """\
   - fatigue damage and S-N screening
   - soil-structure interaction (piles are rigid clamps here)
   - wave slamming, vortex-induced vibration, ringing
-  - marine growth, appurtenances, flooded-member buoyancy
+  - appurtenances, flooded-member buoyancy
   Dynamics ARE available beyond the reference tool's scope - the
   CLI/API offer natural frequencies (also Craig-Bampton reduced
   for refined meshes) and steady-state wave-frequency response
@@ -510,6 +512,7 @@ class JacketGUI:
             ("Harmonics (N):", "N", "10", ""),
             ("Drag Coeff (Cd):", "Cd", "0.7", ""),
             ("Inertia Coeff (Cm):", "Cm", "2.0", ""),
+            ("Marine Growth:", "marine_growth", "0", "mm (radial, hydro D only)"),
         ])
         ttk.Label(f, text="Wave Model:").grid(row=9, column=0, sticky="e",
                                               padx=5)
@@ -591,6 +594,7 @@ class JacketGUI:
             current_dir=g(self.wav["current_dir"]),
             N=int(float(self.wav["N"].get())),
             Cd=g(self.wav["Cd"]), Cm=g(self.wav["Cm"]),
+            marine_growth=g(self.wav["marine_growth"]),
             wave_model=self.wave_model.get(),
             F_axial=g(self.lds["F_axial"]), F_shear=g(self.lds["F_shear"]),
             M_moment=g(self.lds["M_moment"]),
@@ -630,12 +634,15 @@ class JacketGUI:
                 Cd=p["Cd"], Cm=p["Cm"], F_axial_kN=p["F_axial"],
                 F_shear_kN=p["F_shear"], M_moment_kNm=p["M_moment"],
                 M_torsion_kNm=p["M_torsion"], custom_sw_tonnes=p["custom_sw"],
-                t_analysis=p["t_analysis"], sw_mode=p["sw_mode"])
+                t_analysis=p["t_analysis"], sw_mode=p["sw_mode"],
+                marine_growth_mm=p["marine_growth"])
 
             scan = None
             if self.do_phase_scan.get():
                 self.log("Scanning wave period for critical phase...")
-                D_m = model.sections.D_outer[model.sect_id] / 1000.0
+                from .ops.morison import hydro_diameter_m
+                D_m = hydro_diameter_m(model.sections, model.sect_id,
+                                       case.marine_growth_mm)
                 scan = phase_scan(wave, model.coords, model.conn, D_m,
                                   case.wave_dir_deg, case.current_dir_deg,
                                   case.Cd, case.Cm, case.rho_water,

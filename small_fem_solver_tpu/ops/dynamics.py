@@ -433,7 +433,9 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
     with jax.default_matmul_precision("highest"):
         # loads over one period on the refined mesh, projected to CB space
         ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-        D_m = refined.sections.D_outer[refined.sect_id] / 1000.0
+        from .morison import hydro_diameter_m
+        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
+                               case.marine_growth_mm)
         mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
                                  case.wave_dir_deg, case.current_dir_deg,
                                  case.Cd, case.Cm, case.rho_water, ts,
@@ -592,7 +594,9 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
     with jax.default_matmul_precision("highest"):
         # loads over one period (separable fast path)
         ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-        D_m = model.sections.D_outer[model.sect_id] / 1000.0
+        from .morison import hydro_diameter_m
+        D_m = hydro_diameter_m(model.sections, model.sect_id,
+                               case.marine_growth_mm)
         mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
                                  case.wave_dir_deg, case.current_dir_deg,
                                  case.Cd, case.Cm, case.rho_water, ts,

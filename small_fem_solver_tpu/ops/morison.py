@@ -37,6 +37,17 @@ import numpy as np
 from .waves import FourierWave, kinematics
 
 
+def hydro_diameter_m(sections, sect_id, marine_growth_mm=0.0):
+    """Effective hydrodynamic member diameter [m].
+
+    The outer D plus twice the marine-growth thickness — API RP 2A
+    practice: growth adds drag/inertia diameter but no structural section.
+    The reference has no growth concept (it loads the bare OD,
+    `JacketAnalysisGUI_v2.py:610`); growth 0 preserves its numbers.
+    """
+    return (sections.D_outer[sect_id] + 2.0 * marine_growth_mm) / 1000.0
+
+
 def gauss_legendre_01(n: int, dtype=np.float64):
     """Nodes/weights of n-point Gauss-Legendre on [0, 1] (host constant).
 

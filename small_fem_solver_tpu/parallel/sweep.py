@@ -29,7 +29,7 @@ from ..ops import solve as solve_mod
 from ..ops.assembly import assemble_dense
 from ..ops.beams import element_stiffness
 from ..ops.fenton import fenton_wave
-from ..ops.morison import morison_loads
+from ..ops.morison import hydro_diameter_m, morison_loads
 from ..ops.stokes import stokes_wave
 from ..ops.waves import FourierWave, airy_wave
 
@@ -143,9 +143,10 @@ def _design_sweep_jit(model, waves, cases, free, fixed, ks_nodes, n_gauss,
             cases.E[0], G)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         fac = _spring_dfac(K, ks_nodes, free)
-        D_m = model.sections.D_outer[model.sect_id] / 1000.0
 
         def one(wave, case):
+            D_m = hydro_diameter_m(model.sections, model.sect_id,
+                                   case.marine_growth_mm)
             mor = morison_loads(wave, model.coords, model.conn, D_m,
                                 case.wave_dir_deg, case.current_dir_deg,
                                 case.Cd, case.Cm, case.rho_water,
