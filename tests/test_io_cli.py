@@ -136,6 +136,22 @@ def test_cli_run_smoke(tmp_path):
     assert "member_forces" in data and len(data["member_forces"]) == 51
 
 
+def test_cli_marine_growth_increases_loads(tmp_path):
+    import os
+    env = {**os.environ, "PYTHONPATH": ".", "JAX_PLATFORMS": "cpu"}
+    outs = {}
+    for label, extra in [("bare", []), ("grown", ["--marine-growth", "100"])]:
+        out_json = tmp_path / f"{label}.json"
+        cmd = [sys.executable, "-m", "small_fem_solver_tpu.cli", "run",
+               "--wave-model", "airy", "--json-out", str(out_json)] + extra
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[label] = json.loads(out_json.read_text())
+    assert outs["grown"]["max_displacement_mm"] > \
+        outs["bare"]["max_displacement_mm"]
+
+
 def test_cli_pdelta(capsys):
     """'pdelta' prints the second-order amplification diagnostics."""
     import sys
