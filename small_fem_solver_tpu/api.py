@@ -916,10 +916,10 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     # ---- loads at all phases (model dtype), then condense ----
     ldtype = refined.coords.dtype
     ts = jnp.arange(n_steps, dtype=ldtype) * wave.T.astype(ldtype) / n_steps
-    D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                           case.marine_growth_mm.astype(ldtype))
 
     case_l = case.cast(ldtype)
+    D_m = hydro_diameter_m(refined.sections, refined.sect_id,
+                           case_l.marine_growth_mm)
     if kinematics in ("separable", "pallas"):
         if kinematics == "pallas":
             from .ops.pallas_kernels import morison_phase_batch_pallas

@@ -61,7 +61,14 @@ def _add_common(ap: argparse.ArgumentParser):
     w.add_argument("--N", type=int, default=10, help="wave order / modes")
     w.add_argument("--Cd", type=float, default=0.7, help="drag coefficient")
     w.add_argument("--Cm", type=float, default=2.0, help="inertia coefficient")
-    w.add_argument("--marine-growth", type=float, default=0.0,
+    def _nonneg(v):
+        v = float(v)
+        if v < 0:
+            raise argparse.ArgumentTypeError(
+                "marine growth thickness must be >= 0 mm")
+        return v
+
+    w.add_argument("--marine-growth", type=_nonneg, default=0.0,
                    help="radial marine-growth thickness [mm]; adds 2t to "
                         "the hydrodynamic diameter only (API RP 2A)")
     l = ap.add_argument_group("loads (GUI tab 5)")
@@ -157,15 +164,16 @@ def cmd_run(args):
     import dataclasses
 
     import small_fem_solver_tpu as sf
+    from .ops.morison import hydro_diameter_m
     from .ops.morison import phase_scan as mor_phase_scan
     from .utils.report import render_report
 
     model, wave, case = _setup(args)
     case = dataclasses.replace(case, t_analysis=args.t)
 
+
     scan = None
     if args.phase_scan:
-        from .ops.morison import hydro_diameter_m
         D_m = hydro_diameter_m(model.sections, model.sect_id,
                                case.marine_growth_mm)
         scan = mor_phase_scan(wave, model.coords, model.conn, D_m,

@@ -514,16 +514,16 @@ class JacketGUI:
             ("Inertia Coeff (Cm):", "Cm", "2.0", ""),
             ("Marine Growth:", "marine_growth", "0", "mm (radial, hydro D only)"),
         ])
-        ttk.Label(f, text="Wave Model:").grid(row=9, column=0, sticky="e",
+        ttk.Label(f, text="Wave Model:").grid(row=10, column=0, sticky="e",
                                               padx=5)
         self.wave_model = tk.StringVar(value="auto")
         ttk.Combobox(f, textvariable=self.wave_model, width=10,
                      values=["auto", "fenton", "stokes", "airy"]).grid(
-            row=9, column=1)
+            row=10, column=1)
         self.do_phase_scan = tk.BooleanVar(value=True)
         ttk.Checkbutton(f, text="Scan wave period for critical phase",
                         variable=self.do_phase_scan).grid(
-            row=10, column=0, columnspan=2, pady=4)
+            row=11, column=0, columnspan=2, pady=4)
 
     def _build_loads_tab(self):
         f = ttk.Frame(self.tabs["5. Loads"], padding=10)
@@ -622,6 +622,8 @@ class JacketGUI:
             from .utils.report import render_report
 
             p = self._params()
+            if p["marine_growth"] < 0:
+                raise ValueError("marine growth thickness must be >= 0 mm")
             for msg in validate_wave(p["H"], p["T"], p["d"]):
                 self.log(f"WARNING: {msg}")
             model = self._build_model(p)

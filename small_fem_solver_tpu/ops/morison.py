@@ -88,8 +88,9 @@ def morison_loads(
 ) -> MorisonLoads:
     """Morison drag+inertia loads for all members at time ``t``.
 
-    ``D_m``: [M] member outer diameters in metres
-    (= section D_mm / 1000, `JacketAnalysisGUI_v2.py:610`).
+    ``D_m``: [M] member HYDRODYNAMIC diameters in metres — the reference
+    loads the bare OD (`JacketAnalysisGUI_v2.py:610`); library callers pass
+    :func:`hydro_diameter_m` output (OD plus any marine growth).
 
     Beyond-reference options (defaults preserve reference semantics):
     ``stretching='wheeler'`` evaluates wave kinematics at Wheeler-stretched
