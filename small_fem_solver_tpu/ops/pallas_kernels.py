@@ -287,6 +287,9 @@ def morison_phase_batch_pallas(
     # legalize 'func.return' (i64)").  Every input is already explicit
     # float32/int32, so locally disabling x64 around the kernel call changes
     # nothing numerically and makes the kernel callable from f64 sessions.
+    if matmul_precision not in ("highest", "default"):
+        raise ValueError("matmul_precision must be 'highest' or 'default' "
+                         f"(got {matmul_precision!r})")
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[matmul_precision]
     with jax.enable_x64(False):

@@ -69,7 +69,7 @@ def support_spring_nodes(fixed_mask, support_stiffness) -> np.ndarray:
         raise ValueError("support_stiffness needs at least one support node")
     k = np.broadcast_to(np.asarray(support_stiffness, np.float64),
                         (fixed_nodes.size, 6))
-    if not np.all(k >= 0):                 # catches negatives AND NaN
+    if not (np.all(k >= 0) and np.isfinite(k).all()):  # negatives, NaN, inf
         raise ValueError("support_stiffness entries must be finite and "
                          f">= 0 (got {np.asarray(support_stiffness)!r})")
     if np.any(k[:, :3].sum(axis=0) == 0):
@@ -82,8 +82,13 @@ def support_spring_nodes(fixed_mask, support_stiffness) -> np.ndarray:
         raise ValueError(
             "a SINGLE support node with a zero rotational spring leaves a "
             "rigid-body rotation about that point (singular system); "
-            "pinned (zero-rotation) pile heads need >= 2 support nodes or "
-            "a stiff rotational spring")
+            "pinned (zero-rotation) pile heads need >= 2 NON-COLLINEAR "
+            "support nodes or a stiff rotational spring")
+    # NOTE (documented limitation): >= 2 support nodes that are COLLINEAR
+    # with all-zero rotational springs still leave an unresisted rotation
+    # about the line through them.  Node coordinates are not available here,
+    # so that geometric case is not detected — the Cholesky will surface it
+    # as NaNs.  Real jacket supports (3+ legs) are never collinear.
     ks = np.zeros((np.asarray(fixed_mask).shape[0], 6))
     ks[fixed_nodes] = k
     return ks
