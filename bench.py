@@ -94,6 +94,43 @@ def measure_flagship(repeats: int = 5):
               f"max_util={util:.4f} critical_t={crit_t:.3f}s "
               f"device={jax.devices()[0]}", file=sys.stderr)
 
+        # ---- prepared (factor-once) scan: the user-facing amortized path.
+        # prepare_condensed pays the case-independent chain factorization
+        # once; phase_scan_prepared then runs only the per-case work, so
+        # repeated single-case scans hit the envelope path's sustained rate.
+        from small_fem_solver_tpu.api import (phase_scan_prepared,
+                                              prepare_condensed)
+        prep = prepare_condensed(coarse, refined, n_seg,
+                                 solve_dtype=jnp.float32)
+
+        def run_prep():
+            return phase_scan_prepared(prep, wave, case, n_steps=360,
+                                       kinematics="pallas")
+
+        run_prep().utilization.block_until_ready()
+        # correctness pin: prepared == one-shot on device
+        du = float(abs(run_prep().utilization - scan.utilization).max())
+        prep_rounds = []
+        for r in range(8):
+            t0 = time.time()
+            last = None
+            for _ in range(N):
+                last = run_prep().utilization
+            last.block_until_ready()
+            prep_rounds.append((time.time() - t0) / N)
+            if r < 7:
+                time.sleep(2.0)
+        prepared = min(prep_rounds)
+        # relay-contention heuristic: identical back-to-back rounds should
+        # repeat within ~20%; a >1.8x spread means another tenant was on
+        # the shared relay during part of the measurement window
+        contended = max(prep_rounds) / prepared > 1.8
+        print(f"[bench] prepared scan (factor-once user API): "
+              f"{prepared*1e3:.2f} ms/360-phase scan "
+              f"({360.0/prepared:.0f} FEM solves/s), prepared-vs-oneshot "
+              f"max|d util|={du:.1e}, contended={contended}",
+              file=sys.stderr)
+
         # sustained production throughput: in real use the case VARIES between
         # scans and the factorization amortizes across the case axis (the
         # envelope path); this is the per-scan cost of a 10-case x 360-phase
@@ -125,7 +162,11 @@ def measure_flagship(repeats: int = 5):
               f"{refined.n_dof} DOF = {env_best/C*1e3:.2f} ms per full "
               f"360-phase scan sustained "
               f"({360.0*C/env_best:.0f} FEM solves/s)", file=sys.stderr)
-        return amortized * 1e3, refined.n_dof
+        return amortized * 1e3, refined.n_dof, {
+            "prepared_scan_ms": round(prepared * 1e3, 2),
+            "envelope_sustained_ms": round(env_best / C * 1e3, 2),
+            "contended": bool(contended),
+        }
 
 
 def check_pallas_device():
@@ -176,6 +217,7 @@ def check_pallas_device():
             f"device: nodal rel {rel:.2e}, totals rel {tot:.2e}")
     print(f"[bench] pallas device check OK: kernel vs f64 oracle "
           f"nodal rel {rel:.1e}, totals rel {tot:.1e}", file=sys.stderr)
+    return {"pallas_check_rel": float(f"{rel:.3e}")}
 
 
 def measure_assembly(n_seg: int = 327):
@@ -217,8 +259,15 @@ def measure_assembly(n_seg: int = 327):
         last.blocks.block_until_ready()
         best = min(best, (_time.time() - t0) / 10)
     gdofs = model.n_dof / best / 1e9
+    # roofline context (BASELINE metric line): the assembly is HBM-bound —
+    # it writes the [Mr,12,12] element stack and the BCSR blocks and reads
+    # them back once; ~5 passes over ~19 MB at f32 for the 100k-DOF mesh.
+    bytes_moved = model.n_dof * 144 * 4 // 6 * 5
     print(f"[bench] assembly: {model.n_dof} DOF elementK+BCSR in "
-          f"{best*1e3:.2f} ms = {gdofs:.3f} GDOF/s", file=sys.stderr)
+          f"{best*1e3:.2f} ms = {gdofs:.3f} GDOF/s "
+          f"(~{bytes_moved/best/1e9:.0f} GB/s effective vs ~800 GB/s "
+          f"v5e HBM roofline)", file=sys.stderr)
+    return {"assembly_gdofs": round(gdofs, 4)}
 
 
 def measure_large(n_seg: int = 327):
@@ -306,9 +355,11 @@ def main():
     # global jax_enable_x64 flag (needed for their f64 oracles) and MUST run
     # after the f32 flagship/assembly measurements so the primary metric's
     # session config stays identical across rounds
-    ms, ndof = measure_flagship(args.repeats)
-    measure_assembly()
-    check_pallas_device()
+    secondary = {}
+    ms, ndof, sec = measure_flagship(args.repeats)
+    secondary.update(sec)
+    secondary.update(measure_assembly())
+    secondary.update(check_pallas_device())
 
     if args.large:
         measure_large()
@@ -322,11 +373,16 @@ def main():
                   file=sys.stderr)
 
     target_ms = 50.0  # BASELINE.md north star
+    # one JSON line; the driver parses metric/value/unit/vs_baseline, and
+    # "secondary" carries the parsed round-over-round comparison block
+    # (VERDICT r02 item 7): prepared_scan_ms (the factor-once user API),
+    # envelope_sustained_ms, assembly_gdofs, pallas_check_rel, contended.
     print(json.dumps({
         "metric": "phase_scan_360_10kdof",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(target_ms / ms, 3),
+        "secondary": secondary,
     }))
 
 

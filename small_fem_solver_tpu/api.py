@@ -693,10 +693,11 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     ks_nodes, free_np, fixed_np = _ssi_spring_nodes(coarse,
                                                     support_stiffness,
                                                     solve_dtype)
-    if stretching != "none" and kinematics != "pointwise":
-        raise ValueError("Wheeler stretching makes the depth profile "
-                         "time-dependent, which breaks the separable/pallas "
-                         "fast paths; use kinematics='pointwise'")
+    if stretching != "none" and kinematics == "pallas":
+        raise ValueError("the fused Pallas kernel does not implement Wheeler "
+                         "stretching; use kinematics='separable' (2nd-order "
+                         "Taylor frozen-stretch, same matmul) or 'pointwise' "
+                         "(exact)")
     return _phase_scan_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
         n_gauss, accel, kinematics, chain_solver, solve_dtype, refine_steps,
@@ -721,19 +722,15 @@ def _phase_scan_condensed_jit(coarse, refined, wave, case, n_seg, n_steps,
                                           fixed)
 
 
-def _chain_factor(Kg, n_seg: int, chain_solver: str):
-    """(factor, condense_fn, backsub_fn) for the requested chain solver.
+def _resolve_chain_solver(n_seg: int, chain_solver: str) -> str:
+    """Resolve 'auto' to a concrete chain-solver name (host-side, static).
 
-    'auto' (the default): 'nested' when the chain is deep enough for the
-    scan depth to dominate (n_seg >= 16) and n_seg is composite, else
-    'thomas' (measured at the flagship n_seg=32 TPU scan: nested cuts the
-    full-scan time ~10.5 -> 7.3 ms by shrinking the sequential factor scan
-    from 31 to 7+3 steps, and its shallower chains are slightly MORE
-    float32-accurate — both solvers are exact direct methods);
-    'thomas': flat block-Thomas scans (scan depth n_seg);
-    'nested': two-level condensation (scan depth ~2 sqrt(n_seg); float32-
-    stable at deep refinement, where 'thomas' needs float64 past ~100
-    segments); 'pcr': parallel cyclic reduction (f64-validated experiment).
+    'auto': 'nested' when the chain is deep enough for the scan depth to
+    dominate (n_seg >= 16) and n_seg is composite, else 'thomas' (measured
+    at the flagship n_seg=32 TPU scan: nested cuts the full-scan time
+    ~10.5 -> 7.3 ms by shrinking the sequential factor scan from 31 to 7+3
+    steps, and its shallower chains are slightly MORE float32-accurate —
+    both solvers are exact direct methods).
     """
     if chain_solver == "auto":
         chain_solver = "thomas"
@@ -744,19 +741,35 @@ def _chain_factor(Kg, n_seg: int, chain_solver: str):
                 pass  # prime depth: no balanced split, keep thomas
             else:
                 chain_solver = "nested"
-    if chain_solver == "pcr":
-        return (condense_mod.factor_chains_pcr(Kg, n_seg),
-                condense_mod.condense_loads_pcr,
-                condense_mod.back_substitute_pcr)
+    if chain_solver not in ("thomas", "nested"):
+        raise ValueError(f"unknown chain_solver {chain_solver!r}")
+    return chain_solver
+
+
+def _chain_fns(chain_solver: str):
+    """(factor_fn, condense_fn, backsub_fn) for a RESOLVED chain solver."""
     if chain_solver == "thomas":
-        return (condense_mod.factor_chains(Kg, n_seg),
+        return (condense_mod.factor_chains,
                 condense_mod.condense_loads,
                 condense_mod.back_substitute)
-    if chain_solver == "nested":
-        return (condense_mod.factor_chains_nested(Kg, n_seg),
-                condense_mod.condense_loads_nested,
-                condense_mod.back_substitute_nested)
-    raise ValueError(f"unknown chain_solver {chain_solver!r}")
+    return (condense_mod.factor_chains_nested,
+            condense_mod.condense_loads_nested,
+            condense_mod.back_substitute_nested)
+
+
+def _chain_factor(Kg, n_seg: int, chain_solver: str):
+    """(factor, condense_fn, backsub_fn) for the requested chain solver.
+
+    'thomas': flat block-Thomas scans (scan depth n_seg); 'nested':
+    two-level condensation (scan depth ~2 sqrt(n_seg); float32-stable at
+    deep refinement, where 'thomas' needs float64 past ~100 segments).
+    (A PCR chain solver was built and A/B'd in round 2 — 15 ms factor,
+    f32-unstable, RHS sweeps 1.66 vs 2.26 ms — and retired in round 3;
+    docs/ROADMAP.md keeps the measurements.)
+    """
+    chain_solver = _resolve_chain_solver(n_seg, chain_solver)
+    factor_fn, condense_fn, backsub_fn = _chain_fns(chain_solver)
+    return factor_fn(Kg, n_seg), condense_fn, backsub_fn
 
 
 def _chain_layout_loads(coarse: JacketModel, refined: JacketModel,
@@ -896,22 +909,44 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
                                n_gauss, accel, kinematics, chain_solver,
                                solve_dtype, refine_steps, stretching,
                                current_alpha, ks_nodes, free, fixed):
-    nc = coarse.n_nodes
-    Mc = coarse.n_members
-    n_int = n_seg - 1
+    chain_solver = _resolve_chain_solver(n_seg, chain_solver)
     G = case.E / (2.0 * (1.0 + case.nu))
 
     # ---- element stiffness + chain factorization (solve precision) ----
+    # Everything in this block depends only on (model, E, nu) — NOT on the
+    # wave/case/phase count.  prepare_condensed() computes exactly this
+    # block once and phase_scan_prepared() skips it (the <5 ms amortized
+    # path); the one-shot scan pays it per call.
     coords64 = refined.coords.astype(solve_dtype)
     Kg, K_local, T, L_m = element_stiffness(
         coords64, refined.conn, jax.tree.map(lambda x: x.astype(solve_dtype),
                                              refined.sections),
         refined.sect_id, case.E, G)
-    fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
+    fac = _chain_fns(chain_solver)[0](Kg, n_seg)
 
     # interface stiffness on the coarse connectivity
-    K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
+    K_I = assemble_dense(fac.K_super, coarse.conn, 6 * coarse.n_nodes)
     dfac = _spring_dfac(K_I, ks_nodes, free)
+    KT6 = -matmul12(K_local, T)[:, :6, :]                  # [Mr, 6, 12]
+
+    return _condensed_scan_body(coarse, refined, wave, case, n_seg, n_steps,
+                                n_gauss, accel, kinematics, chain_solver,
+                                solve_dtype, refine_steps, stretching,
+                                current_alpha, ks_nodes, fixed,
+                                Kg, KT6, L_m, fac, dfac, K_I)
+
+
+def _condensed_scan_body(coarse, refined, wave, case, n_seg, n_steps,
+                         n_gauss, accel, kinematics, chain_solver,
+                         solve_dtype, refine_steps, stretching,
+                         current_alpha, ks_nodes, fixed,
+                         Kg, KT6, L_m, fac, dfac, K_I):
+    """Per-scan (wave/case-dependent) work of the condensed phase scan,
+    given the case-independent factorization pieces."""
+    nc = coarse.n_nodes
+    Mc = coarse.n_members
+    n_int = n_seg - 1
+    _condense, _backsub = _chain_fns(chain_solver)[1:]
 
     # ---- loads at all phases (model dtype), then condense ----
     ldtype = refined.coords.dtype
@@ -935,7 +970,8 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
                                      case_l.current_dir_deg,
                                      case_l.Cd, case_l.Cm, case_l.rho_water,
                                      ts, n_gauss=n_gauss,
-                                     current_alpha=current_alpha)
+                                     current_alpha=current_alpha,
+                                     stretching=stretching)
         total_morison = mb.total_morison
     elif kinematics == "pointwise":
         def loads_at(t):
@@ -989,10 +1025,9 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
 
     # ---- recovery on every refined element ----
     # von Mises needs only the node-1 end forces F1 = -(K_local T u)[:6]
-    # (`JacketAnalysisGUI_v2.py:514-519`); fold K_local @ T once and read the
-    # element displacement vectors straight from the chain layout (no
-    # [S, n_dof] gather)
-    KT6 = -matmul12(K_local, T)[:, :6, :]                  # [Mr, 6, 12]
+    # (`JacketAnalysisGUI_v2.py:514-519`); KT6 = -(K_local @ T)[:6] was
+    # folded once at factor time, and the element displacement vectors are
+    # read straight from the chain layout (no [S, n_dof] gather)
     vext = jnp.concatenate([U_In[:, node1][:, None], v,
                             U_In[:, node2][:, None]], axis=1)
     u_e = jnp.concatenate([vext[:, :-1], vext[:, 1:]], axis=-1)
@@ -1013,6 +1048,145 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
         ts=ts, U=U, von_mises=vm, utilization=util, reactions=reac,
         total_morison=total_morison, critical_index=crit,
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CondensedPrepared:
+    """Case-independent factorization handle for repeated condensed scans.
+
+    Produced by :func:`prepare_condensed`; consumed by
+    :func:`phase_scan_prepared`.  Holds everything in the condensed
+    pipeline that depends only on (model, E, nu): the refined element
+    stiffness, the chain factorization, the grounded interface Cholesky and
+    the folded stress-recovery operator.  A pytree (all arrays live on
+    device), so passing it to a jitted scan costs nothing.
+    """
+
+    coarse: JacketModel
+    refined: JacketModel
+    Kg: jnp.ndarray          # [Mr, 12, 12] element stiffness (solve dtype)
+    KT6: jnp.ndarray         # [Mr, 6, 12] -(K_local @ T)[:6] recovery fold
+    L_m: jnp.ndarray         # [Mr] refined element lengths [m]
+    fac: object              # ChainFactor / NestedFactor pytree
+    dfac: object             # DenseFactor of the grounded interface system
+    K_I: jnp.ndarray         # [6 nc, 6 nc] springless interface stiffness
+    ks_nodes: object         # [nc, 6] foundation-spring diagonal or None
+    free: jnp.ndarray
+    fixed: jnp.ndarray
+    E: jnp.ndarray
+    nu: jnp.ndarray
+    # static:
+    n_seg: int = dataclasses.field(metadata=dict(static=True))
+    chain_solver: str = dataclasses.field(metadata=dict(static=True))
+
+
+def prepare_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
+                      E=210000.0, nu=0.3, chain_solver: str = "auto",
+                      solve_dtype=jnp.float64,
+                      support_stiffness=None) -> CondensedPrepared:
+    """Factor the case-independent part of the condensed scan ONCE.
+
+    The chain factorization + interface Cholesky + element stiffness inside
+    :func:`phase_scan_condensed` depend only on (model, E, nu), not on the
+    wave, the load case or the phase count — yet the one-shot scan recomputes
+    them every call (~3.5 ms of the ~9 ms flagship scan).  This split pays
+    that cost once, so repeated single-case scans through
+    :func:`phase_scan_prepared` run at the envelope path's sustained rate
+    (~2.4 ms measured at the flagship 9.6k-DOF shape).  The reference
+    re-runs its entire solver from scratch on every analysis
+    (`/root/reference/JacketAnalysisGUI_v2.py:485`).
+
+    ``support_stiffness`` bakes foundation springs (SSI) into the interface
+    factorization, as in :func:`phase_scan_condensed`.
+    """
+    _check_refined_layout(coarse, refined, n_seg)
+    ks_nodes, free_np, fixed_np = _ssi_spring_nodes(coarse,
+                                                    support_stiffness,
+                                                    solve_dtype)
+    resolved = _resolve_chain_solver(n_seg, chain_solver)
+    free = jnp.asarray(free_np)
+    fixed = jnp.asarray(fixed_np)
+    E = jnp.asarray(E, dtype=solve_dtype)
+    nu = jnp.asarray(nu, dtype=solve_dtype)
+    Kg, KT6, L_m, fac, dfac, K_I = _prepare_condensed_jit(
+        coarse, refined, E, nu, n_seg, resolved, solve_dtype, ks_nodes, free)
+    return CondensedPrepared(
+        coarse=coarse, refined=refined, Kg=Kg, KT6=KT6, L_m=L_m, fac=fac,
+        dfac=dfac, K_I=K_I, ks_nodes=ks_nodes, free=free, fixed=fixed,
+        E=E, nu=nu, n_seg=n_seg, chain_solver=resolved)
+
+
+@partial(jax.jit, static_argnames=("n_seg", "chain_solver", "solve_dtype"))
+def _prepare_condensed_jit(coarse, refined, E, nu, n_seg, chain_solver,
+                           solve_dtype, ks_nodes, free):
+    with jax.default_matmul_precision("highest"):
+        G = E / (2.0 * (1.0 + nu))
+        coords_s = refined.coords.astype(solve_dtype)
+        sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
+                             refined.sections)
+        Kg, K_local, T, L_m = element_stiffness(
+            coords_s, refined.conn, sec_s, refined.sect_id, E, G)
+        fac = _chain_fns(chain_solver)[0](Kg, n_seg)
+        K_I = assemble_dense(fac.K_super, coarse.conn, 6 * coarse.n_nodes)
+        dfac = _spring_dfac(K_I, ks_nodes, free)
+        KT6 = -matmul12(K_local, T)[:, :6, :]
+        return Kg, KT6, L_m, fac, dfac, K_I
+
+
+def phase_scan_prepared(prep: CondensedPrepared, wave, case: LoadCase,
+                        n_steps: int = 360, n_gauss: int = 15,
+                        accel: str = "analytic",
+                        kinematics: str = "separable",
+                        refine_steps: int = 1,
+                        stretching: str = "none",
+                        current_alpha=None) -> CondensedScanResults:
+    """Condensed phase scan using a :func:`prepare_condensed` handle.
+
+    Identical results to :func:`phase_scan_condensed` (a test pins them to
+    solver precision), but the per-call work is only the wave/case-dependent
+    part: kinematics matmul, load condensation, multi-RHS triangular solves
+    and recovery — the factorization is read from ``prep``.
+
+    The case's material must match the prepared factorization: ``case.E``
+    and ``case.nu`` are checked against the handle (raises on mismatch).
+    """
+    solve_dtype = prep.K_I.dtype
+    for name in ("E", "nu"):
+        # compare in the handle's dtype (a f64 case value of 0.3 against an
+        # f32 handle must not trip on representation rounding)
+        if not np.allclose(
+                np.asarray(getattr(case, name)).astype(np.asarray(
+                    getattr(prep, name)).dtype),
+                np.asarray(getattr(prep, name)), rtol=1e-6):
+            raise ValueError(
+                f"case.{name} ({np.asarray(getattr(case, name))!r}) does not "
+                f"match the prepared factorization's {name} "
+                f"({np.asarray(getattr(prep, name))!r}); re-run "
+                f"prepare_condensed for a new material")
+    if stretching != "none" and kinematics == "pallas":
+        raise ValueError("the fused Pallas kernel does not implement Wheeler "
+                         "stretching; use kinematics='separable' (2nd-order "
+                         "Taylor frozen-stretch, same matmul) or 'pointwise' "
+                         "(exact)")
+    return _phase_scan_prepared_jit(prep, wave, case.cast(solve_dtype),
+                                    n_steps, n_gauss, accel, kinematics,
+                                    refine_steps, stretching, current_alpha)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "n_gauss", "accel",
+                                   "kinematics", "refine_steps",
+                                   "stretching", "current_alpha"))
+def _phase_scan_prepared_jit(prep, wave, case, n_steps, n_gauss, accel,
+                             kinematics, refine_steps, stretching,
+                             current_alpha):
+    with jax.default_matmul_precision("highest"):
+        return _condensed_scan_body(
+            prep.coarse, prep.refined, wave, case, prep.n_seg, n_steps,
+            n_gauss, accel, kinematics, prep.chain_solver, prep.K_I.dtype,
+            refine_steps, stretching, current_alpha, prep.ks_nodes,
+            prep.fixed, prep.Kg, prep.KT6, prep.L_m, prep.fac, prep.dfac,
+            prep.K_I)
 
 
 def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,

@@ -428,166 +428,10 @@ def back_substitute_nested(fac: NestedChainFactor, v_g, u_I, u_J):
 
 
 # ---------------------------------------------------------------------------
-# Parallel cyclic reduction (PCR) chain solver
+# A parallel-cyclic-reduction (PCR) chain solver lived here through round 2.
+# It was A/B'd at the flagship shape and retired in round 3: the factor cost
+# 15 ms (vs ~1 ms Thomas/nested) and was f32-UNSTABLE (NaN pivots even at
+# depth 31); its RHS sweeps did beat Thomas (1.66 vs 2.26 ms at S=360) but
+# never enough to recover the factor cost in any real workload.  Full
+# measurements: docs/ROADMAP.md "Performance".  git history has the code.
 # ---------------------------------------------------------------------------
-
-class PCRFactor(NamedTuple):
-    """Cyclic-reduction factorization of all member chains.
-
-    The block-tridiagonal interior systems are reduced by stride-doubling:
-    after ceil(log2(n_int)) steps every row is decoupled and solves with one
-    stored inverse.  Unlike the Thomas factorization (sequential scans of
-    depth n_int), every PCR step updates ALL rows in parallel — ~9 fused
-    tensor ops instead of 327 sequential scan iterations at n_seg = 328,
-    which is what dominates wall time for deep refinement on TPU.
-
-    Lh/Uh: [steps, n_int, Mc, 6, 6] per-step elimination products
-           (L_p D^-1_{p-s} and U_p D^-1_{p+s});
-    Dinv:  [n_int, Mc, 6, 6] final decoupled-diagonal inverses;
-    Z0/Zn: [n_int, Mc, 6, 6] interior response to unit interface motion;
-    K_super, B0, Cn: as in ChainFactor.
-    """
-
-    K_super: jnp.ndarray
-    Lh: jnp.ndarray
-    Uh: jnp.ndarray
-    Dinv: jnp.ndarray
-    Z0: jnp.ndarray
-    Zn: jnp.ndarray
-    B0: jnp.ndarray
-    Cn: jnp.ndarray
-
-
-def _spd_solve_scaled(Dm, rhs):
-    """Solve D x = rhs for SPD 6x6 blocks with Jacobi-scaled Cholesky."""
-    dd = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(Dm, axis1=-2, axis2=-1)))
-    Ds = Dm * dd[..., :, None] * dd[..., None, :]
-    Ld = jnp.linalg.cholesky(Ds)
-    y = jax.scipy.linalg.solve_triangular(Ld, dd[..., :, None] * rhs,
-                                          lower=True)
-    x = jax.scipy.linalg.solve_triangular(jnp.swapaxes(Ld, -1, -2), y,
-                                          lower=False)
-    return dd[..., :, None] * x
-
-
-def _shift_down(a, s):
-    """a[p - s] with zero padding (along axis 0)."""
-    pad = jnp.zeros_like(a[:s])
-    return jnp.concatenate([pad, a[:-s]], axis=0) if s < a.shape[0] \
-        else jnp.zeros_like(a)
-
-
-def _shift_up(a, s):
-    pad = jnp.zeros_like(a[:s])
-    return jnp.concatenate([a[s:], pad], axis=0) if s < a.shape[0] \
-        else jnp.zeros_like(a)
-
-
-def factor_chains_pcr(K_elems: jnp.ndarray, n_seg: int) -> PCRFactor:
-    """PCR factorization; same inputs/semantics as :func:`factor_chains`."""
-    Mc = K_elems.shape[0] // n_seg
-    Ke = K_elems.reshape(Mc, n_seg, 12, 12)
-    A = Ke[:, :, 0:6, 0:6]
-    B = Ke[:, :, 0:6, 6:12]
-    C = Ke[:, :, 6:12, 0:6]
-    E = Ke[:, :, 6:12, 6:12]
-    n_int = n_seg - 1
-
-    # interior tridiagonal [n_int, Mc, 6, 6]
-    D = jnp.moveaxis(E[:, :-1] + A[:, 1:], 1, 0)
-    U = jnp.moveaxis(B[:, 1:], 1, 0)
-    U = jnp.concatenate([U[:-1], jnp.zeros_like(U[:1])], axis=0)
-    L = jnp.moveaxis(C[:, 1:], 1, 0)
-    L = jnp.concatenate([jnp.zeros_like(L[:1]), L[:-1]], axis=0)
-
-    # unit-interface RHS columns: row 0 <- C_0, row n_int-1 <- B_{n-1}
-    R0 = jnp.zeros((n_int, Mc, 6, 6), K_elems.dtype).at[0].set(C[:, 0])
-    Rn = jnp.zeros((n_int, Mc, 6, 6), K_elems.dtype).at[-1].set(B[:, -1])
-
-    n_steps = max(1, int(np.ceil(np.log2(max(n_int, 2)))))
-    Lh_all, Uh_all = [], []
-    mm = lambda a, b: jnp.einsum("pmij,pmjk->pmik", a, b)
-    s = 1
-    for _ in range(n_steps):
-        eyeD = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), D.shape)
-        # D of neighbors with identity padding outside the chain
-        D_dn = _shift_down(D, s) + _identity_pad_down(D, s)
-        D_up = _shift_up(D, s) + _identity_pad_up(D, s)
-        Li = mm(L, _spd_solve_scaled(D_dn, eyeD))      # L_p D^-1_{p-s}
-        Ui = mm(U, _spd_solve_scaled(D_up, eyeD))      # U_p D^-1_{p+s}
-        Lh_all.append(Li)
-        Uh_all.append(Ui)
-        D = D - mm(Li, _shift_down(U, s)) - mm(Ui, _shift_up(L, s))
-        R0 = R0 - mm(Li, _shift_down(R0, s)) - mm(Ui, _shift_up(R0, s))
-        Rn = Rn - mm(Li, _shift_down(Rn, s)) - mm(Ui, _shift_up(Rn, s))
-        L_new = -mm(Li, _shift_down(L, s))
-        U_new = -mm(Ui, _shift_up(U, s))
-        L, U = L_new, U_new
-        s *= 2
-
-    eyeD = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), D.shape)
-    Dinv = _spd_solve_scaled(D, eyeD)
-    Z0 = mm(Dinv, R0)
-    Zn = mm(Dinv, Rn)
-
-    B0 = B[:, 0]
-    Cn = C[:, -1]
-    K00 = A[:, 0] - jnp.einsum("mij,mjk->mik", B0, Z0[0])
-    K01 = -jnp.einsum("mij,mjk->mik", B0, Zn[0])
-    K10 = -jnp.einsum("mij,mjk->mik", Cn, Z0[-1])
-    K11 = E[:, -1] - jnp.einsum("mij,mjk->mik", Cn, Zn[-1])
-    K_super = jnp.concatenate([
-        jnp.concatenate([K00, K01], axis=-1),
-        jnp.concatenate([K10, K11], axis=-1),
-    ], axis=-2)
-    return PCRFactor(K_super=K_super, Lh=jnp.stack(Lh_all),
-                     Uh=jnp.stack(Uh_all), Dinv=Dinv, Z0=Z0, Zn=Zn,
-                     B0=B0, Cn=Cn)
-
-
-def _identity_pad_down(D, s):
-    """Identity blocks where shift-down runs off the chain start."""
-    eye = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), D.shape)
-    n = D.shape[0]
-    mask = (jnp.arange(n) < s).astype(D.dtype)[:, None, None, None]
-    return eye * mask
-
-
-def _identity_pad_up(D, s):
-    eye = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), D.shape)
-    n = D.shape[0]
-    mask = (jnp.arange(n) >= n - s).astype(D.dtype)[:, None, None, None]
-    return eye * mask
-
-
-def condense_loads_pcr(fac: PCRFactor, g):
-    """PCR version of :func:`condense_loads` (same signature/returns)."""
-    r = g                                          # [..., n_int, Mc, 6]
-    n_steps = fac.Lh.shape[0]
-    s = 1
-
-    def shift_down_r(a, s):
-        pad = jnp.zeros_like(a[..., :s, :, :])
-        return jnp.concatenate([pad, a[..., :-s, :, :]], axis=-3) \
-            if s < a.shape[-3] else jnp.zeros_like(a)
-
-    def shift_up_r(a, s):
-        pad = jnp.zeros_like(a[..., :s, :, :])
-        return jnp.concatenate([a[..., s:, :, :], pad], axis=-3) \
-            if s < a.shape[-3] else jnp.zeros_like(a)
-
-    for k in range(n_steps):
-        r = r - jnp.einsum("pmij,...pmj->...pmi", fac.Lh[k],
-                           shift_down_r(r, s)) \
-            - jnp.einsum("pmij,...pmj->...pmi", fac.Uh[k], shift_up_r(r, s))
-        s *= 2
-    v = jnp.einsum("pmij,...pmj->...pmi", fac.Dinv, r)
-    fI = -jnp.einsum("mij,...mj->...mi", fac.B0, v[..., 0, :, :])
-    fJ = -jnp.einsum("mij,...mj->...mi", fac.Cn, v[..., -1, :, :])
-    return fI, fJ, v
-
-
-def back_substitute_pcr(fac: PCRFactor, v_g, u_I, u_J):
-    """Same contract as :func:`back_substitute` (PCR factor)."""
-    return v_g - jnp.einsum("pmij,...mj->...pmi", fac.Z0, u_I) \
-        - jnp.einsum("pmij,...mj->...pmi", fac.Zn, u_J)

@@ -221,37 +221,72 @@ def test_nested_split_rejects_primes():
         nested_split(317)  # prime
 
 
-@pytest.mark.parametrize("n_seg", [2, 3, 8, 32])
-def test_pcr_matches_thomas(n_seg):
-    """Parallel cyclic reduction == block Thomas to machine precision (f64).
+@pytest.mark.parametrize("chain_solver", ["thomas", "nested"])
+def test_prepared_scan_matches_one_shot(chain_solver):
+    """phase_scan_prepared(prepare_condensed(...)) == phase_scan_condensed.
 
-    Note: PCR measured SLOWER on TPU than the Thomas scans (9x flops in
-    badly-shaped 6x6 batched matvecs) and numerically unstable in float32 at
-    chain depth ~327; it stays an f64-validated experimental option.
-    """
-    from small_fem_solver_tpu.ops.beams import element_stiffness
-    from small_fem_solver_tpu.ops.condense import (
-        back_substitute, back_substitute_pcr, condense_loads,
-        condense_loads_pcr, factor_chains, factor_chains_pcr)
-    model = sf.refine_model(sf.default_3leg_jacket(), n_seg)
-    E, G = 210000.0, 210000.0 / 2.6
-    Kg, _, _, _ = element_stiffness(model.coords, model.conn, model.sections,
-                                    model.sect_id, E, G)
-    f1 = factor_chains(Kg, n_seg)
-    f2 = factor_chains_pcr(Kg, n_seg)
-    Ks = float(np.abs(np.asarray(f1.K_super)).max())
-    np.testing.assert_allclose(np.asarray(f2.K_super), np.asarray(f1.K_super),
-                               rtol=1e-10, atol=1e-11 * Ks)
-    rng = np.random.default_rng(0)
-    g = jnp.asarray(rng.normal(size=(2, n_seg - 1, 51, 6))) * 1e5
-    fI1, fJ1, v1 = condense_loads(f1, g)
-    fI2, fJ2, v2 = condense_loads_pcr(f2, g)
-    scale = float(np.abs(np.asarray(v1)).max())
-    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-10,
-                               atol=1e-10 * scale)
-    uI = jnp.asarray(rng.normal(size=(2, 51, 6)))
-    uJ = jnp.asarray(rng.normal(size=(2, 51, 6)))
-    b1 = back_substitute(f1, v1, uI, uJ)
-    b2 = back_substitute_pcr(f2, v2, uI, uJ)
-    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=1e-9,
-                               atol=1e-10 * float(np.abs(np.asarray(b1)).max()))
+    The prepared path runs EXACTLY the same per-scan program with the
+    factorization read from the handle, so the results must agree to solver
+    precision (identical ops modulo compilation grouping)."""
+    from small_fem_solver_tpu.api import (phase_scan_prepared,
+                                          prepare_condensed)
+    n_seg = 16
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=120.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    one = phase_scan_condensed(coarse, refined, n_seg, wave, case,
+                               n_steps=6, kinematics="separable",
+                               chain_solver=chain_solver)
+    prep = prepare_condensed(coarse, refined, n_seg, E=case.E, nu=case.nu,
+                             chain_solver=chain_solver)
+    pre = phase_scan_prepared(prep, wave, case, n_steps=6,
+                              kinematics="separable")
+    scale = float(np.abs(np.asarray(one.U)).max())
+    np.testing.assert_allclose(np.asarray(pre.U), np.asarray(one.U),
+                               rtol=1e-12, atol=1e-12 * scale)
+    np.testing.assert_allclose(np.asarray(pre.von_mises),
+                               np.asarray(one.von_mises), rtol=1e-12,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pre.reactions),
+                               np.asarray(one.reactions), rtol=1e-12,
+                               atol=1e-12 * float(np.abs(np.asarray(one.reactions)).max()))
+    # a second wave/case through the SAME handle (the amortization use case)
+    wave2 = sf.make_wave(14.0, 11.0, 50.0, U_c=1.0, model="stokes", N=5)
+    case2 = sf.LoadCase(wave_dir_deg=90.0, F_shear_kN=1000.0, sw_mode="none")
+    one2 = phase_scan_condensed(coarse, refined, n_seg, wave2, case2,
+                                n_steps=6, kinematics="separable",
+                                chain_solver=chain_solver)
+    pre2 = phase_scan_prepared(prep, wave2, case2, n_steps=6,
+                               kinematics="separable")
+    scale2 = float(np.abs(np.asarray(one2.U)).max())
+    np.testing.assert_allclose(np.asarray(pre2.U), np.asarray(one2.U),
+                               rtol=1e-12, atol=1e-12 * scale2)
+
+
+def test_prepared_scan_ssi_and_material_guard():
+    """Prepared handle with foundation springs matches the one-shot SSI
+    scan; a mismatched case material raises."""
+    from small_fem_solver_tpu.api import (phase_scan_prepared,
+                                          prepare_condensed)
+    n_seg = 4
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.airy_wave(9.0, 9.4, 50.0, 1.2)
+    case = sf.LoadCase(wave_dir_deg=38.0, F_axial_kN=25100.0,
+                       F_shear_kN=2900.0, sw_mode="none")
+    springs = np.array([5e6, 5e6, 8e6, 5e12, 5e12, 5e12])
+    one = phase_scan_condensed(coarse, refined, n_seg, wave, case,
+                               n_steps=3, kinematics="separable",
+                               support_stiffness=springs)
+    prep = prepare_condensed(coarse, refined, n_seg,
+                             support_stiffness=springs)
+    pre = phase_scan_prepared(prep, wave, case, n_steps=3,
+                              kinematics="separable")
+    scale = float(np.abs(np.asarray(one.U)).max())
+    np.testing.assert_allclose(np.asarray(pre.U), np.asarray(one.U),
+                               rtol=1e-12, atol=1e-12 * scale)
+    with pytest.raises(ValueError, match="does not match the prepared"):
+        phase_scan_prepared(prep, wave, sf.LoadCase(E=200000.0), n_steps=3)
