@@ -178,6 +178,69 @@ def fenton_wave(H, T, d, U_c=0.0, N: int = 10, n_modes: int | None = None,
     return wave
 
 
+def fenton_wave_batch(H, T, d, U_c=0.0, N: int = 10,
+                      n_modes: int | None = None, dtype=jnp.float32,
+                      n_newton: int = 12, n_cont: int = 10,
+                      check: bool = True) -> FourierWave:
+    """Batched Fenton setup: ONE vmapped continuation-Newton over (H, T).
+
+    ``_solve_fenton`` is a fixed-iteration jitted Newton with wave-height
+    continuation, so a (H, T) case batch vmaps straight through it — a
+    1,000-case storm population is one compiled float64 program instead of
+    1,000 sequential host solves (the round-2 ``make_wave_batch('fenton')``
+    looped host-side; the reference performs raschii's internal solve once
+    per case, `/root/reference/JacketAnalysisGUI_v2.py:234-242`).
+
+    ``d`` and ``U_c`` may be scalars or per-case arrays.  ``check=True``
+    verifies all collocation residuals in one batched evaluation and raises
+    naming the non-converged case indices (e.g. above-breaking waves).
+    Returns a batched :class:`FourierWave` (leading case axis) ready for
+    ``design_envelope`` / ``design_envelope_condensed``.
+    """
+    M = int(N)
+    H = np.atleast_1d(np.asarray(H, np.float64))
+    T = np.broadcast_to(np.asarray(T, np.float64), H.shape)
+    d_b = np.broadcast_to(np.asarray(d, np.float64), H.shape)
+    Uc_b = np.broadcast_to(np.asarray(U_c, np.float64), H.shape)
+
+    # the collocation Newton runs in float64 on the host CPU (as in
+    # fenton_wave — the Jacobian is ill-conditioned near steep crests);
+    # only the SOLVE is batched here, evaluation happens on-device later
+    with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
+        f64 = jnp.float64
+        solve = jax.jit(jax.vmap(
+            lambda h, t, dd: _solve_fenton(h, t, dd, M, n_newton=n_newton,
+                                           n_cont=n_cont)))
+        q = solve(jnp.asarray(H, f64), jnp.asarray(T, f64),
+                  jnp.asarray(d_b, f64))
+        q_np = np.asarray(q)
+        if check:
+            omega = 2.0 * np.pi / T
+            res = jax.jit(jax.vmap(
+                lambda qq, dd, hh, ww: _residual(
+                    qq, dd, hh, ww, M, jnp.asarray(G_GRAV, f64))))(
+                q, jnp.asarray(d_b, f64), jnp.asarray(H, f64),
+                jnp.asarray(omega, f64))
+            res = np.asarray(res)
+            scale = np.maximum(G_GRAV * d_b, 1.0)
+            bad = ~(np.isfinite(res).all(axis=1)
+                    & (np.abs(res).max(axis=1) <= 1e-6 * scale))
+            if bad.any():
+                idx = np.where(bad)[0]
+                raise ValueError(
+                    f"Fenton stream-function solve did not converge for "
+                    f"{idx.size} of {H.size} cases (indices {idx[:10]}, "
+                    f"e.g. H={H[idx[0]]}, T={T[idx[0]]}, d={d_b[idx[0]]}); "
+                    f"the waves may exceed the breaking limit")
+
+    lower = jax.vmap(lambda qq, hh, tt, dd, uc: fenton_wave_from_solution(
+        qq, hh, tt, dd, uc, M, n_modes=n_modes, dtype=dtype))
+    return lower(jnp.asarray(q_np, dtype=dtype),
+                 jnp.asarray(H, dtype=dtype), jnp.asarray(T, dtype=dtype),
+                 jnp.asarray(d_b, dtype=dtype),
+                 jnp.asarray(Uc_b, dtype=dtype))
+
+
 def fenton_wave_from_solution(q, H, T, d, U_c, M: int,
                               n_modes: int | None = None,
                               dtype=jnp.float64) -> FourierWave:

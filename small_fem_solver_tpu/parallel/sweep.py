@@ -28,7 +28,6 @@ from ..models.model import JacketModel
 from ..ops import solve as solve_mod
 from ..ops.assembly import assemble_dense
 from ..ops.beams import element_stiffness
-from ..ops.fenton import fenton_wave
 from ..ops.morison import hydro_diameter_m, morison_loads
 from ..ops.stokes import stokes_wave
 from ..ops.waves import FourierWave, airy_wave
@@ -51,8 +50,10 @@ def make_wave_batch(H, T, d, U_c=0.0, model: str = "stokes", N: int = 5,
     """Build a batched FourierWave from arrays of (H, T) [and scalar d, U_c].
 
     For 'airy'/'stokes' the constructors trace once and vmap over the case
-    axis (wave setup itself runs on the TPU); 'fenton' runs its float64
-    Newton setup per case on the host and stacks the results.
+    axis (wave setup itself runs on the TPU); 'fenton' runs ONE vmapped
+    float64 continuation-Newton over the whole batch on the host CPU
+    (:func:`..ops.fenton.fenton_wave_batch`) — a 1,000-case nonlinear storm
+    population solves in one compiled program.
     """
     H = np.atleast_1d(np.asarray(H, dtype=np.float64))
     T = np.broadcast_to(np.asarray(T, dtype=np.float64), H.shape)
@@ -65,9 +66,9 @@ def make_wave_batch(H, T, d, U_c=0.0, model: str = "stokes", N: int = 5,
                                               n_modes=n_modes, dtype=dtype))
         return f(jnp.asarray(H, dtype=dtype), jnp.asarray(T, dtype=dtype))
     if model == "fenton":
-        waves = [fenton_wave(float(h), float(t), d, U_c, N=N, n_modes=n_modes,
-                             dtype=dtype) for h, t in zip(H, T)]
-        return stack_waves(waves)
+        from ..ops.fenton import fenton_wave_batch
+        return fenton_wave_batch(H, T, d, U_c, N=N, n_modes=n_modes,
+                                 dtype=dtype)
     raise ValueError(f"unknown wave model {model!r}")
 
 

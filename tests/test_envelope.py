@@ -172,3 +172,35 @@ def test_condensed_scan_rejects_wrong_layout():
     base = sf.LoadCase(custom_sw_tonnes=1100.0, sw_mode="custom")
     with pytest.raises(ValueError):
         phase_scan_condensed(coarse, refined, 3, wave, base, n_steps=2)
+
+
+def test_thousand_case_fenton_envelope_sharded():
+    """1k fully NONLINEAR stream-function cases: the wave setup is one
+    vmapped float64 continuation-Newton (fenton_wave_batch), the envelope
+    one sharded program — the reference solves raschii per case, serially
+    (`JacketAnalysisGUI_v2.py:234-242`)."""
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("cases",))
+    model = sf.default_3leg_jacket()
+    B = 1000
+    Hs = np.linspace(2.0, 16.0, B)
+    Ts = np.linspace(8.0, 11.0, B)
+    waves = make_wave_batch(Hs, Ts, 50.0, U_c=1.7, model="fenton", N=8,
+                            n_modes=8, dtype=jnp.float64)
+    assert waves.E.shape == (B, 8)
+    cases = _cases(B)
+    env = design_envelope(model, waves, cases, n_steps=6, mesh=mesh)
+    util = np.asarray(env.max_util_per_case)
+    assert util.shape == (B,) and np.isfinite(util).all() and (util > 0).all()
+    # spot-check one mid-batch case against its solo per-case wave + scan
+    i = 617
+    w = sf.make_wave(float(Hs[i]), float(Ts[i]), 50.0, U_c=1.7,
+                     model="fenton", N=8, n_modes=8)
+    base = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    ts, batch = analyze_phase_batch(model, w, base, n_steps=6,
+                                    accel="analytic")
+    np.testing.assert_allclose(util[i],
+                               float(np.asarray(batch.utilization).max()),
+                               rtol=2e-5)

@@ -151,3 +151,43 @@ def test_fenton_surface_matches_collocation_heights():
         theta = np.pi * np.arange(N + 1) / N
         eta_rec = np.asarray(surface_elevation(w, theta / float(w.k), 0.0))
         assert np.abs(eta_rec - eta_m).max() < 1e-10
+
+
+def test_fenton_batch_matches_per_case():
+    """ONE vmapped continuation-Newton over (H, T) == per-case host solves.
+
+    Same algorithm, same float64 host solve — coefficients must agree to
+    solver precision; the batch is just one compiled program."""
+    from small_fem_solver_tpu.ops.fenton import fenton_wave_batch
+    Hs = [4.0, 10.0, 17.038]
+    Ts = [8.0, 9.4, 11.0]
+    batch = fenton_wave_batch(Hs, Ts, 50.0, U_c=1.7, N=10, n_modes=12,
+                              dtype=jnp.float64)
+    assert batch.E.shape == (3, 12)
+    for i, (H, T) in enumerate(zip(Hs, Ts)):
+        w = fenton_wave(H, T, 50.0, U_c=1.7, N=10, n_modes=12)
+        np.testing.assert_allclose(np.asarray(batch.E[i]), np.asarray(w.E),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(batch.U[i]), np.asarray(w.U),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(float(batch.k[i]), float(w.k), rtol=1e-12)
+        np.testing.assert_allclose(float(batch.c[i]), float(w.c), rtol=1e-12)
+
+
+def test_fenton_batch_per_case_depth_and_current():
+    """d and U_c may vary per case."""
+    from small_fem_solver_tpu.ops.fenton import fenton_wave_batch
+    batch = fenton_wave_batch([6.0, 6.0], 9.4, [30.0, 60.0],
+                              U_c=[0.5, 1.5], N=8, dtype=jnp.float64)
+    # shallower water -> shorter wave (larger k) at the same period
+    assert float(batch.k[0]) > float(batch.k[1])
+    np.testing.assert_allclose(np.asarray(batch.U_c), [0.5, 1.5], rtol=1e-12)
+    for i, d in enumerate([30.0, 60.0]):
+        w = fenton_wave(6.0, 9.4, d, N=8)
+        np.testing.assert_allclose(float(batch.k[i]), float(w.k), rtol=1e-12)
+
+
+def test_fenton_batch_reports_nonconverged_cases():
+    from small_fem_solver_tpu.ops.fenton import fenton_wave_batch
+    with pytest.raises(ValueError, match="did not converge.*indices"):
+        fenton_wave_batch([4.0, 40.0], 9.4, 50.0, N=10)  # case 1 breaks
