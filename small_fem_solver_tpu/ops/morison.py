@@ -278,6 +278,7 @@ def morison_phase_batch(
     ts: jnp.ndarray,
     n_gauss: int = 15,
     current_alpha=None,
+    stretching: str = "none",
 ) -> MorisonPhaseBatch:
     """All wave phases' Morison loads via a separable harmonic matmul.
 
@@ -294,6 +295,21 @@ def morison_phase_batch(
     reference's raschii clamp (`JacketAnalysisGUI_v2.py:272`) only perturbs
     a 1 cm band below the instantaneous surface.  Use ``morison_loads`` with
     ``accel='fd'`` for bit-level reference parity.
+
+    ``stretching='wheeler'`` applies the frozen-stretch Wheeler evaluation
+    (as in :func:`.waves.kinematics` with accel='analytic') WITHOUT breaking
+    separability: the stretch displacement dz(s, p) = -(z + d) eta / (d +
+    eta) is per-(phase, point), so exact re-evaluation at the stretched
+    height would couple the axes — instead the depth profiles are expanded
+    in a second-order Taylor series about z.  The d/dz and d^2/dz^2 fields
+    are themselves separable (C_j' = jk S_j, C_j'' = (jk)^2 C_j), so Wheeler
+    costs 8 extra coefficient rows in the SAME matmul.  Error is O((jk
+    dz)^3/6) per mode: sub-percent for Airy/spectral components at storm
+    steepness (the standard engineering use of Wheeler, API RP 2A), growing
+    with mode number — for high-order Stokes/Fenton crest harmonics prefer
+    ``morison_loads(..., stretching='wheeler')`` (pointwise, exact), or no
+    stretching at all (the nonlinear theory already models the crest).
+    Measured bound at the default storm: see tests/test_hydro_options.py.
     """
     dtype = coords.dtype
     theta_w = jnp.deg2rad(jnp.asarray(90.0 - wave_dir_deg, dtype=dtype))
@@ -339,16 +355,43 @@ def morison_phase_batch(
     A_du, B_du = UC * jw * sjx, -UC * jw * cjx
     A_dw, B_dw = -US * jw * cjx, -US * jw * sjx
 
-    Acat = jnp.stack([A_eta, A_u, A_w, A_du, A_dw], axis=0)  # [5, P, N]
-    Bcat = jnp.stack([B_eta, B_u, B_w, B_du, B_dw], axis=0)
+    As = [A_eta, A_u, A_w, A_du, A_dw]
+    Bs = [B_eta, B_u, B_w, B_du, B_dw]
+    if stretching == "wheeler":
+        # d/dz and d^2/dz^2 coefficient rows (C' = jk S, S' = jk C,
+        # C'' = (jk)^2 C, S'' = (jk)^2 S): same time factors as the parent
+        # fields, so Wheeler rides the same matmul
+        jk = j * wave.k
+        UZ, WZ = wave.U * jk * Sj, wave.U * jk * Cj
+        UZZ, WZZ = wave.U * jk**2 * Cj, wave.U * jk**2 * Sj
+        As += [UZ * cjx, WZ * sjx, UZ * jw * sjx, -WZ * jw * cjx,
+               UZZ * cjx, WZZ * sjx, UZZ * jw * sjx, -WZZ * jw * cjx]
+        Bs += [UZ * sjx, -WZ * cjx, -UZ * jw * cjx, -WZ * jw * sjx,
+               UZZ * sjx, -WZZ * cjx, -UZZ * jw * cjx, -WZZ * jw * sjx]
+    elif stretching != "none":
+        raise ValueError(f"unknown stretching mode {stretching!r}")
+
+    Acat = jnp.stack(As, axis=0)                           # [F, P, N]
+    Bcat = jnp.stack(Bs, axis=0)
 
     ct = jnp.cos(jw * ts[:, None].astype(dtype))           # [S, N]
     st = jnp.sin(jw * ts[:, None].astype(dtype))
 
-    # the MXU op: [S, N] @ [5, N, P] -> [5, S, P]
+    # the MXU op: [S, N] @ [F, N, P] -> [F, S, P]
     fields = jnp.einsum("sn,fpn->fsp", ct, Acat) \
         + jnp.einsum("sn,fpn->fsp", st, Bcat)
-    eta, u_wo, wv, du, dw = fields                         # each [S, P]
+    eta, u_wo, wv, du, dw = fields[:5]                     # each [S, P]
+    if stretching == "wheeler":
+        # Wheeler maps the instantaneous column [-d, eta] onto [-d, 0]:
+        # dz = z' - z = -(z + d) eta / (d + eta); second-order Taylor of
+        # every kinematic field about the unstretched height
+        u_z, w_z, du_z, dw_z, u_zz, w_zz, du_zz, dw_zz = fields[5:]
+        dz = -(z[None, :] + wave.d) * eta / (wave.d + eta)
+        h2 = 0.5 * dz * dz
+        u_wo = u_wo + dz * u_z + h2 * u_zz
+        wv = wv + dz * w_z + h2 * w_zz
+        du = du + dz * du_z + h2 * du_zz
+        dw = dw + dz * dw_z + h2 * dw_zz
 
     dry = z[None, :] > eta
     live = jnp.logical_not(dry).astype(dtype)
