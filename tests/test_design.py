@@ -60,3 +60,58 @@ def test_optimize_sections_hits_target():
     assert float(opt.t_leg) >= 10.0
     assert 2000.0 / float(opt.t_leg) > 10.0
     assert 800.0 / float(opt.t_brace) > 10.0
+
+
+def _three_section_model():
+    """Default jacket re-bound to THREE section groups: legs, horizontal
+    braces, X-braces (the generalized layout the 2-section GUI default
+    cannot express)."""
+    import dataclasses
+
+    model = sf.default_3leg_jacket()
+    sid = np.array([{"leg": 0, "h_brace": 1}.get(t, 2)
+                    for t in model.member_types], dtype=np.int32)
+    sections = sf.tube_sections(jnp.asarray([2000.0, 800.0, 900.0]),
+                                jnp.asarray([75.0, 30.0, 35.0]), 7850.0)
+    return dataclasses.replace(model, sections=sections,
+                               sect_id=jnp.asarray(sid))
+
+
+def test_sensitivities_three_sections():
+    """The interleaved (D_i, t_i) gradient vector scales to any section
+    count; spot-check the t gradients against finite differences."""
+    import dataclasses
+    model = _three_section_model()
+    _, wave, case = _setup()
+    s = section_sensitivities(model, wave, case)
+    assert s.dutil.shape == (6,)
+    assert np.isfinite(np.asarray(s.dutil)).all()
+
+    def util(ts):
+        m2 = dataclasses.replace(
+            model, sections=sf.tube_sections(model.sections.D_outer,
+                                             jnp.asarray(ts), 7850.0))
+        r = sf.analyze(m2, wave, case, solver="chol", accel="analytic")
+        return float(r.utilization.max())
+
+    h = 1e-3
+    for i in range(3):
+        tp = np.array([75.0, 30.0, 35.0]); tp[i] += h
+        tm = np.array([75.0, 30.0, 35.0]); tm[i] -= h
+        fd = (util(tp) - util(tm)) / (2 * h)
+        np.testing.assert_allclose(float(s.dutil[2 * i + 1]), fd, rtol=1e-5,
+                                   atol=1e-9)
+
+
+def test_optimize_three_sections():
+    """Gradient sizing over a >=3-group thickness vector reaches the target
+    utilization and respects the D/t > 10 projection per group."""
+    model = _three_section_model()
+    _, wave, case = _setup()
+    opt = optimize_sections(model, wave, case, target_util=0.5, n_iter=50)
+    assert opt.t.shape == (3,)
+    assert 0.40 < float(opt.util_max) < 0.60
+    t = np.asarray(opt.t)
+    D = np.asarray(model.sections.D_outer)
+    assert (t >= 10.0).all() and (D / t > 10.0).all()
+    assert opt.history.shape == (50, 5)
