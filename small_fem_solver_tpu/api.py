@@ -196,6 +196,25 @@ def _recover(model: JacketModel, case: LoadCase, K, U, F, fixed_dofs,
 # rebuilding it host-side on every analyze(solver='pcg') call is wasteful in
 # loops, so memoize on the connectivity bytes (bounded: meshes are few).
 _PATTERN_CACHE: dict = {}
+_AGG_CACHE: dict = {}
+
+
+def _cached_aggregates(pattern, target_size: int = 32):
+    """Host-side rigid-body-aggregate partition for the two-level PCG
+    preconditioner, memoized per pattern (the graph traversal is O(n) but
+    pure Python)."""
+    from .ops.coarse import aggregates_from_pattern
+    key = (pattern.n_nodes, target_size,
+           np.asarray(pattern.block_rows).tobytes(),
+           np.asarray(pattern.block_cols).tobytes())
+    hit = _AGG_CACHE.get(key)
+    if hit is None:
+        if len(_AGG_CACHE) >= 8:
+            _AGG_CACHE.clear()
+        agg = aggregates_from_pattern(pattern, target_size)
+        hit = (jnp.asarray(agg), int(agg.max()) + 1)
+        _AGG_CACHE[key] = hit
+    return hit
 
 
 def _cached_bcsr_pattern(conn, n_nodes: int):
@@ -212,6 +231,7 @@ def _cached_bcsr_pattern(conn, n_nodes: int):
 def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
             solver: str = "chol", n_gauss: int = 15, accel: str = "fd",
             pcg_tol: float = 1e-10, pcg_maxiter: int = 2000,
+            pcg_precond: str = "auto",
             lstsq_fallback: bool = False, mesh=None,
             stretching: str = "none", current_alpha=None,
             _jit: bool = True) -> AnalysisResults:
@@ -229,20 +249,35 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
     ``all_gather`` mat-vecs and ``psum`` reductions over ICI.  Loads and
     recovery stay replicated (they are O(n) and trivially cheap next to
     the solve).
+
+    ``pcg_precond``: 'block_jacobi' (the 6x6 nodal smoother) or
+    'two_level' (block-Jacobi + a rigid-body-aggregate coarse correction,
+    ops/coarse.py — cuts iteration counts ~5x on refined slender frames).
+    'auto' picks 'two_level' for meshes above ~120 nodes.
     """
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
+    if pcg_precond == "auto":
+        pcg_precond = "two_level" if model.n_nodes >= 120 else "block_jacobi"
+    if pcg_precond not in ("block_jacobi", "two_level"):
+        raise ValueError(f"unknown pcg_precond {pcg_precond!r}")
     if mesh is not None:
         if solver != "pcg":
             raise ValueError("mesh-distributed analyze requires solver='pcg'")
         return _analyze_pcg_dist(model, wave, case.cast(model.coords.dtype),
                                  n_gauss, accel, fixed, mesh, pcg_tol,
-                                 pcg_maxiter, stretching, current_alpha)
-    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes) if solver == "pcg" else None
+                                 pcg_maxiter, stretching, current_alpha,
+                                 pcg_precond)
+    if solver == "pcg":
+        pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+        agg, n_agg = (_cached_aggregates(pattern)
+                      if pcg_precond == "two_level" else (None, None))
+    else:
+        pattern, agg, n_agg = None, None, None
     fn = _analyze_jit if _jit else _analyze_impl
     res = fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
              accel, free, fixed, pattern, pcg_tol, pcg_maxiter,
-             lstsq_fallback, stretching, current_alpha)
+             lstsq_fallback, stretching, current_alpha, agg, n_agg)
     if solver == "pcg" and res.solver_residual is not None:
         rel = float(res.solver_residual)
         if not rel <= pcg_tol:  # catches NaN too
@@ -289,7 +324,7 @@ def _pcg_dist_recover(model, case, A, U, F, fixed, K_local, T, L_m, mor,
 
 def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
                       pcg_tol, pcg_maxiter, stretching="none",
-                      current_alpha=None):
+                      current_alpha=None, pcg_precond="two_level"):
     """Distributed-PCG variant of the single-analysis pipeline.
 
     The jitted prep/recovery programs are module-level (compiled once per
@@ -302,9 +337,15 @@ def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
     mor, K_local, T, L_m, F, A = _pcg_dist_prep(
         model, wave, case, pattern, n_gauss, accel, stretching,
         current_alpha)
+    coarse = None
+    if pcg_precond == "two_level":
+        from .ops.coarse import build_coarse_space
+        agg, n_agg = _cached_aggregates(pattern)
+        coarse = build_coarse_space(A, model.coords, model.fixed_mask,
+                                    agg=agg, n_agg=n_agg)
     U, n_iter, resid = distributed_pcg(A, F, model.fixed_mask, mesh,
                                        axis=axis, tol=pcg_tol,
-                                       maxiter=pcg_maxiter)
+                                       maxiter=pcg_maxiter, coarse=coarse)
     U = U.astype(F.dtype)
 
     res = _pcg_dist_recover(model, case, A, U, F, fixed, K_local, T, L_m,
@@ -322,22 +363,25 @@ def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
 @partial(jax.jit, static_argnames=("solver", "n_gauss", "accel",
                                    "pcg_tol", "pcg_maxiter",
                                    "lstsq_fallback", "stretching",
-                                   "current_alpha"))
+                                   "current_alpha", "n_agg"))
 def _analyze_jit(model, wave, case, solver, n_gauss, accel, free, fixed,
                  pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False,
-                 stretching="none", current_alpha=None):
+                 stretching="none", current_alpha=None, agg=None,
+                 n_agg=None):
     # XLA:TPU lowers f32 matmuls to bf16 MXU passes by default, which is
     # catastrophic for stiffness algebra; force full-precision accumulation
     # for everything inside the solver pipeline.
     with jax.default_matmul_precision("highest"):
         return _analyze_impl(model, wave, case, solver, n_gauss, accel, free,
                              fixed, pattern, pcg_tol, pcg_maxiter,
-                             lstsq_fallback, stretching, current_alpha)
+                             lstsq_fallback, stretching, current_alpha,
+                             agg, n_agg)
 
 
 def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
                   pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False,
-                  stretching="none", current_alpha=None):
+                  stretching="none", current_alpha=None, agg=None,
+                  n_agg=None):
     G = case.E / (2.0 * (1.0 + case.nu))                    # (`:443`)
     D_m = hydro_diameter_m(model.sections, model.sect_id,
                        case.marine_growth_mm)    # (`:610`)
@@ -370,6 +414,12 @@ def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
         fmask = solve_mod.dof_free_mask(model.fixed_mask).astype(F.dtype)
         op = solve_mod.projected_operator(lambda x: bcsr_matvec(A, x), fmask)
         pre = solve_mod.block_jacobi_preconditioner(bcsr_block_diagonal(A), fmask)
+        if agg is not None:
+            from .ops.coarse import (build_coarse_space,
+                                     two_level_preconditioner)
+            cs = build_coarse_space(A, model.coords, model.fixed_mask,
+                                    agg=agg, n_agg=n_agg)
+            pre = two_level_preconditioner(pre, cs)
         res = solve_mod.pcg(op, fmask * F, precond=pre, tol=pcg_tol,
                             maxiter=pcg_maxiter)
         U = fmask * res.x
@@ -1003,6 +1053,21 @@ def _condensed_scan_body(coarse, refined, wave, case, n_seg, n_steps,
         Fn = F_all.reshape(n_steps, -1, 6)
         F_I_nodes = Fn[:, :nc]                             # [S, nc, 6]
         g = Fn[:, nc:].reshape(n_steps, Mc, n_int, 6).swapaxes(1, 2)
+    return _condensed_tail(coarse, refined, case, n_seg, ts, chain_solver,
+                           solve_dtype, refine_steps, ks_nodes, fixed,
+                           Kg, KT6, fac, dfac, K_I, F_I_nodes, g,
+                           total_morison)
+
+
+def _condensed_tail(coarse, refined, case, n_seg, ts, chain_solver,
+                    solve_dtype, refine_steps, ks_nodes, fixed,
+                    Kg, KT6, fac, dfac, K_I, F_I_nodes, g, total_morison):
+    """Condensed solve + recovery from chain-layout loads — shared by the
+    steady-wave phase scans and the irregular-sea time scans."""
+    n_steps = ts.shape[0]
+    node1 = coarse.conn[:, 0]
+    node2 = coarse.conn[:, 1]
+    _condense, _backsub = _chain_fns(chain_solver)[1:]
     solve_once = partial(_condensed_solve, fac=fac, dfac=dfac,
                          _condense=_condense, _backsub=_backsub,
                          node1=node1, node2=node2)
@@ -1187,6 +1252,130 @@ def _phase_scan_prepared_jit(prep, wave, case, n_steps, n_gauss, accel,
             refine_steps, stretching, current_alpha, prep.ks_nodes,
             prep.fixed, prep.Kg, prep.KT6, prep.L_m, prep.fac, prep.dfac,
             prep.K_I)
+
+
+def sea_scan_prepared(prep: CondensedPrepared, sea, case: LoadCase,
+                      ts, n_gauss: int = 15, refine_steps: int = 1,
+                      stretching: str = "none",
+                      current_alpha=None) -> CondensedScanResults:
+    """Irregular-sea time-history response on a prepared condensed model.
+
+    Solves the FULL refined FEM problem at every sample time of a random-sea
+    realization (:func:`.ops.spectrum.make_random_sea`): the kinematics of
+    all N spectral components at all S times are one separable matmul
+    (:func:`.ops.spectrum.morison_sea_batch`), the loads condense onto the
+    interface system factored once in ``prep``, and all S quasi-static
+    solves are one multi-RHS triangular solve.  A 2048-step half-hour
+    realization at the flagship 9.6k-DOF shape is ONE device program —
+    irregular seas are entirely outside the reference's scope (its Info tab
+    limits the tool to one regular design wave,
+    `/root/reference/JacketAnalysisGUI_v2.py:1888`).
+
+    ``ts``: [S] sample times (uniform spacing recommended — the spectral
+    fatigue screen assumes it).  ``stretching='wheeler'`` is the standard
+    crest-kinematics treatment for linear irregular seas (API RP 2A).
+    Feed the returned von Mises history to
+    :func:`.ops.spectrum.spectral_fatigue_screen`.
+    """
+    solve_dtype = prep.K_I.dtype
+    ldtype = prep.refined.coords.dtype
+    return _sea_scan_prepared_jit(prep, sea, case.cast(solve_dtype),
+                                  jnp.asarray(ts, dtype=ldtype), n_gauss,
+                                  refine_steps, stretching, current_alpha)
+
+
+@partial(jax.jit, static_argnames=("n_gauss", "refine_steps", "stretching",
+                                   "current_alpha"))
+def _sea_scan_prepared_jit(prep, sea, case, ts, n_gauss, refine_steps,
+                           stretching, current_alpha):
+    from .ops.spectrum import morison_sea_batch
+
+    with jax.default_matmul_precision("highest"):
+        coarse, refined = prep.coarse, prep.refined
+        solve_dtype = prep.K_I.dtype
+        ldtype = refined.coords.dtype
+        case_l = case.cast(ldtype)
+        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
+                               case_l.marine_growth_mm)
+        mb = morison_sea_batch(sea, refined.coords, refined.conn, D_m,
+                               case_l.wave_dir_deg, case_l.current_dir_deg,
+                               case_l.Cd, case_l.Cm, case_l.rho_water, ts,
+                               n_gauss=n_gauss, current_alpha=current_alpha,
+                               stretching=stretching)
+        F_I_nodes, g = _chain_layout_loads(coarse, refined, case_l,
+                                           mb.F1, mb.F2,
+                                           prep.L_m.astype(ldtype),
+                                           prep.n_seg)
+        return _condensed_tail(coarse, refined, case, prep.n_seg, ts,
+                               prep.chain_solver, solve_dtype, refine_steps,
+                               prep.ks_nodes, prep.fixed, prep.Kg, prep.KT6,
+                               prep.fac, prep.dfac, prep.K_I,
+                               F_I_nodes.astype(solve_dtype),
+                               g.astype(solve_dtype), mb.total_morison)
+
+
+def sea_response_batch(model: JacketModel, sea, case: LoadCase, ts,
+                       n_gauss: int = 15, stretching: str = "none",
+                       current_alpha=None,
+                       support_stiffness=None) -> CondensedScanResults:
+    """Irregular-sea time-history response on an UNREFINED (dense) model.
+
+    The dense-path analog of :func:`sea_scan_prepared`: K is factored once
+    and every sample time of the realization is a column of one multi-RHS
+    solve; loads come from the spectral separable matmul.  Returns the same
+    :class:`CondensedScanResults` layout (ts, U, von Mises, utilization,
+    reactions, total Morison, critical index).
+    """
+    ks_nodes, free_np, fixed_np = _ssi_spring_nodes(model, support_stiffness,
+                                                    model.coords.dtype)
+    return _sea_response_batch_jit(model, sea, case.cast(model.coords.dtype),
+                                   jnp.asarray(ts, model.coords.dtype),
+                                   n_gauss, stretching, current_alpha,
+                                   ks_nodes, jnp.asarray(free_np),
+                                   jnp.asarray(fixed_np))
+
+
+@partial(jax.jit, static_argnames=("n_gauss", "stretching", "current_alpha"))
+def _sea_response_batch_jit(model, sea, case, ts, n_gauss, stretching,
+                            current_alpha, ks_nodes, free, fixed):
+    from .ops.spectrum import morison_sea_batch
+
+    with jax.default_matmul_precision("highest"):
+        G = case.E / (2.0 * (1.0 + case.nu))
+        Kg, K_local, T, L_m = element_stiffness(
+            model.coords, model.conn, model.sections, model.sect_id,
+            case.E, G)
+        K = assemble_dense(Kg, model.conn, model.n_dof)
+        fac = _spring_dfac(K, ks_nodes, free)
+        D_m = hydro_diameter_m(model.sections, model.sect_id,
+                               case.marine_growth_mm)
+        mb = morison_sea_batch(sea, model.coords, model.conn, D_m,
+                               case.wave_dir_deg, case.current_dir_deg,
+                               case.Cd, case.Cm, case.rho_water, ts,
+                               n_gauss=n_gauss, current_alpha=current_alpha,
+                               stretching=stretching)
+        F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
+                                                  L_m))(mb.nodal_forces)
+        U = solve_mod.solve_factored(fac, F)               # [S, n_dof]
+        KT6 = -matmul12(K_local, T)[:, :6, :]
+        dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
+                                6 * model.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+        F1 = matvec12(KT6, U[:, dofs])
+        vm = von_mises_8pt(model.sections, model.sect_id,
+                           F1[..., 0], F1[..., 1], F1[..., 2],
+                           F1[..., 3], F1[..., 4], F1[..., 5])
+        util = vm / case.fy
+        # reactions through the SPRINGLESS K: with springs the factored
+        # system is (K + diag(k)) U = F, so K U - F = -k u_support exactly
+        # (zero off the supports) — same recovery as the clamped path
+        R = U @ K.T - F
+        reac = R[:, fixed].reshape(ts.shape[0], -1, 6)
+        crit = jnp.argmax(jnp.max(util, axis=1))
+        return CondensedScanResults(
+            ts=ts, U=U, von_mises=vm, utilization=util, reactions=reac,
+            total_morison=mb.total_morison, critical_index=crit,
+        )
 
 
 def analyze_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
