@@ -13,7 +13,7 @@ from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   analyze_pdelta, analyze_phase_batch, analyze_ssi,
                   design_envelope, design_envelope_condensed,
                   phase_scan_condensed, phase_scan_prepared,
-                  prepare_condensed)
+                  prepare_condensed, sea_response_batch, sea_scan_prepared)
 from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)
 from .models.model import JacketModel, build_model, refine_model
@@ -22,13 +22,18 @@ from .ops.design import (SectionSensitivities, SizingResult,
                           optimize_sections, section_sensitivities)
 from .ops.buckling import (BucklingResults, EulerScreen,
                            buckling_analysis, euler_member_screen)
-from .ops.dynamics import (HarmonicResponse, ModalResults, dynamic_response,
+from .ops.dynamics import (HarmonicResponse, ModalResults,
+                           TransientResponse, dynamic_response,
                            dynamic_response_condensed, modal_analysis,
-                           modal_analysis_condensed)
+                           modal_analysis_condensed,
+                           transient_response_condensed)
 from .ops.fatigue import FatigueScreen, fatigue_screen
 from .ops.fenton import fenton_wave
 from .ops.morison import MorisonLoads, morison_loads, phase_scan
 from .ops.sections import TubeSections, tube_sections
+from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
+                           sea_kinematics, sea_surface,
+                           spectral_fatigue_screen)
 from .ops.stokes import stokes_wave
 from .ops.wave_models import make_wave, validate_wave
 from .ops.waves import FourierWave, airy_wave, kinematics, surface_elevation

@@ -399,7 +399,9 @@ def cmd_optimize(args):
 
 
 def cmd_fatigue(args):
-    """Deterministic fatigue screen on a phase-resolved scan."""
+    """Fatigue screen: deterministic (one regular-wave cycle per period) or
+    spectral (--spectrum: JONSWAP/PM random-sea realization, narrow-band
+    Rayleigh + rainflow damage)."""
     import numpy as np
 
     import small_fem_solver_tpu as sf
@@ -407,6 +409,52 @@ def cmd_fatigue(args):
 
     model, wave, case = _setup(args)
     refined = sf.refine_model(model, args.refine) if args.refine > 1 else model
+
+    if args.spectrum:
+        from .ops.spectrum import make_random_sea, spectral_fatigue_screen
+        hs = args.hs if args.hs is not None else args.H
+        tp = args.tp if args.tp is not None else args.T
+        sea = make_random_sea(hs, tp, args.d, n_components=args.components,
+                              seed=args.seed, spectrum=args.spectrum,
+                              U_c=args.Uc)
+        dt = tp / 10.0
+        ts = np.arange(args.sea_steps) * dt
+        with _cpu_if_f64(args):
+            if args.refine > 1:
+                prep = sf.prepare_condensed(model, refined, args.refine,
+                                            E=case.E, nu=case.nu)
+                scan = sf.sea_scan_prepared(prep, sea, case, ts,
+                                            stretching=args.stretching)
+            else:
+                scan = sf.sea_response_batch(model, sea, case, ts,
+                                             stretching=args.stretching)
+        scr = spectral_fatigue_screen(np.asarray(scan.von_mises), dt,
+                                      exposure_years=args.years,
+                                      curve=args.curve, scf=args.scf,
+                                      occurrence=args.occurrence)
+        d_rf = np.asarray(scr.damage_rainflow)
+        d_nb = np.asarray(scr.damage_rayleigh)
+        life = np.asarray(scr.life_years_rainflow)
+        order = np.argsort(d_nb)[::-1][:10]
+        print(f"spectral fatigue screen: {args.spectrum.upper()} Hs={hs} m "
+              f"Tp={tp} s, {args.components} components, "
+              f"{args.sea_steps} samples @ dt={dt:.2f} s, curve "
+              f"{args.curve}, SCF {args.scf}, {args.years:.0f} y x "
+              f"{args.occurrence:.0%}")
+        print(f"  {'Member':<24} {'sigma':>7} {'nu0 Hz':>7} "
+              f"{'D rayleigh':>11} {'D rainflow':>11} {'Life [y]':>9}")
+        names = refined.member_names
+        sig = np.asarray(scr.sigma_mpa)
+        nu0 = np.asarray(scr.nu0_hz)
+        for e in order:
+            lf = f"{life[e]:.0f}" if np.isfinite(life[e]) else "inf"
+            print(f"  {names[e]:<24} {sig[e]:>7.1f} {nu0[e]:>7.3f} "
+                  f"{d_nb[e]:>11.3e} {d_rf[e]:>11.3e} {lf:>9}")
+        if max(d_nb.max(), d_rf.max()) > 1.0:
+            print("  WARNING: Miner damage > 1 — fatigue life shorter than "
+                  "the exposure!")
+        return
+
     with _cpu_if_f64(args):
         if args.refine > 1:
             scan = sf.phase_scan_condensed(model, refined, args.refine, wave,
@@ -688,6 +736,20 @@ def main(argv=None):
                     help="fraction of the exposure this sea state acts")
     fa.add_argument("--phase-steps", type=int, default=36)
     fa.add_argument("--refine", type=int, default=1)
+    fa.add_argument("--spectrum", choices=["jonswap", "pm"], default=None,
+                    help="spectral mode: screen an irregular-sea "
+                         "realization instead of one regular wave")
+    fa.add_argument("--hs", type=float, default=None,
+                    help="significant wave height [m] (default: -H)")
+    fa.add_argument("--tp", type=float, default=None,
+                    help="peak period [s] (default: -T)")
+    fa.add_argument("--components", type=int, default=48)
+    fa.add_argument("--seed", type=int, default=0)
+    fa.add_argument("--sea-steps", type=int, default=1024,
+                    help="realization samples (dt = Tp/10)")
+    fa.add_argument("--stretching", choices=["none", "wheeler"],
+                    default="wheeler",
+                    help="crest kinematics treatment for the linear sea")
     fa.set_defaults(fn=cmd_fatigue)
 
     bk = sub.add_parser("buckling",

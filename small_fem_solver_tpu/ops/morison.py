@@ -312,6 +312,27 @@ def morison_phase_batch(
     Measured bound at the default storm: see tests/test_hydro_options.py.
     """
     dtype = coords.dtype
+    N = wave.E.shape[-1]
+    j = jnp.arange(1, N + 1, dtype=dtype)
+    return _morison_batch_core(
+        j * wave.k, j * wave.omega, jnp.zeros_like(j), wave.E, wave.U,
+        wave.d, wave.U_c, coords, conn, D_m, wave_dir_deg, current_dir_deg,
+        Cd, Cm, rho_water, ts, n_gauss, current_alpha, stretching)
+
+
+def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
+                        wave_dir_deg, current_dir_deg, Cd, Cm, rho_water,
+                        ts, n_gauss, current_alpha, stretching):
+    """Shared separable-matmul Morison engine over ARBITRARY mode sets.
+
+    ``kv``/``wv``/``phiv``/``E``/``U`` are per-mode [N] wavenumbers,
+    angular frequencies, phase offsets, surface and velocity coefficients:
+    a steady wave passes harmonics of one fundamental (kv = j k, wv = j
+    omega, phiv = 0 — :func:`morison_phase_batch`), an irregular sea passes
+    independent spectral components (:func:`.spectrum.morison_sea_batch`).
+    Either way the phase axis is the same one [S, N] x [N, P] matmul.
+    """
+    dtype = coords.dtype
     theta_w = jnp.deg2rad(jnp.asarray(90.0 - wave_dir_deg, dtype=dtype))
     theta_c = jnp.deg2rad(jnp.asarray(90.0 - current_dir_deg, dtype=dtype))
     cos_w, sin_w = jnp.cos(theta_w), jnp.sin(theta_w)
@@ -333,23 +354,21 @@ def morison_phase_batch(
     z = pos[..., 2].reshape(-1)
 
     # ---- spatial harmonic factors, once for all phases ----
-    N = wave.E.shape[-1]
-    j = jnp.arange(1, N + 1, dtype=dtype)                  # [N]
-    jkx = j[None, :] * wave.k * x_wave[:, None]            # [P, N]
-    cjx = jnp.cos(jkx)
-    sjx = jnp.sin(jkx)
-    A = j * wave.k * (z[:, None] + wave.d)
-    B = j * wave.k * wave.d
+    kx = kv[None, :] * x_wave[:, None] + phiv[None, :]     # [P, N]
+    cjx = jnp.cos(kx)
+    sjx = jnp.sin(kx)
+    A = kv * (z[:, None] + d)
+    B = kv * d
     Aa = jnp.abs(A)
     scale = jnp.exp(Aa - B) / (1.0 + jnp.exp(-2.0 * B))
     Cj = scale * (1.0 + jnp.exp(-2.0 * Aa))                # [P, N]
     Sj = jnp.sign(A) * scale * (1.0 - jnp.exp(-2.0 * Aa))
-    jw = j * wave.omega
+    jw = wv
 
-    UC = wave.U * Cj                                       # [P, N]
-    US = wave.U * Sj
+    UC = U * Cj                                       # [P, N]
+    US = U * Sj
     # five fields x (cos_t, sin_t) spatial coefficient matrices  [P, N]
-    A_eta, B_eta = wave.E * cjx, wave.E * sjx
+    A_eta, B_eta = E * cjx, E * sjx
     A_u, B_u = UC * cjx, UC * sjx
     A_w, B_w = US * sjx, -US * cjx
     A_du, B_du = UC * jw * sjx, -UC * jw * cjx
@@ -361,9 +380,8 @@ def morison_phase_batch(
         # d/dz and d^2/dz^2 coefficient rows (C' = jk S, S' = jk C,
         # C'' = (jk)^2 C, S'' = (jk)^2 S): same time factors as the parent
         # fields, so Wheeler rides the same matmul
-        jk = j * wave.k
-        UZ, WZ = wave.U * jk * Sj, wave.U * jk * Cj
-        UZZ, WZZ = wave.U * jk**2 * Cj, wave.U * jk**2 * Sj
+        UZ, WZ = U * kv * Sj, U * kv * Cj
+        UZZ, WZZ = U * kv**2 * Cj, U * kv**2 * Sj
         As += [UZ * cjx, WZ * sjx, UZ * jw * sjx, -WZ * jw * cjx,
                UZZ * cjx, WZZ * sjx, UZZ * jw * sjx, -WZZ * jw * cjx]
         Bs += [UZ * sjx, -WZ * cjx, -UZ * jw * cjx, -WZ * jw * sjx,
@@ -386,7 +404,7 @@ def morison_phase_batch(
         # dz = z' - z = -(z + d) eta / (d + eta); second-order Taylor of
         # every kinematic field about the unstretched height
         u_z, w_z, du_z, dw_z, u_zz, w_zz, du_zz, dw_zz = fields[5:]
-        dz = -(z[None, :] + wave.d) * eta / (wave.d + eta)
+        dz = -(z[None, :] + d) * eta / (d + eta)
         h2 = 0.5 * dz * dz
         u_wo = u_wo + dz * u_z + h2 * u_zz
         wv = wv + dz * w_z + h2 * w_zz
@@ -399,10 +417,10 @@ def morison_phase_batch(
     # current: uniform (reference) or power-law profile (time-independent,
     # so it stays a spatial factor — separability is unaffected)
     if current_alpha is None:
-        Uc_pt = wave.U_c
+        Uc_pt = U_c
     else:
-        frac = jnp.clip((z + wave.d) / wave.d, 0.0, 1.0)
-        Uc_pt = (wave.U_c * frac
+        frac = jnp.clip((z + d) / d, 0.0, 1.0)
+        Uc_pt = (U_c * frac
                  ** jnp.asarray(current_alpha, dtype=dtype))[None, :]
 
     # global velocity / acceleration components (`:572-589` semantics)

@@ -181,3 +181,40 @@ def test_cli_run_refine(capsys):
     assert "chain condensation" in out
     assert "Nodes: 174, Members: 204" in out
     assert "ANALYSIS COMPLETE" in out
+
+
+def test_cli_spectral_fatigue(capsys):
+    """'fatigue --spectrum jonswap' runs the irregular-sea realization and
+    prints both damage estimates."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "fatigue", "--wave-model", "airy",
+                    "--spectrum", "jonswap", "--hs", "9.0", "--tp", "9.4",
+                    "--sea-steps", "128", "--components", "24",
+                    "--scf", "2.0"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "spectral fatigue screen: JONSWAP" in out
+    assert "D rayleigh" in out and "D rainflow" in out
+
+
+def test_cli_spectral_fatigue_refined(capsys):
+    """Spectral fatigue on a refined mesh routes through the prepared
+    condensed sea scan."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "fatigue", "--wave-model", "airy",
+                    "--spectrum", "pm", "--hs", "7.0", "--tp", "9.0",
+                    "--sea-steps", "64", "--components", "16",
+                    "--refine", "2"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "spectral fatigue screen: PM" in out
