@@ -183,3 +183,153 @@ def test_craig_bampton_dynamic_response_matches_dense():
     np.testing.assert_allclose(np.asarray(c.utilization),
                                np.asarray(d.utilization), rtol=1e-8,
                                atol=1e-10)
+
+
+def test_transient_free_decay_matches_damping_ratio():
+    """Mode-1 free decay: the logarithmic decrement of the Newmark time
+    march must reproduce the prescribed Rayleigh damping ratio (calibrated
+    exactly at omega_1) to ~1%, and the decay period must match T_1."""
+    from small_fem_solver_tpu.ops.dynamics import (
+        modal_analysis_condensed, transient_response_condensed)
+
+    coarse = sf.default_3leg_jacket()
+    n_seg = 4
+    refined = sf.refine_model(coarse, n_seg)
+    case = sf.LoadCase(custom_sw_tonnes=1100.0, sw_mode="custom")
+    modes = modal_analysis_condensed(coarse, refined, n_seg, n_modes=2,
+                                     topside_mass_t=1100.0)
+    T1 = float(modes.periods_s[0])
+    u0 = 50.0 * np.asarray(modes.mode_shapes[0]) \
+        / np.abs(np.asarray(modes.mode_shapes[0])).max()
+    zeta = 0.02
+    dt = T1 / 128.0
+    n_cycles = 6
+    res = transient_response_condensed(
+        coarse, refined, n_seg, None, case, dt=dt,
+        n_steps=int(n_cycles * 128) + 1, damping_ratio=zeta,
+        topside_mass_t=1100.0, u0=jnp.asarray(u0), zero_loads=True)
+    # track the mode-1 modal coordinate via the dominant tip DOF
+    tip = np.asarray(res.tip_displacement_mm)
+    # peaks of |u| occur twice per cycle; use every-other peak (same sign
+    # of the underlying oscillation) for the decrement
+    pk = np.where((tip[1:-1] > tip[:-2]) & (tip[1:-1] > tip[2:]))[0] + 1
+    assert pk.size >= 2 * n_cycles - 2
+    peaks = tip[pk][::2][:n_cycles]
+    delta = np.log(peaks[:-1] / peaks[1:])
+    zeta_measured = delta / np.sqrt(4 * np.pi**2 + delta**2)
+    np.testing.assert_allclose(zeta_measured.mean(), zeta, rtol=0.01)
+    # decay period (damped) ~ T1 within Newmark period distortion
+    T_meas = 2 * dt * np.diff(pk).mean()
+    np.testing.assert_allclose(T_meas, T1 / np.sqrt(1 - zeta**2), rtol=5e-3)
+
+
+def test_transient_steady_state_matches_harmonic_linear_load():
+    """After a ramped start, the transient settles onto the frequency-domain
+    steady state.  With inertia-only Morison loading of an Airy wave (Cd=0:
+    the loading is LINEAR in the kinematics, a single harmonic at omega)
+    the two solvers model identical physics and must agree to ~1e-3 —
+    pinning the Newmark march against the complex harmonic solve."""
+    import dataclasses
+
+    from small_fem_solver_tpu.ops.dynamics import (
+        dynamic_response_condensed, transient_response_condensed)
+
+    coarse = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(coarse, n_seg)
+    # mild wave: with H=9.5 the free-surface wetting on/off is itself a
+    # nonlinearity whose harmonics the truncated frequency-domain solve
+    # cannot carry (measured 4e-3 local deviation); at H=2 the wetted band
+    # is a fraction of an element and the agreement is 5e-10
+    wave = sf.airy_wave(2.0, 9.4, 50.0, 0.0)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0, Cd=0.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    T = 9.4
+    spp = 128                     # steps per period
+    n_periods = 12
+    res = transient_response_condensed(
+        coarse, refined, n_seg, wave, case, dt=T / spp,
+        n_steps=n_periods * spp, damping_ratio=0.02, ramp_periods=3.0)
+    harm = dynamic_response_condensed(coarse, refined, n_seg, wave, case,
+                                      n_harmonics=8, damping_ratio=0.02,
+                                      n_steps=spp)
+    # compare the last full period against the harmonic steady state at the
+    # same phases (transient ts are t = k dt, harmonic ts = k T / spp)
+    last = np.asarray(res.tip_displacement_mm[-spp:])
+    harm_tip = np.asarray(jnp.max(jnp.linalg.norm(
+        harm.U_time.reshape(spp, -1, 6)[:, :, :3], axis=-1), axis=-1))
+    np.testing.assert_allclose(last, harm_tip, rtol=1e-3,
+                               atol=1e-3 * harm_tip.max())
+    u_max = np.asarray(res.utilization[-spp:]).max()
+    u_harm = np.asarray(harm.utilization).max()
+    np.testing.assert_allclose(u_max, u_harm, rtol=1e-3)
+
+
+def test_transient_steady_state_storm_wave():
+    """Full storm loading (drag nonlinearity): the transient is perfectly
+    periodic and matches the harmonic solver on the governing utilization
+    to ~5e-3.  Pointwise tip histories sit ~1e-2 apart: the drag
+    super-harmonics near j omega ~ omega_1 are near-RESONANT, and Newmark's
+    (omega_1 dt)^2/12 period distortion shifts the discrete resonance —
+    measured to converge (1.2e-2 -> 7.3e-3 -> 4.6e-3 at spp = 128/256/512),
+    a documented discretization sensitivity of near-resonant content, not
+    an integrator defect (the linear-load test above pins 1e-3)."""
+    from small_fem_solver_tpu.ops.dynamics import (
+        dynamic_response_condensed, transient_response_condensed)
+
+    coarse = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(9.5, 9.4, 50.0, U_c=1.2, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    T = 9.4
+    spp = 128
+    res = transient_response_condensed(
+        coarse, refined, n_seg, wave, case, dt=T / spp, n_steps=12 * spp,
+        damping_ratio=0.02, ramp_periods=3.0)
+    # periodic steady state reached (period-over-period drift ~1e-8)
+    p1 = np.asarray(res.tip_displacement_mm[-spp:])
+    p2 = np.asarray(res.tip_displacement_mm[-2 * spp:-spp])
+    assert np.abs(p1 - p2).max() / p1.max() < 1e-6
+    harm = dynamic_response_condensed(coarse, refined, n_seg, wave, case,
+                                      n_harmonics=8, damping_ratio=0.02,
+                                      n_steps=spp)
+    u_max = np.asarray(res.utilization[-spp:]).max()
+    u_harm = np.asarray(harm.utilization).max()
+    np.testing.assert_allclose(u_max, u_harm, rtol=5e-3)
+    harm_tip = np.asarray(jnp.max(jnp.linalg.norm(
+        harm.U_time.reshape(spp, -1, 6)[:, :, :3], axis=-1), axis=-1))
+    np.testing.assert_allclose(p1, harm_tip, rtol=2e-2,
+                               atol=2e-2 * harm_tip.max())
+
+
+def test_transient_sea_runs_and_is_bounded():
+    """Irregular-sea transient: finite, bounded response; the quasi-static
+    limit (very stiff structure at wave frequencies) tracks the
+    sea_response_batch amplitude scale."""
+    from small_fem_solver_tpu.ops.dynamics import transient_response_condensed
+    from small_fem_solver_tpu.ops.spectrum import make_random_sea
+
+    coarse = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(coarse, n_seg)
+    sea = make_random_sea(6.0, 9.4, 50.0, n_components=16, seed=2)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    dt = 0.94
+    n = 128
+    res = transient_response_condensed(coarse, refined, n_seg, sea, case,
+                                       dt=dt, n_steps=n, damping_ratio=0.05,
+                                       ramp_periods=1.0)
+    assert np.isfinite(np.asarray(res.U_time)).all()
+    qs = sf.sea_response_batch(refined, sea, case,
+                               np.arange(n) * dt)
+    tip_qs = np.max(np.linalg.norm(
+        np.asarray(qs.U).reshape(n, -1, 6)[:, :, :3], axis=-1), axis=-1)
+    # dynamic tip displacement of this stiff jacket stays within ~2x of
+    # quasi-static (T1 ~ 0.6 s vs Tp ~ 9.4 s: DAF ~ 1)
+    assert np.asarray(res.tip_displacement_mm).max() < 2.0 * tip_qs.max()
