@@ -1515,7 +1515,8 @@ class EnvelopeResults(NamedTuple):
 def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
                     n_steps: int = 36, n_gauss: int = 15,
                     mesh=None, current_alpha=None,
-                    support_stiffness=None) -> EnvelopeResults:
+                    support_stiffness=None,
+                    stretching: str = "none") -> EnvelopeResults:
     """Full-FEM storm envelope: every case x every wave phase, one program.
 
     The BASELINE 'design envelope' configuration: a batch of (H, T, heading)
@@ -1541,7 +1542,8 @@ def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
     free = jnp.asarray(free_np)
 
     fn = partial(_design_envelope_jit, n_steps=n_steps, n_gauss=n_gauss,
-                 current_alpha=current_alpha, ks_nodes=ks_nodes)
+                 current_alpha=current_alpha, ks_nodes=ks_nodes,
+                 stretching=stretching)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         cs = NamedSharding(mesh, P("cases"))
@@ -1551,9 +1553,10 @@ def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
     return fn(model, waves, cases.cast(model.coords.dtype), free)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_gauss", "current_alpha"))
+@partial(jax.jit, static_argnames=("n_steps", "n_gauss", "current_alpha",
+                                   "stretching"))
 def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss,
-                         current_alpha, ks_nodes):
+                         current_alpha, ks_nodes, stretching="none"):
     with jax.default_matmul_precision("highest"):
         dtype = model.coords.dtype
         G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
@@ -1575,7 +1578,8 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss,
                                      case.wave_dir_deg, case.current_dir_deg,
                                      case.Cd, case.Cm, case.rho_water, ts,
                                      n_gauss=n_gauss,
-                                     current_alpha=current_alpha)
+                                     current_alpha=current_alpha,
+                                     stretching=stretching)
             F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
                                                       L_m))(mb.nodal_forces)
             U = solve_mod.solve_factored(fac, F)           # [S, n_dof]
@@ -1610,7 +1614,8 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
                               chain_solver: str = "auto",
                               current_alpha=None,
                               support_stiffness=None,
-                              mesh=None) -> EnvelopeResults:
+                              mesh=None,
+                              stretching: str = "none") -> EnvelopeResults:
     """Storm envelope on a REFINED mesh: every case x phase, full FEM.
 
     Combines the two flagship paths: the exact chain condensation (interior
@@ -1627,6 +1632,9 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     """
     _check_shared_material(cases)
     _check_refined_layout(coarse, refined, n_seg)
+    if stretching != "none" and kinematics == "pallas":
+        raise ValueError("the fused Pallas kernel does not implement Wheeler "
+                         "stretching; use kinematics='separable'")
     ks_nodes, free_np, _ = _ssi_spring_nodes(coarse, support_stiffness,
                                              solve_dtype)
     cases = cases.cast(solve_dtype)
@@ -1641,17 +1649,17 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
         return _design_envelope_condensed_sharded(
             coarse, refined, waves, cases, n_seg, n_steps, n_gauss,
             solve_dtype, case_batch, kinematics, chain_solver,
-            current_alpha, ks_nodes, jnp.asarray(free_np), mesh)
+            current_alpha, ks_nodes, jnp.asarray(free_np), mesh, stretching)
     return _design_envelope_condensed_jit(
         coarse, refined, waves, cases, n_seg, n_steps,
         n_gauss, solve_dtype, case_batch, kinematics, chain_solver,
-        current_alpha, ks_nodes, jnp.asarray(free_np))
+        current_alpha, ks_nodes, jnp.asarray(free_np), stretching)
 
 
 def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
                                  n_gauss, solve_dtype, kinematics,
                                  chain_solver, current_alpha, ks_nodes,
-                                 free):
+                                 free, stretching="none"):
     """Build the per-case closure shared by the single-device and
     mesh-sharded condensed envelopes: element stiffness + chain factor +
     grounded interface factorization happen ONCE here (case-independent);
@@ -1693,7 +1701,8 @@ def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
                                          case_l.current_dir_deg, case_l.Cd,
                                          case_l.Cm, case_l.rho_water, ts,
                                          n_gauss=n_gauss,
-                                         current_alpha=current_alpha)
+                                         current_alpha=current_alpha,
+                                         stretching=stretching)
             else:
                 raise ValueError(f"unknown kinematics mode {kinematics!r}")
             F_I_nodes, g = _chain_layout_loads(coarse, refined, case_l,
@@ -1738,15 +1747,17 @@ def _envelope_from_reductions(ts, per_phase, member_envelope, tot):
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
                                    "solve_dtype", "case_batch", "kinematics",
-                                   "chain_solver", "current_alpha"))
+                                   "chain_solver", "current_alpha",
+                                   "stretching"))
 def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
                                    n_steps, n_gauss, solve_dtype, case_batch,
                                    kinematics, chain_solver, current_alpha,
-                                   ks_nodes, free):
+                                   ks_nodes, free, stretching="none"):
     with jax.default_matmul_precision("highest"):
         one_case = _condensed_envelope_one_case(
             coarse, refined, cases, n_seg, n_steps, n_gauss, solve_dtype,
-            kinematics, chain_solver, current_alpha, ks_nodes, free)
+            kinematics, chain_solver, current_alpha, ks_nodes, free,
+            stretching)
         # batch_size vmaps the body per chunk, which the pallas kernel does
         # not support — the pallas path streams cases sequentially instead
         # (each case is already a 360-phase batched kernel invocation)
@@ -1759,11 +1770,13 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss",
                                    "solve_dtype", "case_batch", "kinematics",
-                                   "chain_solver", "current_alpha", "mesh"))
+                                   "chain_solver", "current_alpha", "mesh",
+                                   "stretching"))
 def _design_envelope_condensed_sharded(coarse, refined, waves, cases, n_seg,
                                        n_steps, n_gauss, solve_dtype,
                                        case_batch, kinematics, chain_solver,
-                                       current_alpha, ks_nodes, free, mesh):
+                                       current_alpha, ks_nodes, free, mesh,
+                                       stretching="none"):
     """Mesh-sharded condensed envelope: the case axis is partitioned over
     the 1-D device mesh (axis 'cases'); each device factors the (case-
     independent) chains once — replicated compute, no communication — and
@@ -1774,7 +1787,8 @@ def _design_envelope_condensed_sharded(coarse, refined, waves, cases, n_seg,
     with jax.default_matmul_precision("highest"):
         one_case = _condensed_envelope_one_case(
             coarse, refined, cases, n_seg, n_steps, n_gauss, solve_dtype,
-            kinematics, chain_solver, current_alpha, ks_nodes, free)
+            kinematics, chain_solver, current_alpha, ks_nodes, free,
+            stretching)
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P("cases"),),

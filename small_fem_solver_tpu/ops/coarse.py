@@ -33,7 +33,8 @@ scan-depth cost the condensation solver already pays deliberately).
 
 Measured on the refine_model(32) jacket (9,612 DOF, f64, tol 1e-10,
 storm-wave RHS): block-Jacobi 4,275 iterations -> two-level 621 (6.9x);
-at n_seg=16 (4,716 DOF): 1,996 -> ~500.  This closes BASELINE.md's
+the distributed variant at n_seg=16 (4,716 DOF) is asserted >= 3x in
+tests/test_pcg_precond.py.  This closes BASELINE.md's
 "IC-preconditioned CG" role for general sparse meshes (the reference has
 one dense LAPACK solve, `/root/reference/JacketAnalysisGUI_v2.py:485`).
 

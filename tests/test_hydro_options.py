@@ -246,3 +246,42 @@ def test_marine_growth_on_condensed_and_batched_paths():
     env = sf.design_envelope(model, waves, cases, n_steps=4)
     u = np.asarray(env.max_util_per_case)
     assert u[1] > u[0]                    # more growth -> more load
+
+
+def test_wheeler_on_envelope_paths():
+    """stretching='wheeler' flows through both envelope paths and matches
+    the per-case prepared scan."""
+    from small_fem_solver_tpu.parallel.sweep import (make_case_batch,
+                                                     make_wave_batch)
+    coarse = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(coarse, n_seg)
+    Hs = [8.0, 14.0]
+    waves = make_wave_batch(Hs, 9.4, 50.0, U_c=1.0, model="airy",
+                            n_modes=4, dtype=jnp.float64)
+    base = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    cases = make_case_batch(base, t_analysis=jnp.zeros(2))
+    env = sf.design_envelope_condensed(coarse, refined, n_seg, waves, cases,
+                                       n_steps=4, solve_dtype=jnp.float64,
+                                       stretching="wheeler")
+    env0 = sf.design_envelope_condensed(coarse, refined, n_seg, waves,
+                                        cases, n_steps=4,
+                                        solve_dtype=jnp.float64)
+    assert not np.allclose(np.asarray(env.max_util_per_case),
+                           np.asarray(env0.max_util_per_case), rtol=1e-6)
+    for c, H in enumerate(Hs):
+        w = sf.airy_wave(H, 9.4, 50.0, 1.0)
+        scan = sf.phase_scan_condensed(coarse, refined, n_seg, w, base,
+                                       n_steps=4, kinematics="separable",
+                                       stretching="wheeler")
+        np.testing.assert_allclose(float(env.max_util_per_case[c]),
+                                   float(scan.utilization.max()), rtol=1e-9)
+    envd = sf.design_envelope(coarse, waves, cases, n_steps=4,
+                              stretching="wheeler")
+    assert np.isfinite(np.asarray(envd.max_util_per_case)).all()
+    with pytest.raises(ValueError):
+        sf.design_envelope_condensed(coarse, refined, n_seg, waves, cases,
+                                     n_steps=4, kinematics="pallas",
+                                     stretching="wheeler")
