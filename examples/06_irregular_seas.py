@@ -1,0 +1,70 @@
+"""Worked example 6: irregular-sea (spectral) analysis and fatigue.
+
+A JONSWAP sea state is discretized into independent linear components,
+the FULL refined FEM problem is solved at every sample of a half-hour
+realization through the factor-once condensed handle (one separable
+matmul for all component kinematics + one multi-RHS solve), and the
+von Mises histories feed a spectral fatigue screen (narrow-band
+Rayleigh + rainflow) and a transient Newmark run on the Craig-Bampton
+reduced basis.
+
+    python examples/06_irregular_seas.py
+"""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+import small_fem_solver_tpu as sf
+
+coarse = sf.default_3leg_jacket()
+n_seg = 8
+refined = sf.refine_model(coarse, n_seg)
+case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                   F_axial_kN=25100.0, F_shear_kN=2900.0,
+                   custom_sw_tonnes=1100.0, sw_mode="custom")
+
+# -- the sea state behind the design wave: Hs = 9 m, Tp = 9.4 s ----------
+sea = sf.make_random_sea(Hs=9.0, Tp=9.4, d=50.0, n_components=64, seed=0,
+                         spectrum="jonswap", U_c=1.0)
+print(f"JONSWAP realization: {sea.a.shape[0]} components, "
+      f"m0 = {float(sea.m0):.3f} m^2 (Hs^2/16 = {9.0**2/16:.3f}), "
+      f"Tz = {float(sea.mean_zero_crossing_period):.2f} s")
+
+# -- half-hour response history on the refined mesh, one program --------
+dt = 0.94                      # Tp / 10
+ts = np.arange(2048) * dt      # ~32 minutes
+prep = sf.prepare_condensed(coarse, refined, n_seg)
+hist = sf.sea_scan_prepared(prep, sea, case, ts, stretching="wheeler")
+vm = np.asarray(hist.von_mises)
+print(f"response history: {vm.shape[0]} steps x {vm.shape[1]} members; "
+      f"max utilization over the realization "
+      f"{float(hist.utilization.max()):.3f} at "
+      f"t = {float(hist.ts[int(hist.critical_index)]):.1f} s")
+
+# -- spectral fatigue screen --------------------------------------------
+scr = sf.spectral_fatigue_screen(vm, dt, exposure_years=25.0,
+                                 curve="D-sea-cp", scf=2.0,
+                                 occurrence=0.05)
+g = int(np.argmax(np.asarray(scr.damage_rainflow)))
+print(f"fatigue (25 y x 5% occurrence, curve D-sea-cp, SCF 2): governing "
+      f"member {refined.member_names[g]}: sigma "
+      f"{float(scr.sigma_mpa[g]):.1f} MPa, damage rainflow "
+      f"{float(scr.damage_rainflow[g]):.2e} / rayleigh "
+      f"{float(scr.damage_rayleigh[g]):.2e}, life "
+      f"{float(scr.life_years_rainflow[g]):.0f} y")
+
+# -- transient Newmark on the Craig-Bampton reduced basis ----------------
+res = sf.transient_response_condensed(coarse, refined, n_seg, sea, case,
+                                      dt=dt, n_steps=256,
+                                      damping_ratio=0.02, ramp_periods=1.0)
+print(f"transient (Newmark, CB basis): omega_1 = {float(res.omega1):.2f} "
+      f"rad/s; max tip displacement "
+      f"{float(np.max(np.asarray(res.tip_displacement_mm))):.1f} mm over "
+      f"{res.ts.shape[0]} steps")
