@@ -164,4 +164,61 @@ int refine_members(const double* coords, int64_t n,
     return 0;
 }
 
+// Greedy BFS aggregation of the node graph into connected aggregates of
+// ~target_size (the coarse-space partition for the two-level PCG
+// preconditioner, ops/coarse.py).  Bit-identical to the Python reference
+// implementation: neighbor order is the stable src-sort of the half-edge
+// list [edges forward; edges reversed], BFS frontier order is discovery
+// order, and growth stops the moment count reaches target_size.
+// edges: [ne, 2] int32 (one row per off-diagonal block / member).
+// out_agg: [n_nodes] int64.  Returns the number of aggregates, or -1.
+int64_t aggregate_nodes(const int32_t* edges, int64_t ne, int64_t n_nodes,
+                        int64_t target_size, int64_t* out_agg) {
+    if (n_nodes <= 0 || target_size <= 0) return -1;
+    // adjacency in the Python half-edge order: all forward edges from u
+    // (in edge order), then all reverse edges from u (in edge order)
+    std::vector<int64_t> deg(n_nodes, 0);
+    for (int64_t e = 0; e < ne; ++e) {
+        ++deg[edges[2 * e]];
+        ++deg[edges[2 * e + 1]];
+    }
+    std::vector<int64_t> ptr(n_nodes + 1, 0);
+    for (int64_t v = 0; v < n_nodes; ++v) ptr[v + 1] = ptr[v] + deg[v];
+    std::vector<int32_t> nbr(ptr[n_nodes]);
+    std::vector<int64_t> fill(ptr.begin(), ptr.end() - 1);
+    for (int64_t e = 0; e < ne; ++e)           // forward pass first
+        nbr[fill[edges[2 * e]]++] = edges[2 * e + 1];
+    for (int64_t e = 0; e < ne; ++e)           // then the reversed pass
+        nbr[fill[edges[2 * e + 1]]++] = edges[2 * e];
+
+    std::vector<int64_t> agg(n_nodes, -1);
+    std::vector<int32_t> frontier, nxt;
+    int64_t next_agg = 0;
+    for (int64_t seed = 0; seed < n_nodes; ++seed) {
+        if (agg[seed] >= 0) continue;
+        frontier.assign(1, static_cast<int32_t>(seed));
+        agg[seed] = next_agg;
+        int64_t count = 1;
+        while (!frontier.empty() && count < target_size) {
+            nxt.clear();
+            for (int32_t u : frontier) {
+                for (int64_t k = ptr[u]; k < ptr[u + 1]; ++k) {
+                    int32_t v = nbr[k];
+                    if (agg[v] < 0) {
+                        agg[v] = next_agg;
+                        nxt.push_back(v);
+                        ++count;
+                        if (count >= target_size) break;
+                    }
+                }
+                if (count >= target_size) break;
+            }
+            frontier.swap(nxt);
+        }
+        ++next_agg;
+    }
+    for (int64_t v = 0; v < n_nodes; ++v) out_agg[v] = agg[v];
+    return next_agg;
+}
+
 }  // extern "C"

@@ -51,6 +51,10 @@ def _load():
     lib.refine_members.restype = ctypes.c_int
     lib.refine_members.argtypes = [f64p, ctypes.c_int64, i32p, ctypes.c_int64,
                                    i32p, ctypes.c_int32, f64p, i32p, i32p]
+    if hasattr(lib, "aggregate_nodes"):
+        lib.aggregate_nodes.restype = ctypes.c_int64
+        lib.aggregate_nodes.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64, i64p]
     _lib = lib
     return _lib
 
@@ -133,3 +137,22 @@ def refine_members_native(coords, conn, sect, n_seg: int):
     if rc != 0:
         raise RuntimeError("refine_members failed")
     return new_coords, new_conn, new_sect
+
+
+def aggregate_nodes_native(edges, n_nodes: int, target_size: int):
+    """BFS node aggregation (the coarse-space partition) or None.
+
+    Bit-identical to the Python reference in ``ops/coarse.py`` (tested);
+    the native version exists because the traversal is pure Python
+    otherwise (~1 s at 100k-DOF meshes).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "aggregate_nodes"):
+        return None
+    edges = np.ascontiguousarray(edges, dtype=np.int32)
+    out = np.empty(n_nodes, np.int64)
+    n_agg = lib.aggregate_nodes(edges, edges.shape[0], n_nodes,
+                                int(target_size), out)
+    if n_agg < 0:
+        raise RuntimeError("aggregate_nodes failed")
+    return out

@@ -57,8 +57,18 @@ from .assembly import BCSRMatrix, bcsr_matvec
 
 def aggregate_nodes(conn, n_nodes: int, target_size: int = 32) -> np.ndarray:
     """Partition the node graph into connected aggregates of ~target_size
-    (host-side, greedy BFS; runs once per mesh)."""
+    (host-side, greedy BFS; runs once per mesh).
+
+    Uses the native C++ kit when built (bit-identical traversal order —
+    tested in tests/test_native.py); pure-Python BFS otherwise."""
     conn = np.asarray(conn)
+    try:
+        from ..native import aggregate_nodes_native
+        out = aggregate_nodes_native(conn, n_nodes, target_size)
+    except Exception:
+        out = None
+    if out is not None:
+        return out
     # adjacency via sorted half-edges
     src = np.concatenate([conn[:, 0], conn[:, 1]])
     dst = np.concatenate([conn[:, 1], conn[:, 0]])

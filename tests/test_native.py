@@ -70,3 +70,36 @@ def test_python_rcm_fallback_matches_native(have_native):
     finally:
         native._lib, native._tried = lib, tried
     np.testing.assert_array_equal(native_perm, py_perm)
+
+
+def test_native_aggregation_matches_python():
+    """The C++ BFS aggregation is bit-identical to the Python reference
+    (same half-edge neighbor order, same frontier order, same stop rule)."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu import native
+    from small_fem_solver_tpu.api import _cached_bcsr_pattern
+    from small_fem_solver_tpu.ops import coarse as coarse_mod
+
+    if not native.available() or not hasattr(native._load(),
+                                             "aggregate_nodes"):
+        import pytest
+        pytest.skip("native library not built")
+
+    for n_seg, tsz in ((4, 7), (16, 32), (32, 33)):
+        model = sf.refine_model(sf.default_3leg_jacket(), n_seg)
+        pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+        br = np.asarray(pattern.block_rows)
+        bc = np.asarray(pattern.block_cols)
+        off = br != bc
+        edges = np.stack([br[off], bc[off]], axis=1)
+        got = native.aggregate_nodes_native(edges, model.n_nodes, tsz)
+        # force the pure-Python path for the reference answer
+        orig = native.aggregate_nodes_native
+        try:
+            native.aggregate_nodes_native = lambda *a, **k: None
+            want = coarse_mod.aggregate_nodes(edges, model.n_nodes, tsz)
+        finally:
+            native.aggregate_nodes_native = orig
+        np.testing.assert_array_equal(got, want)
