@@ -148,18 +148,24 @@ INFO_TEXT = """\
   only; code checks (API RP 2A / ISO 19902 buckling, punching,
   joint checks) must be run separately.
 
-7. WHAT THIS TOOL DOES NOT DO
+7. SCOPE OF THE GUI 'RUN' BUTTON vs THE FULL FRAMEWORK
 ----------------------------------------------------------------
-  - global or member buckling, P-delta (2nd order) effects
-  - fatigue damage and S-N screening
-  - soil-structure interaction (piles are rigid clamps here)
-  - wave slamming, vortex-induced vibration, ringing
-  - appurtenances, flooded-member buoyancy
-  Dynamics ARE available beyond the reference tool's scope - the
-  CLI/API offer natural frequencies (also Craig-Bampton reduced
-  for refined meshes) and steady-state wave-frequency response
-  with a dynamic amplification factor - but the GUI 'RUN'
-  button performs the quasi-static check only.
+  The GUI RUN button performs the quasi-static yield check
+  (optionally on foundation springs - Loads tab). The CLI/API
+  go well beyond the reference tool's scope:
+  - global + member buckling (cli buckling), P-delta (cli pdelta)
+  - fatigue: deterministic S-N screen and irregular-sea spectral
+    screening with JONSWAP/PM realizations, narrow-band Rayleigh
+    and rainflow damage (cli fatigue [--spectrum jonswap|pm])
+  - soil-structure interaction: 6-DOF foundation springs on every
+    analysis path (--support-spring)
+  - dynamics: natural frequencies (also Craig-Bampton reduced for
+    refined meshes), steady-state wave-frequency response with a
+    dynamic amplification factor, and transient Newmark time
+    integration (regular waves, random seas, free decay)
+  Still outside scope everywhere: wave slamming, vortex-induced
+  vibration, ringing, appurtenances, flooded-member buoyancy,
+  code checks (API RP 2A / ISO 19902 punching, joint checks).
 
 8. WORKFLOW
 ----------------------------------------------------------------

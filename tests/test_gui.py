@@ -42,7 +42,7 @@ def test_info_text_covers_reference_topics():
     assert len(text.splitlines()) > 150
     for topic in ["COORDINATE SYSTEM", "UNITS", "WAVE KINEMATICS",
                   "MORISON", "STRUCTURAL MODEL", "STRESS CHECK",
-                  "DOES NOT DO", "WORKFLOW", "DEFAULT STORM",
+                  "SCOPE OF THE GUI", "WORKFLOW", "DEFAULT STORM",
                   "REFERENCES", "H/L  < 0.142", "H/d  < 0.78",
                   "D/t > 10", "Wheeler"]:
         assert topic in text, f"Info tab missing topic: {topic}"
