@@ -121,14 +121,15 @@ def measure_flagship(repeats: int = 5):
             if r < 7:
                 time.sleep(2.0)
         prepared = min(prep_rounds)
-        # relay-contention heuristic: identical back-to-back rounds should
-        # repeat within ~20%; a >1.8x spread means another tenant was on
-        # the shared relay during part of the measurement window
+        # first contention signal: identical back-to-back rounds should
+        # repeat within ~20%; a >1.8x spread means another tenant hit the
+        # shared relay during part of the window (finalized below against
+        # the envelope yardstick, which is relay-insensitive)
         contended = max(prep_rounds) / prepared > 1.8
         print(f"[bench] prepared scan (factor-once user API): "
               f"{prepared*1e3:.2f} ms/360-phase scan "
               f"({360.0/prepared:.0f} FEM solves/s), prepared-vs-oneshot "
-              f"max|d util|={du:.1e}, contended={contended}",
+              f"max|d util|={du:.1e}",
               file=sys.stderr)
 
         # sustained production throughput: in real use the case VARIES between
@@ -162,6 +163,19 @@ def measure_flagship(repeats: int = 5):
               f"{refined.n_dof} DOF = {env_best/C*1e3:.2f} ms per full "
               f"360-phase scan sustained "
               f"({360.0*C/env_best:.0f} FEM solves/s)", file=sys.stderr)
+        # final contention verdict: the envelope streams 10 scans per
+        # dispatch, so its per-scan rate is relay-insensitive (measured
+        # 2.3-2.6 ms across wildly different windows) while the per-call
+        # prepared path rides the relay.  Device-side the prepared scan is
+        # ~1.7 ms heavier than an envelope scan (recovery + refinement +
+        # full-field outputs) plus ~1.6 ms dispatch floor; anything beyond
+        # ~3x the envelope rate + 2 ms is relay queueing, not our program
+        # (quiet-window measurement: 4.4 ms, see docs/ROADMAP.md).
+        contended = contended or (
+            prepared * 1e3 > 3.0 * (env_best / C * 1e3) + 2.0)
+        print(f"[bench] contended={contended} (prepared "
+              f"{prepared*1e3:.2f} ms vs envelope yardstick "
+              f"{env_best/C*1e3:.2f} ms/scan)", file=sys.stderr)
         return amortized * 1e3, refined.n_dof, {
             "prepared_scan_ms": round(prepared * 1e3, 2),
             "envelope_sustained_ms": round(env_best / C * 1e3, 2),
