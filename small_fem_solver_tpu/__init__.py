@@ -12,8 +12,9 @@ from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   EnvelopeResults, LoadCase, analyze, analyze_condensed,
                   analyze_pdelta, analyze_phase_batch, analyze_ssi,
                   design_envelope, design_envelope_condensed,
-                  phase_scan_condensed, phase_scan_prepared,
-                  prepare_condensed, sea_response_batch, sea_scan_prepared)
+                  analyze_prepared, phase_scan_condensed,
+                  phase_scan_prepared, prepare_condensed,
+                  scatter_fatigue, sea_response_batch, sea_scan_prepared)
 from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)
 from .models.model import JacketModel, build_model, refine_model

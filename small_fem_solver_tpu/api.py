@@ -1131,7 +1131,9 @@ class CondensedPrepared:
     coarse: JacketModel
     refined: JacketModel
     Kg: jnp.ndarray          # [Mr, 12, 12] element stiffness (solve dtype)
-    KT6: jnp.ndarray         # [Mr, 6, 12] -(K_local @ T)[:6] recovery fold
+    KT: jnp.ndarray          # [Mr, 12, 12] K_local @ T recovery fold
+    #   (scans use -KT[:, :6] for node-1 forces; analyze_prepared recovers
+    #    both member end-force sets from it)
     L_m: jnp.ndarray         # [Mr] refined element lengths [m]
     fac: object              # ChainFactor / NestedFactor pytree
     dfac: object             # DenseFactor of the grounded interface system
@@ -1174,10 +1176,10 @@ def prepare_condensed(coarse: JacketModel, refined: JacketModel, n_seg: int,
     fixed = jnp.asarray(fixed_np)
     E = jnp.asarray(E, dtype=solve_dtype)
     nu = jnp.asarray(nu, dtype=solve_dtype)
-    Kg, KT6, L_m, fac, dfac, K_I = _prepare_condensed_jit(
+    Kg, KT, L_m, fac, dfac, K_I = _prepare_condensed_jit(
         coarse, refined, E, nu, n_seg, resolved, solve_dtype, ks_nodes, free)
     return CondensedPrepared(
-        coarse=coarse, refined=refined, Kg=Kg, KT6=KT6, L_m=L_m, fac=fac,
+        coarse=coarse, refined=refined, Kg=Kg, KT=KT, L_m=L_m, fac=fac,
         dfac=dfac, K_I=K_I, ks_nodes=ks_nodes, free=free, fixed=fixed,
         E=E, nu=nu, n_seg=n_seg, chain_solver=resolved)
 
@@ -1195,8 +1197,8 @@ def _prepare_condensed_jit(coarse, refined, E, nu, n_seg, chain_solver,
         fac = _chain_fns(chain_solver)[0](Kg, n_seg)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * coarse.n_nodes)
         dfac = _spring_dfac(K_I, ks_nodes, free)
-        KT6 = -matmul12(K_local, T)[:, :6, :]
-        return Kg, KT6, L_m, fac, dfac, K_I
+        KT = matmul12(K_local, T)
+        return Kg, KT, L_m, fac, dfac, K_I
 
 
 def phase_scan_prepared(prep: CondensedPrepared, wave, case: LoadCase,
@@ -1250,8 +1252,101 @@ def _phase_scan_prepared_jit(prep, wave, case, n_steps, n_gauss, accel,
             prep.coarse, prep.refined, wave, case, prep.n_seg, n_steps,
             n_gauss, accel, kinematics, prep.chain_solver, prep.K_I.dtype,
             refine_steps, stretching, current_alpha, prep.ks_nodes,
-            prep.fixed, prep.Kg, prep.KT6, prep.L_m, prep.fac, prep.dfac,
-            prep.K_I)
+            prep.fixed, prep.Kg, -prep.KT[:, :6, :], prep.L_m, prep.fac,
+            prep.dfac, prep.K_I)
+
+
+def analyze_prepared(prep: CondensedPrepared, wave, case: LoadCase,
+                     n_gauss: int = 15, accel: str = "analytic",
+                     refine_steps: int = 1) -> AnalysisResults:
+    """Single-phase condensed analysis through a prepared handle.
+
+    Same results as :func:`analyze_condensed` (the ~100k-DOF end-to-end
+    path) but the case-independent factorization is read from ``prep`` —
+    repeated large-mesh analyses across waves/cases pay only loads +
+    condense + one interface solve + recovery per call.  The reference
+    re-runs its entire solver every analysis
+    (`/root/reference/JacketAnalysisGUI_v2.py:485`).
+    """
+    solve_dtype = prep.K_I.dtype
+    for name in ("E", "nu"):
+        if not np.allclose(
+                np.asarray(getattr(case, name)).astype(np.asarray(
+                    getattr(prep, name)).dtype),
+                np.asarray(getattr(prep, name)), rtol=1e-6):
+            raise ValueError(
+                f"case.{name} does not match the prepared factorization; "
+                f"re-run prepare_condensed for a new material")
+    return _analyze_prepared_jit(prep, wave, case.cast(solve_dtype),
+                                 n_gauss, accel, refine_steps)
+
+
+@partial(jax.jit, static_argnames=("n_gauss", "accel", "refine_steps"))
+def _analyze_prepared_jit(prep, wave, case, n_gauss, accel, refine_steps):
+    with jax.default_matmul_precision("highest"):
+        coarse, refined = prep.coarse, prep.refined
+        n_seg = prep.n_seg
+        solve_dtype = prep.K_I.dtype
+        nc = coarse.n_nodes
+        Mc = coarse.n_members
+        n_int = n_seg - 1
+
+        ldtype = refined.coords.dtype
+        case_l = case.cast(ldtype)
+        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
+                               case_l.marine_growth_mm)
+        mor = morison_loads(wave, refined.coords, refined.conn, D_m,
+                            case_l.wave_dir_deg, case_l.current_dir_deg,
+                            case_l.Cd, case_l.Cm, case_l.rho_water,
+                            case_l.t_analysis, n_gauss=n_gauss, accel=accel)
+        F = assemble_loads(refined, case_l, mor.nodal_forces,
+                           prep.L_m.astype(ldtype))
+        F = F.astype(solve_dtype)
+
+        node1 = coarse.conn[:, 0]
+        node2 = coarse.conn[:, 1]
+        Fn = F.reshape(1, -1, 6)
+        F_I_nodes = Fn[:, :nc]
+        g = Fn[:, nc:].reshape(1, Mc, n_int, 6).swapaxes(1, 2)
+        _condense, _backsub = _chain_fns(prep.chain_solver)[1:]
+        solve_once = partial(_condensed_solve, fac=prep.fac, dfac=prep.dfac,
+                             _condense=_condense, _backsub=_backsub,
+                             node1=node1, node2=node2)
+        U_In, v, F_cond_flat, U_I = solve_once(F_I_nodes, g)
+        if refine_steps > 0:
+            free_I = _refine_mask(coarse, prep.ks_nodes, solve_dtype)
+            U_In, v, U_I = _refine_condensed(prep.Kg, n_seg, coarse.conn,
+                                             free_I, solve_once, F_I_nodes,
+                                             g, U_In, v, U_I, refine_steps,
+                                             ks_nodes=prep.ks_nodes)
+        U = jnp.concatenate([U_In.reshape(1, -1),
+                             v.swapaxes(1, 2).reshape(1, -1)], axis=1)[0]
+
+        # recovery via the prepared K_local@T fold (reference sign
+        # convention: F1 = -(K_local T u)[:6], F2 = +[6:])
+        dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
+                                6 * refined.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+        F_loc = matvec12(prep.KT, U[dofs])
+        F1, F2 = -F_loc[:, :6], F_loc[:, 6:]
+        sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
+                             refined.sections)
+        vm = von_mises_8pt(sec_s, refined.sect_id,
+                           F1[:, 0], F1[:, 1], F1[:, 2],
+                           F1[:, 3], F1[:, 4], F1[:, 5])
+        util = vm / case.fy
+        R = U_I @ prep.K_I.T - F_cond_flat
+        reac = R[0, prep.fixed].reshape(-1, 6)
+        disp = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+        imax = jnp.argmax(disp)
+        return AnalysisResults(
+            U=U, reactions=reac, F_applied=F,
+            F1_local=F1, F2_local=F2,
+            von_mises=vm, utilization=util, length_m=prep.L_m,
+            morison=mor,
+            max_displacement_mm=disp[imax], max_displacement_node=imax,
+            total_reaction=jnp.sum(reac, axis=0),
+        )
 
 
 def sea_scan_prepared(prep: CondensedPrepared, sea, case: LoadCase,
@@ -1308,10 +1403,75 @@ def _sea_scan_prepared_jit(prep, sea, case, ts, n_gauss, refine_steps,
                                            prep.n_seg)
         return _condensed_tail(coarse, refined, case, prep.n_seg, ts,
                                prep.chain_solver, solve_dtype, refine_steps,
-                               prep.ks_nodes, prep.fixed, prep.Kg, prep.KT6,
-                               prep.fac, prep.dfac, prep.K_I,
-                               F_I_nodes.astype(solve_dtype),
+                               prep.ks_nodes, prep.fixed, prep.Kg,
+                               -prep.KT[:, :6, :], prep.fac, prep.dfac,
+                               prep.K_I, F_I_nodes.astype(solve_dtype),
                                g.astype(solve_dtype), mb.total_morison)
+
+
+class ScatterFatigue(NamedTuple):
+    """Scatter-diagram fatigue accumulation over multiple sea states."""
+
+    damage_rainflow: jnp.ndarray    # [M] Miner sum over all states
+    damage_rayleigh: jnp.ndarray    # [M]
+    life_years_rainflow: jnp.ndarray
+    life_years_rayleigh: jnp.ndarray
+    per_state_rainflow: np.ndarray  # [n_states, M]
+    states: tuple                   # ((Hs, Tp, occurrence), ...)
+
+
+def scatter_fatigue(prep: CondensedPrepared, case: LoadCase, states, d,
+                    exposure_years: float, curve: str = "D-sea-cp",
+                    scf: float = 1.0, n_components: int = 48,
+                    n_steps: int = 1024, seed: int = 0, U_c=0.0,
+                    spectrum: str = "jonswap", stretching: str = "wheeler",
+                    current_alpha=None) -> ScatterFatigue:
+    """Fatigue over a SCATTER DIAGRAM of sea states (Miner accumulation).
+
+    ``states``: sequence of (Hs [m], Tp [s], occurrence fraction) rows —
+    the long-term wave climate.  Each state is realized as an N-component
+    random sea (seeded per state: reproducible), the FULL refined FEM
+    response history is solved through the prepared condensed handle (one
+    program per state), and per-member damage (narrow-band Rayleigh AND
+    rainflow, :func:`.ops.spectrum.spectral_fatigue_screen`) accumulates
+    linearly across states — the standard long-term fatigue recipe the
+    reference cannot begin to express (one deterministic wave per run).
+
+    Occurrences should sum to <= 1; a larger sum raises.
+    """
+    from .ops.spectrum import make_random_sea, spectral_fatigue_screen
+
+    states = tuple((float(h), float(t), float(o)) for h, t, o in states)
+    total_occ = sum(o for _, _, o in states)
+    if total_occ > 1.0 + 1e-9:
+        raise ValueError(
+            f"scatter-diagram occurrences sum to {total_occ:.3f} > 1")
+    d_rf = d_nb = None
+    per_state = []
+    for i, (Hs, Tp, occ) in enumerate(states):
+        sea = make_random_sea(Hs, Tp, d, n_components=n_components,
+                              seed=seed + i, spectrum=spectrum, U_c=U_c,
+                              dtype=prep.refined.coords.dtype)
+        dt = Tp / 10.0
+        ts = np.arange(n_steps) * dt
+        hist = sea_scan_prepared(prep, sea, case, ts, stretching=stretching,
+                                 current_alpha=current_alpha)
+        scr = spectral_fatigue_screen(np.asarray(hist.von_mises), dt,
+                                      exposure_years=exposure_years,
+                                      curve=curve, scf=scf, occurrence=occ)
+        rf = np.asarray(scr.damage_rainflow)
+        nb = np.asarray(scr.damage_rayleigh)
+        per_state.append(rf)
+        d_rf = rf if d_rf is None else d_rf + rf
+        d_nb = nb if d_nb is None else d_nb + nb
+    with np.errstate(divide="ignore"):
+        life_rf = np.where(d_rf > 0, exposure_years / d_rf, np.inf)
+        life_nb = np.where(d_nb > 0, exposure_years / d_nb, np.inf)
+    return ScatterFatigue(
+        damage_rainflow=jnp.asarray(d_rf), damage_rayleigh=jnp.asarray(d_nb),
+        life_years_rainflow=jnp.asarray(life_rf),
+        life_years_rayleigh=jnp.asarray(life_nb),
+        per_state_rainflow=np.stack(per_state), states=states)
 
 
 def sea_response_batch(model: JacketModel, sea, case: LoadCase, ts,

@@ -290,3 +290,44 @@ def test_prepared_scan_ssi_and_material_guard():
                                rtol=1e-12, atol=1e-12 * scale)
     with pytest.raises(ValueError, match="does not match the prepared"):
         phase_scan_prepared(prep, wave, sf.LoadCase(E=200000.0), n_steps=3)
+
+
+def test_analyze_prepared_matches_analyze_condensed():
+    """analyze_prepared == analyze_condensed to solver precision, with the
+    factorization read from the handle (incl. F2 and reactions)."""
+    from small_fem_solver_tpu.api import analyze_prepared, prepare_condensed
+    n_seg = 8
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, n_seg)
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="fenton", N=12)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom",
+                       t_analysis=0.34)
+    ref = sf.analyze_condensed(coarse, refined, n_seg, wave, case)
+    prep = prepare_condensed(coarse, refined, n_seg)
+    got = analyze_prepared(prep, wave, case)
+    scale = float(np.abs(np.asarray(ref.U)).max())
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               rtol=1e-12, atol=1e-12 * scale)
+    # KT is prefolded (K_local @ T once) vs the reference path's two
+    # sequential matvecs: identical math, different rounding order —
+    # agreement at ~1e-10 of the force scale
+    f2_scale = float(np.abs(np.asarray(ref.F2_local)).max())
+    np.testing.assert_allclose(np.asarray(got.F2_local),
+                               np.asarray(ref.F2_local), rtol=1e-9,
+                               atol=1e-9 * f2_scale)
+    np.testing.assert_allclose(np.asarray(got.reactions),
+                               np.asarray(ref.reactions), rtol=1e-12,
+                               atol=1e-12 * float(np.abs(np.asarray(ref.reactions)).max()))
+    np.testing.assert_allclose(np.asarray(got.von_mises),
+                               np.asarray(ref.von_mises), rtol=1e-12,
+                               atol=1e-12)
+    # a second case through the same handle
+    import dataclasses
+    case2 = dataclasses.replace(case, wave_dir_deg=120.0, t_analysis=2.0)
+    ref2 = sf.analyze_condensed(coarse, refined, n_seg, wave, case2)
+    got2 = analyze_prepared(prep, wave, case2)
+    np.testing.assert_allclose(np.asarray(got2.U), np.asarray(ref2.U),
+                               rtol=1e-12,
+                               atol=1e-12 * float(np.abs(np.asarray(ref2.U)).max()))

@@ -282,3 +282,35 @@ def test_spectral_fatigue_on_sea_response():
                                    curve="D-sea-cp", scf=2.0)
     np.testing.assert_allclose(np.asarray(scr2.damage_rainflow),
                                2.0 * d_rf, rtol=1e-9)
+
+
+def test_scatter_fatigue_accumulates_states():
+    """Scatter-diagram fatigue: Miner damage accumulates linearly over the
+    sea states; reproducible per-seed; occurrence sum is validated."""
+    coarse = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(coarse, n_seg)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    prep = sf.prepare_condensed(coarse, refined, n_seg)
+    states = [(4.0, 8.0, 0.6), (9.0, 9.4, 0.1)]
+    res = sf.scatter_fatigue(prep, case, states, d=50.0,
+                             exposure_years=25.0, scf=2.0,
+                             n_components=16, n_steps=128, seed=3)
+    assert res.per_state_rainflow.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(res.damage_rainflow),
+                               res.per_state_rainflow.sum(axis=0),
+                               rtol=1e-12)
+    # the severe state dominates the damage of the governing member
+    g = int(np.argmax(np.asarray(res.damage_rainflow)))
+    assert res.per_state_rainflow[1, g] > res.per_state_rainflow[0, g]
+    # reproducible
+    res2 = sf.scatter_fatigue(prep, case, states, d=50.0,
+                              exposure_years=25.0, scf=2.0,
+                              n_components=16, n_steps=128, seed=3)
+    np.testing.assert_array_equal(np.asarray(res.damage_rainflow),
+                                  np.asarray(res2.damage_rainflow))
+    with pytest.raises(ValueError, match="occurrences sum"):
+        sf.scatter_fatigue(prep, case, [(4.0, 8.0, 0.7), (9.0, 9.4, 0.5)],
+                           d=50.0, exposure_years=25.0)
