@@ -25,6 +25,20 @@ import sys
 import time
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench invocations skip the
+    ~20-90 s compiles, which both shortens runs and reduces exposure to
+    shared-relay contention windows."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/sfs_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob: compile per process as before
+
+
 def measure_flagship(repeats: int = 5):
     import contextlib
 
@@ -369,6 +383,7 @@ def main():
     # global jax_enable_x64 flag (needed for their f64 oracles) and MUST run
     # after the f32 flagship/assembly measurements so the primary metric's
     # session config stays identical across rounds
+    _enable_compile_cache()
     secondary = {}
     ms, ndof, sec = measure_flagship(args.repeats)
     secondary.update(sec)

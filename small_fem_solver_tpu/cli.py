@@ -410,6 +410,45 @@ def cmd_fatigue(args):
     model, wave, case = _setup(args)
     refined = sf.refine_model(model, args.refine) if args.refine > 1 else model
 
+    if args.scatter:
+        import pathlib
+        states = json.loads(pathlib.Path(args.scatter).read_text()) \
+            if pathlib.Path(args.scatter).exists() \
+            else json.loads(args.scatter)
+        n_seg = max(args.refine, 2)
+        refined_s = sf.refine_model(model, n_seg)
+        with _cpu_if_f64(args):
+            prep = sf.prepare_condensed(model, refined_s, n_seg,
+                                        E=case.E, nu=case.nu)
+            res = sf.scatter_fatigue(
+                prep, case, states, d=args.d,
+                exposure_years=args.years, curve=args.curve, scf=args.scf,
+                n_components=args.components, n_steps=args.sea_steps,
+                seed=args.seed, U_c=args.Uc,
+                spectrum=args.spectrum or "jonswap",
+                stretching=args.stretching)
+        d_rf = np.asarray(res.damage_rainflow)
+        d_nb = np.asarray(res.damage_rayleigh)
+        life = np.asarray(res.life_years_rainflow)
+        order = np.argsort(d_rf)[::-1][:10]
+        occ = sum(o for _, _, o in res.states)
+        print(f"scatter-diagram fatigue: {len(res.states)} sea states "
+              f"({occ:.0%} of the {args.years:.0f} y exposure), curve "
+              f"{args.curve}, SCF {args.scf}")
+        for Hs, Tp, o in res.states:
+            print(f"  state Hs={Hs} m Tp={Tp} s occurrence={o:.0%}")
+        print(f"  {'Member':<24} {'D rainflow':>11} {'D rayleigh':>11} "
+              f"{'Life [y]':>9}")
+        names = refined_s.member_names
+        for e in order:
+            lf = f"{life[e]:.0f}" if np.isfinite(life[e]) else "inf"
+            print(f"  {names[e]:<24} {d_rf[e]:>11.3e} {d_nb[e]:>11.3e} "
+                  f"{lf:>9}")
+        if max(d_rf.max(), d_nb.max()) > 1.0:
+            print("  WARNING: Miner damage > 1 — fatigue life shorter than "
+                  "the exposure!")
+        return
+
     if args.spectrum:
         from .ops.spectrum import make_random_sea, spectral_fatigue_screen
         hs = args.hs if args.hs is not None else args.H
@@ -750,6 +789,10 @@ def main(argv=None):
     fa.add_argument("--stretching", choices=["none", "wheeler"],
                     default="wheeler",
                     help="crest kinematics treatment for the linear sea")
+    fa.add_argument("--scatter", default=None,
+                    help="scatter-diagram fatigue: JSON file (or literal) "
+                         "of [[Hs, Tp, occurrence], ...] rows; damage "
+                         "accumulates over the states (uses --refine, min 2)")
     fa.set_defaults(fn=cmd_fatigue)
 
     bk = sub.add_parser("buckling",

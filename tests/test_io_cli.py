@@ -218,3 +218,22 @@ def test_cli_spectral_fatigue_refined(capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert "spectral fatigue screen: PM" in out
+
+
+def test_cli_scatter_fatigue(capsys):
+    """'fatigue --scatter' accumulates damage over a JSON scatter diagram."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "fatigue", "--wave-model", "airy",
+                    "--scatter", '[[4.0, 8.0, 0.5], [8.0, 9.4, 0.1]]',
+                    "--sea-steps", "64", "--components", "12",
+                    "--refine", "2", "--scf", "2.0"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "scatter-diagram fatigue: 2 sea states" in out
+    assert "state Hs=4.0" in out and "state Hs=8.0" in out
+    assert "D rainflow" in out
