@@ -1425,7 +1425,7 @@ def scatter_fatigue(prep: CondensedPrepared, case: LoadCase, states, d,
                     scf: float = 1.0, n_components: int = 48,
                     n_steps: int = 1024, seed: int = 0, U_c=0.0,
                     spectrum: str = "jonswap", stretching: str = "wheeler",
-                    current_alpha=None) -> ScatterFatigue:
+                    current_alpha=None, spreading_s=None) -> ScatterFatigue:
     """Fatigue over a SCATTER DIAGRAM of sea states (Miner accumulation).
 
     ``states``: sequence of (Hs [m], Tp [s], occurrence fraction) rows —
@@ -1451,6 +1451,7 @@ def scatter_fatigue(prep: CondensedPrepared, case: LoadCase, states, d,
     for i, (Hs, Tp, occ) in enumerate(states):
         sea = make_random_sea(Hs, Tp, d, n_components=n_components,
                               seed=seed + i, spectrum=spectrum, U_c=U_c,
+                              spreading_s=spreading_s,
                               dtype=prep.refined.coords.dtype)
         dt = Tp / 10.0
         ts = np.arange(n_steps) * dt

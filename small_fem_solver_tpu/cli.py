@@ -455,7 +455,7 @@ def cmd_fatigue(args):
         tp = args.tp if args.tp is not None else args.T
         sea = make_random_sea(hs, tp, args.d, n_components=args.components,
                               seed=args.seed, spectrum=args.spectrum,
-                              U_c=args.Uc)
+                              U_c=args.Uc, spreading_s=args.spreading_s)
         dt = tp / 10.0
         ts = np.arange(args.sea_steps) * dt
         with _cpu_if_f64(args):
@@ -789,6 +789,9 @@ def main(argv=None):
     fa.add_argument("--stretching", choices=["none", "wheeler"],
                     default="wheeler",
                     help="crest kinematics treatment for the linear sea")
+    fa.add_argument("--spreading-s", type=float, default=None,
+                    help="directional spreading exponent s of cos^(2s): "
+                         "short-crested sea (larger = more long-crested)")
     fa.add_argument("--scatter", default=None,
                     help="scatter-diagram fatigue: JSON file (or literal) "
                          "of [[Hs, Tp, occurrence], ...] rows; damage "

@@ -322,7 +322,8 @@ def morison_phase_batch(
 
 def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
                         wave_dir_deg, current_dir_deg, Cd, Cm, rho_water,
-                        ts, n_gauss, current_alpha, stretching):
+                        ts, n_gauss, current_alpha, stretching,
+                        rel_dir_deg=None):
     """Shared separable-matmul Morison engine over ARBITRARY mode sets.
 
     ``kv``/``wv``/``phiv``/``E``/``U`` are per-mode [N] wavenumbers,
@@ -331,11 +332,22 @@ def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
     omega, phiv = 0 — :func:`morison_phase_batch`), an irregular sea passes
     independent spectral components (:func:`.spectrum.morison_sea_batch`).
     Either way the phase axis is the same one [S, N] x [N, P] matmul.
+
+    ``rel_dir_deg`` ([N], degrees) gives each mode its OWN heading relative
+    to ``wave_dir_deg`` — short-crested (directionally spread) seas.  The
+    per-mode heading folds into the spatial coefficient matrices (phases
+    use each mode's own x-projection; the horizontal velocity splits into
+    separate x/y field rows with per-mode direction weights), so spreading
+    costs two extra rows in the SAME matmul, not a second pass.
     """
     dtype = coords.dtype
-    theta_w = jnp.deg2rad(jnp.asarray(90.0 - wave_dir_deg, dtype=dtype))
+    if rel_dir_deg is None:
+        theta_n = jnp.deg2rad(jnp.asarray(90.0 - wave_dir_deg, dtype=dtype))
+    else:
+        theta_n = jnp.deg2rad(90.0 - (jnp.asarray(wave_dir_deg, dtype=dtype)
+                                      + rel_dir_deg.astype(dtype)))  # [N]
     theta_c = jnp.deg2rad(jnp.asarray(90.0 - current_dir_deg, dtype=dtype))
-    cos_w, sin_w = jnp.cos(theta_w), jnp.sin(theta_w)
+    cw_n, sw_n = jnp.cos(theta_n), jnp.sin(theta_n)  # scalar or [N]
     cos_c, sin_c = jnp.cos(theta_c), jnp.sin(theta_c)
 
     c1 = coords[conn[:, 0]]
@@ -350,11 +362,15 @@ def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
 
     pos = c1[:, None, :] + s[None, :, None] * dL[:, None, :]   # [M, Q, 3]
     M, Q = pos.shape[0], n_gauss
-    x_wave = (pos[..., 0] * cos_w + pos[..., 1] * sin_w).reshape(-1)  # [P]
+    x = pos[..., 0].reshape(-1)                            # [P]
+    y = pos[..., 1].reshape(-1)
     z = pos[..., 2].reshape(-1)
 
     # ---- spatial harmonic factors, once for all phases ----
-    kx = kv[None, :] * x_wave[:, None] + phiv[None, :]     # [P, N]
+    # per-mode heading projection (collapses to one projection when all
+    # modes share the heading)
+    kx = kv * (x[:, None] * cw_n + y[:, None] * sw_n) \
+        + phiv[None, :]                                    # [P, N]
     cjx = jnp.cos(kx)
     sjx = jnp.sin(kx)
     A = kv * (z[:, None] + d)
@@ -367,25 +383,36 @@ def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
 
     UC = U * Cj                                       # [P, N]
     US = U * Sj
-    # five fields x (cos_t, sin_t) spatial coefficient matrices  [P, N]
+    # field x (cos_t, sin_t) spatial coefficient matrices  [P, N]; the
+    # horizontal velocity/acceleration resolve into x/y rows with per-mode
+    # direction weights (for a single heading these are u cos_w / u sin_w)
     A_eta, B_eta = E * cjx, E * sjx
-    A_u, B_u = UC * cjx, UC * sjx
+    A_ux, B_ux = UC * cw_n * cjx, UC * cw_n * sjx
+    A_uy, B_uy = UC * sw_n * cjx, UC * sw_n * sjx
     A_w, B_w = US * sjx, -US * cjx
-    A_du, B_du = UC * jw * sjx, -UC * jw * cjx
+    A_dux, B_dux = UC * cw_n * jw * sjx, -UC * cw_n * jw * cjx
+    A_duy, B_duy = UC * sw_n * jw * sjx, -UC * sw_n * jw * cjx
     A_dw, B_dw = -US * jw * cjx, -US * jw * sjx
 
-    As = [A_eta, A_u, A_w, A_du, A_dw]
-    Bs = [B_eta, B_u, B_w, B_du, B_dw]
+    As = [A_eta, A_ux, A_uy, A_w, A_dux, A_duy, A_dw]
+    Bs = [B_eta, B_ux, B_uy, B_w, B_dux, B_duy, B_dw]
     if stretching == "wheeler":
         # d/dz and d^2/dz^2 coefficient rows (C' = jk S, S' = jk C,
         # C'' = (jk)^2 C, S'' = (jk)^2 S): same time factors as the parent
         # fields, so Wheeler rides the same matmul
         UZ, WZ = U * kv * Sj, U * kv * Cj
         UZZ, WZZ = U * kv**2 * Cj, U * kv**2 * Sj
-        As += [UZ * cjx, WZ * sjx, UZ * jw * sjx, -WZ * jw * cjx,
-               UZZ * cjx, WZZ * sjx, UZZ * jw * sjx, -WZZ * jw * cjx]
-        Bs += [UZ * sjx, -WZ * cjx, -UZ * jw * cjx, -WZ * jw * sjx,
-               UZZ * sjx, -WZZ * cjx, -UZZ * jw * cjx, -WZZ * jw * sjx]
+        As += [UZ * cw_n * cjx, UZ * sw_n * cjx, WZ * sjx,
+               UZ * cw_n * jw * sjx, UZ * sw_n * jw * sjx, -WZ * jw * cjx,
+               UZZ * cw_n * cjx, UZZ * sw_n * cjx, WZZ * sjx,
+               UZZ * cw_n * jw * sjx, UZZ * sw_n * jw * sjx,
+               -WZZ * jw * cjx]
+        Bs += [UZ * cw_n * sjx, UZ * sw_n * sjx, -WZ * cjx,
+               -UZ * cw_n * jw * cjx, -UZ * sw_n * jw * cjx,
+               -WZ * jw * sjx,
+               UZZ * cw_n * sjx, UZZ * sw_n * sjx, -WZZ * cjx,
+               -UZZ * cw_n * jw * cjx, -UZZ * sw_n * jw * cjx,
+               -WZZ * jw * sjx]
     elif stretching != "none":
         raise ValueError(f"unknown stretching mode {stretching!r}")
 
@@ -398,17 +425,20 @@ def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
     # the MXU op: [S, N] @ [F, N, P] -> [F, S, P]
     fields = jnp.einsum("sn,fpn->fsp", ct, Acat) \
         + jnp.einsum("sn,fpn->fsp", st, Bcat)
-    eta, u_wo, wv, du, dw = fields[:5]                     # each [S, P]
+    eta, u_x, u_y, wv, du_x, du_y, dw = fields[:7]         # each [S, P]
     if stretching == "wheeler":
         # Wheeler maps the instantaneous column [-d, eta] onto [-d, 0]:
         # dz = z' - z = -(z + d) eta / (d + eta); second-order Taylor of
         # every kinematic field about the unstretched height
-        u_z, w_z, du_z, dw_z, u_zz, w_zz, du_zz, dw_zz = fields[5:]
+        (ux_z, uy_z, w_z, dux_z, duy_z, dw_z,
+         ux_zz, uy_zz, w_zz, dux_zz, duy_zz, dw_zz) = fields[7:]
         dz = -(z[None, :] + d) * eta / (d + eta)
         h2 = 0.5 * dz * dz
-        u_wo = u_wo + dz * u_z + h2 * u_zz
+        u_x = u_x + dz * ux_z + h2 * ux_zz
+        u_y = u_y + dz * uy_z + h2 * uy_zz
         wv = wv + dz * w_z + h2 * w_zz
-        du = du + dz * du_z + h2 * du_zz
+        du_x = du_x + dz * dux_z + h2 * dux_zz
+        du_y = du_y + dz * duy_z + h2 * duy_zz
         dw = dw + dz * dw_z + h2 * dw_zz
 
     dry = z[None, :] > eta
@@ -424,11 +454,11 @@ def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
                  ** jnp.asarray(current_alpha, dtype=dtype))[None, :]
 
     # global velocity / acceleration components (`:572-589` semantics)
-    Ux = (u_wo * cos_w + Uc_pt * cos_c) * live
-    Uy = (u_wo * sin_w + Uc_pt * sin_c) * live
+    Ux = (u_x + Uc_pt * cos_c) * live
+    Uy = (u_y + Uc_pt * sin_c) * live
     Uz = wv * live
-    Ax_ = du * cos_w * live
-    Ay_ = du * sin_w * live
+    Ax_ = du_x * live
+    Ay_ = du_y * live
     Az_ = dw * live
 
     ex = jnp.repeat(e[:, 0], Q)[None, :]                   # [1, P]

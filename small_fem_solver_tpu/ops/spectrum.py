@@ -82,6 +82,8 @@ class SpectralSea:
     U_c: jnp.ndarray       # uniform current [m/s]
     Hs: jnp.ndarray        # significant wave height [m]
     Tp: jnp.ndarray        # peak period [s]
+    dir_deg: object = None  # [N] per-component heading RELATIVE to the
+    #   load case's wave_dir_deg (short-crested seas; None = long-crested)
     # static metadata
     spectrum: str = dataclasses.field(default="jonswap",
                                       metadata=dict(static=True))
@@ -100,7 +102,7 @@ class SpectralSea:
 
 def make_random_sea(Hs, Tp, d, n_components: int = 64, seed: int = 0,
                     spectrum: str = "jonswap", gamma: float = 3.3,
-                    U_c=0.0, omega_range=None,
+                    U_c=0.0, omega_range=None, spreading_s=None,
                     dtype=jnp.float64) -> SpectralSea:
     """Discretize a JONSWAP/PM spectrum into an N-component realization.
 
@@ -109,6 +111,15 @@ def make_random_sea(Hs, Tp, d, n_components: int = 64, seed: int = 0,
     rescaled so m0 = Hs^2/16 EXACTLY on the grid, phases drawn uniformly
     from a seeded host RNG (deterministic per seed — realizations are
     reproducible, required for resumable envelope runs).
+
+    ``spreading_s`` enables SHORT-CRESTED (directionally spread) seas by
+    the single-summation method: each component draws one heading from the
+    cos^(2s)((theta)/2) spreading function (API RP 2A practice; larger s =
+    more long-crested, s -> inf recovers unidirectional) via inverse-CDF
+    sampling of the same seeded RNG.  Headings are stored RELATIVE to the
+    load case's wave heading and cost nothing downstream — per-mode
+    directions fold into the same separable Morison matmul
+    (`morison._morison_batch_core`).
     """
     Hs_f, Tp_f, d_f = float(Hs), float(Tp), float(d)
     wp = 2.0 * np.pi / Tp_f
@@ -133,6 +144,21 @@ def make_random_sea(Hs, Tp, d, n_components: int = 64, seed: int = 0,
     rng = np.random.default_rng(seed)
     phi = rng.uniform(0.0, 2.0 * np.pi, size=n_components)
 
+    dir_deg = None
+    if spreading_s is not None:
+        s_exp = float(spreading_s)
+        if s_exp <= 0:
+            raise ValueError("spreading_s must be > 0 (larger = more "
+                             "long-crested)")
+        # inverse-CDF sampling of D(theta) ~ cos^(2s)(theta/2), theta in
+        # (-pi, pi), on a fine grid (deterministic per seed)
+        th = np.linspace(-np.pi, np.pi, 4097)
+        pdf = np.cos(th / 2.0) ** (2.0 * s_exp)
+        cdf = np.cumsum(pdf)
+        cdf = (cdf - cdf[0]) / (cdf[-1] - cdf[0])
+        u = rng.uniform(0.0, 1.0, size=n_components)
+        dir_deg = jnp.asarray(np.degrees(np.interp(u, cdf, th)), dtype=dtype)
+
     om_j = jnp.asarray(om, dtype=dtype)
     k = jax.vmap(lambda w: solve_dispersion(w, jnp.asarray(d_f, dtype)))(om_j)
     a_j = jnp.asarray(a, dtype=dtype)
@@ -142,15 +168,27 @@ def make_random_sea(Hs, Tp, d, n_components: int = 64, seed: int = 0,
         E=a_j, U=U, d=jnp.asarray(d_f, dtype=dtype),
         U_c=jnp.asarray(U_c, dtype=dtype),
         Hs=jnp.asarray(Hs_f, dtype=dtype), Tp=jnp.asarray(Tp_f, dtype=dtype),
-        spectrum=spectrum,
+        dir_deg=dir_deg, spectrum=spectrum,
     )
 
 
-def sea_surface(sea: SpectralSea, x, t):
-    """eta(x, t) of the realization; batched over x/t of any common shape."""
+def sea_surface(sea: SpectralSea, x, t, y=0.0, wave_dir_deg=0.0):
+    """eta of the realization; batched over x/y/t of any common shape.
+
+    For a LONG-CRESTED sea, ``x`` is the coordinate along the propagation
+    direction (y ignored).  For a spread sea (``sea.dir_deg`` set), (x, y)
+    are plan coordinates and ``wave_dir_deg`` the mean compass heading the
+    relative component headings add to.
+    """
     x = jnp.asarray(x)[..., None]
     t = jnp.asarray(t)[..., None]
-    th = sea.k * x - sea.omega * t + sea.phi
+    if sea.dir_deg is None:
+        kx = sea.k * x
+    else:
+        th_n = jnp.deg2rad(90.0 - (wave_dir_deg + sea.dir_deg))
+        y = jnp.asarray(y)[..., None]
+        kx = sea.k * (x * jnp.cos(th_n) + y * jnp.sin(th_n))
+    th = kx - sea.omega * t + sea.phi
     return jnp.sum(sea.a * jnp.cos(th), axis=-1)
 
 
@@ -165,7 +203,14 @@ class SeaKinematics(NamedTuple):
 
 def sea_kinematics(sea: SpectralSea, x, z, t) -> SeaKinematics:
     """Pointwise linear-superposition kinematics (dry-masked, analytic
-    d/dt) — the oracle for :func:`morison_sea_batch`'s matmul path."""
+    d/dt) — the oracle for :func:`morison_sea_batch`'s matmul path.
+    LONG-CRESTED seas only (u is the along-heading velocity); a spread
+    sea's per-point oracle is the single-component equivalence test in
+    tests/test_spectrum.py."""
+    if sea.dir_deg is not None:
+        raise ValueError("sea_kinematics is the long-crested 2D oracle; "
+                         "spread seas resolve per-mode headings inside "
+                         "morison_sea_batch")
     x, z, t = jnp.broadcast_arrays(jnp.asarray(x), jnp.asarray(z),
                                    jnp.asarray(t))
     eta = sea_surface(sea, x, t)
@@ -218,7 +263,8 @@ def morison_sea_batch(
     return _morison_batch_core(
         sea.k, sea.omega, sea.phi, sea.E, sea.U, sea.d, sea.U_c,
         coords, conn, D_m, wave_dir_deg, current_dir_deg, Cd, Cm, rho_water,
-        ts, n_gauss, current_alpha, stretching)
+        ts, n_gauss, current_alpha, stretching,
+        rel_dir_deg=sea.dir_deg)
 
 
 # ---------------------------------------------------------------------------

@@ -314,3 +314,70 @@ def test_scatter_fatigue_accumulates_states():
     with pytest.raises(ValueError, match="occurrences sum"):
         sf.scatter_fatigue(prep, case, [(4.0, 8.0, 0.7), (9.0, 9.4, 0.5)],
                            d=50.0, exposure_years=25.0)
+
+
+def test_directional_spreading():
+    """Short-crested seas through the per-mode-heading separable core."""
+    import dataclasses
+
+    model = sf.default_3leg_jacket()
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    ts = jnp.arange(6) * 1.3
+
+    # (1) all-zero relative headings == the long-crested path exactly
+    sea = make_random_sea(6.0, 9.4, 50.0, n_components=12, seed=5, U_c=0.8)
+    sea0 = dataclasses.replace(sea, dir_deg=jnp.zeros(12))
+    mb_a = morison_sea_batch(sea, model.coords, model.conn, D_m, 38.0, 38.0,
+                             0.7, 2.0, 1025.0, ts)
+    mb_b = morison_sea_batch(sea0, model.coords, model.conn, D_m, 38.0,
+                             38.0, 0.7, 2.0, 1025.0, ts)
+    np.testing.assert_allclose(np.asarray(mb_b.nodal_forces),
+                               np.asarray(mb_a.nodal_forces), rtol=1e-12,
+                               atol=1e-10)
+
+    # (2) one component at relative heading delta == the same component
+    # long-crested with the heading folded into wave_dir_deg (exact)
+    one = jax.tree.map(lambda x: x[:1] if getattr(x, "ndim", 0) else x, sea)
+    one_rot = dataclasses.replace(one, dir_deg=jnp.asarray([25.0]))
+    mb_rel = morison_sea_batch(one_rot, model.coords, model.conn, D_m,
+                               38.0, 38.0, 0.7, 2.0, 1025.0, ts)
+    mb_abs = morison_sea_batch(one, model.coords, model.conn, D_m,
+                               38.0 + 25.0, 38.0, 0.7, 2.0, 1025.0, ts)
+    np.testing.assert_allclose(np.asarray(mb_rel.nodal_forces),
+                               np.asarray(mb_abs.nodal_forces), rtol=1e-10,
+                               atol=1e-8)
+
+    # (3) spreading sampling: seeded-reproducible, bounded, narrower for
+    # larger s, and energy (m0) untouched
+    s_broad = make_random_sea(6.0, 9.4, 50.0, n_components=256, seed=7,
+                              spreading_s=2.0)
+    s_narrow = make_random_sea(6.0, 9.4, 50.0, n_components=256, seed=7,
+                               spreading_s=25.0)
+    db = np.asarray(s_broad.dir_deg)
+    dn = np.asarray(s_narrow.dir_deg)
+    assert np.abs(db).max() <= 180.0
+    assert dn.std() < 0.5 * db.std()
+    np.testing.assert_allclose(float(s_broad.m0), 6.0**2 / 16.0, rtol=1e-12)
+    again = make_random_sea(6.0, 9.4, 50.0, n_components=256, seed=7,
+                            spreading_s=2.0)
+    np.testing.assert_array_equal(db, np.asarray(again.dir_deg))
+    with pytest.raises(ValueError, match="spreading_s"):
+        make_random_sea(6.0, 9.4, 50.0, spreading_s=-1.0)
+
+    # (4) spread-sea response runs end-to-end (wheeler incl.) and the
+    # transverse response is nonzero (short-crestedness does something)
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 2)
+    case = sf.LoadCase(wave_dir_deg=90.0, current_dir_deg=90.0,
+                       F_axial_kN=25100.0, sw_mode="none")
+    sea_s = make_random_sea(7.0, 9.4, 50.0, n_components=24, seed=1,
+                            spreading_s=5.0)
+    prep = sf.prepare_condensed(coarse, refined, 2)
+    hist = sf.sea_scan_prepared(prep, sea_s, case, np.arange(32) * 0.94,
+                                stretching="wheeler")
+    assert np.isfinite(np.asarray(hist.U)).all()
+    # with wave_dir 90 (pure +y loading when long-crested), a spread sea
+    # produces x-direction base shear too
+    Rx = np.abs(np.asarray(hist.total_morison)[:, 0]).max()
+    Ry = np.abs(np.asarray(hist.total_morison)[:, 1]).max()
+    assert Rx > 0.02 * Ry
