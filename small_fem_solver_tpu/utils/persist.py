@@ -20,12 +20,17 @@ SCHEMA = 1
 
 
 def _result_registry():
-    from ..api import AnalysisResults, CondensedScanResults, EnvelopeResults
-    from ..ops.dynamics import HarmonicResponse, ModalResults
+    from ..api import (AnalysisResults, CondensedScanResults,
+                       EnvelopeResults, ScatterFatigue)
+    from ..ops.dynamics import (HarmonicResponse, ModalResults,
+                                TransientResponse)
+    from ..ops.fatigue import FatigueScreen
     from ..ops.morison import MorisonLoads, MorisonPhaseBatch
+    from ..ops.spectrum import SpectralFatigue
     classes = [AnalysisResults, CondensedScanResults, EnvelopeResults,
                ModalResults, HarmonicResponse, MorisonLoads,
-               MorisonPhaseBatch]
+               MorisonPhaseBatch, TransientResponse, FatigueScreen,
+               SpectralFatigue, ScatterFatigue]
     return {c.__name__: c for c in classes}
 
 # nested NamedTuple fields: (class name, field) -> nested class name

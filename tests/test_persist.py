@@ -124,3 +124,49 @@ def test_envelope_resumable_rejects_mismatched_resume(tmp_path):
     with pytest.raises(ValueError, match="DIFFERENT sweep"):
         design_envelope_resumable(model, waves2, cases, out, chunk_size=2,
                                   n_steps=4)
+
+
+def test_round3_result_types_round_trip(tmp_path):
+    """Transient, spectral-fatigue and scatter-fatigue result pytrees
+    persist/load like every other result type."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.ops.spectrum import (make_random_sea,
+                                                   spectral_fatigue_screen)
+    from small_fem_solver_tpu.utils.persist import load_results, save_results
+
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 2)
+    case = sf.LoadCase(wave_dir_deg=38.0, F_shear_kN=2900.0, sw_mode="none")
+    sea = make_random_sea(6.0, 9.4, 50.0, n_components=8, seed=0)
+    dt = 0.94
+    hist = sf.sea_response_batch(coarse, sea, case, np.arange(32) * dt)
+    scr = spectral_fatigue_screen(np.asarray(hist.von_mises), dt, 25.0,
+                                  scf=2.0)
+    p = tmp_path / "scr.npz"
+    save_results(p, scr)
+    back = load_results(p)
+    np.testing.assert_array_equal(np.asarray(back.damage_rainflow),
+                                  np.asarray(scr.damage_rainflow))
+
+    res = sf.transient_response_condensed(coarse, refined, 2, sea, case,
+                                          dt=dt, n_steps=16,
+                                          damping_ratio=0.05)
+    p2 = tmp_path / "trans.npz"
+    save_results(p2, res)
+    back2 = load_results(p2)
+    np.testing.assert_array_equal(np.asarray(back2.U_time),
+                                  np.asarray(res.U_time))
+
+    prep = sf.prepare_condensed(coarse, refined, 2)
+    sc = sf.scatter_fatigue(prep, case, [(4.0, 8.0, 0.5)], d=50.0,
+                            exposure_years=25.0, n_components=8,
+                            n_steps=32)
+    p3 = tmp_path / "scatter.npz"
+    save_results(p3, sc)
+    back3 = load_results(p3)
+    np.testing.assert_array_equal(np.asarray(back3.damage_rainflow),
+                                  np.asarray(sc.damage_rainflow))
+    np.testing.assert_array_equal(np.asarray(back3.states),
+                                  np.asarray(sc.states))
