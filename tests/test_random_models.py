@@ -84,3 +84,22 @@ def test_random_model_sprung_equilibrium(seed):
     u_sup = np.asarray(ssi.U).reshape(-1, 6)[fixed]
     np.testing.assert_allclose(np.asarray(ssi.reactions),
                                -np.asarray(k) * u_sup, rtol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_random_refined_two_level_pcg(seed):
+    """The two-level smoothed-aggregation preconditioner on IRREGULAR
+    refined frames (the 'general imported mesh' case it exists for):
+    converges, matches the direct solve, and beats block-Jacobi."""
+    model, wave, case = _random_model_case(seed)
+    refined = sf.refine_model(model, 12)
+    tl = sf.analyze(refined, wave, case, solver="pcg", accel="analytic",
+                    pcg_precond="two_level", pcg_maxiter=20000)
+    ch = sf.analyze(refined, wave, case, solver="chol", accel="analytic")
+    scale = float(np.abs(np.asarray(ch.U)).max())
+    np.testing.assert_allclose(np.asarray(tl.U), np.asarray(ch.U),
+                               rtol=1e-7, atol=1e-8 * scale)
+    bj = sf.analyze(refined, wave, case, solver="pcg", accel="analytic",
+                    pcg_precond="block_jacobi", pcg_maxiter=20000)
+    assert int(tl.solver_iters) * 2 <= int(bj.solver_iters), \
+        (int(bj.solver_iters), int(tl.solver_iters))
