@@ -740,19 +740,59 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     then solved on the sprung system and the reactions are spring forces.
     """
     _check_refined_layout(coarse, refined, n_seg)
-    ks_nodes, free_np, fixed_np = _ssi_spring_nodes(coarse,
-                                                    support_stiffness,
-                                                    solve_dtype)
     if stretching != "none" and kinematics == "pallas":
         raise ValueError("the fused Pallas kernel does not implement Wheeler "
                          "stretching; use kinematics='separable' (2nd-order "
                          "Taylor frozen-stretch, same matmul) or 'pointwise' "
                          "(exact)")
+    # Repeated one-shot scans of the SAME model objects auto-reuse the
+    # case-independent factorization (the chain factor depends only on
+    # (model, E, nu, springs) — the exact quantity prepare_condensed
+    # exposes).  Keyed on OBJECT IDENTITY of the model pytrees, with strong
+    # references held by the cache so ids stay valid while cached; a user
+    # who rebuilds the model gets a fresh factorization.  The pointwise
+    # kinematics path is excluded: it predates the chain-layout loads and
+    # runs through the original single program (golden-parity path).
+    if kinematics in ("separable", "pallas"):
+        prep = _cached_prepared(coarse, refined, n_seg, case, chain_solver,
+                                solve_dtype, support_stiffness)
+        return _phase_scan_prepared_jit(prep, wave, case.cast(solve_dtype),
+                                        n_steps, n_gauss, accel, kinematics,
+                                        refine_steps, stretching,
+                                        current_alpha)
+    ks_nodes, free_np, fixed_np = _ssi_spring_nodes(coarse,
+                                                    support_stiffness,
+                                                    solve_dtype)
     return _phase_scan_condensed_jit(
         coarse, refined, wave, case.cast(solve_dtype), n_seg, n_steps,
         n_gauss, accel, kinematics, chain_solver, solve_dtype, refine_steps,
         stretching, current_alpha, ks_nodes, jnp.asarray(free_np),
         jnp.asarray(fixed_np))
+
+
+_PREP_CACHE: dict = {}
+
+
+def _cached_prepared(coarse, refined, n_seg, case, chain_solver, solve_dtype,
+                     support_stiffness) -> "CondensedPrepared":
+    """prepare_condensed memoized on model identity + material + solver
+    config (bounded; holds strong model refs so the id keys stay valid)."""
+    ss_key = None if support_stiffness is None \
+        else np.asarray(support_stiffness, np.float64).tobytes()
+    key = (id(coarse), id(refined), n_seg, float(np.asarray(case.E)),
+           float(np.asarray(case.nu)), chain_solver,
+           jnp.dtype(solve_dtype).name, ss_key)
+    hit = _PREP_CACHE.get(key)
+    if hit is None:
+        if len(_PREP_CACHE) >= 4:
+            _PREP_CACHE.clear()
+        prep = prepare_condensed(coarse, refined, n_seg, E=case.E,
+                                 nu=case.nu, chain_solver=chain_solver,
+                                 solve_dtype=solve_dtype,
+                                 support_stiffness=support_stiffness)
+        hit = (coarse, refined, prep)     # strong refs pin the id keys
+        _PREP_CACHE[key] = hit
+    return hit[2]
 
 
 @partial(jax.jit, static_argnames=("n_seg", "n_steps", "n_gauss", "accel",
