@@ -738,6 +738,12 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     ``support_stiffness`` puts the supports on 6-DOF foundation springs
     (soil-structure interaction; see :func:`analyze_ssi`) — every phase is
     then solved on the sprung system and the reactions are spring forces.
+
+    Repeated calls with the SAME model objects and material reuse the
+    case-independent factorization automatically (a bounded
+    identity-keyed cache of :func:`prepare_condensed` handles, up to 4
+    models); use :func:`prepare_condensed` + :func:`phase_scan_prepared`
+    to manage the handle lifetime explicitly.
     """
     _check_refined_layout(coarse, refined, n_seg)
     if stretching != "none" and kinematics == "pallas":
