@@ -282,11 +282,11 @@ class SpectralFatigue(NamedTuple):
     life_years_rainflow: jnp.ndarray
 
 
-def _rainflow_ranges(y: np.ndarray) -> np.ndarray:
+def _rainflow_ranges(y: np.ndarray):
     """Cycle ranges of one history by the ASTM E1049 rainflow rules
     (host-side numpy; histories come back to the host for reporting
-    anyway).  Returns an array of FULL-cycle-equivalent ranges (half
-    cycles carry weight 0.5 via duplication handling below)."""
+    anyway).  Returns ``(ranges, weights)``: full cycles carry weight 1.0,
+    half cycles (the residual path and the history start) weight 0.5."""
     # reduce to turning points
     dy = np.diff(y)
     keep = np.ones(y.shape[0], dtype=bool)
