@@ -31,10 +31,13 @@ triangular solve — no sequential sweeps (an IC(0)/SSOR forward-backward
 substitution would serialize ~n_nodes steps on TPU, which is exactly the
 scan-depth cost the condensation solver already pays deliberately).
 
-Measured on the refine_model(32) jacket (9,612 DOF, f64, tol 1e-10,
-storm-wave RHS): block-Jacobi 4,275 iterations -> two-level 621 (6.9x);
-the distributed variant at n_seg=16 (4,716 DOF) is asserted >= 3x in
-tests/test_pcg_precond.py.  This closes BASELINE.md's
+Measured on the refined jacket (f64, storm-wave RHS): block-Jacobi
+4,275 iterations -> two-level 621 at 9,612 DOF (6.9x, tol 1e-10), and
+669 iterations at 19,404 DOF (tol 1e-9, solution matches the exact
+condensation solver to 2.8e-12) — near-REFINEMENT-INDEPENDENT iteration
+counts, the signature of a working coarse space, where block-Jacobi
+grows ~O(n_seg).  The distributed variant at n_seg=16 (4,716 DOF) is
+asserted >= 3x in tests/test_pcg_precond.py.  This closes BASELINE.md's
 "IC-preconditioned CG" role for general sparse meshes (the reference has
 one dense LAPACK solve, `/root/reference/JacketAnalysisGUI_v2.py:485`).
 
