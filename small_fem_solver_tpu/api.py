@@ -1488,6 +1488,9 @@ def scatter_fatigue(prep: CondensedPrepared, case: LoadCase, states, d,
     from .ops.spectrum import make_random_sea, spectral_fatigue_screen
 
     states = tuple((float(h), float(t), float(o)) for h, t, o in states)
+    if not states:
+        raise ValueError("scatter_fatigue needs at least one "
+                         "(Hs, Tp, occurrence) state")
     total_occ = sum(o for _, _, o in states)
     if total_occ > 1.0 + 1e-9:
         raise ValueError(

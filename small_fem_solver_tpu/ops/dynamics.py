@@ -599,6 +599,10 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
         ts = jnp.arange(n_steps, dtype=dtype) * dt
         if zero_loads:
             F_f = jnp.zeros((n_steps, cb.free.shape[0]), dtype)
+        elif wave is None:
+            raise ValueError("transient_response_condensed needs a wave or "
+                             "SpectralSea unless zero_loads=True (free "
+                             "vibration)")
         else:
             D_m = hydro_diameter_m(refined.sections, refined.sect_id,
                                    case.marine_growth_mm)
