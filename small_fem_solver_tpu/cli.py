@@ -626,11 +626,14 @@ def cmd_modes(args):
             res = modal_analysis_condensed(
                 model, refined, args.refine, n_modes=args.n_modes,
                 E=args.E, nu=args.nu, topside_mass_t=args.topside_mass,
-                n_chain_modes=args.chain_modes, support_stiffness=spring)
+                n_chain_modes=args.chain_modes, support_stiffness=spring,
+                added_mass_Ca=args.added_mass, rho_water=args.rho_water)
         else:
             res = modal_analysis(model, n_modes=args.n_modes, E=args.E,
                                  nu=args.nu, topside_mass_t=args.topside_mass,
-                                 support_stiffness=spring)
+                                 support_stiffness=spring,
+                                 added_mass_Ca=args.added_mass,
+                                 rho_water=args.rho_water)
     print(f"structural mass: {float(res.total_mass_t):.1f} t "
           f"(incl. {args.topside_mass:.0f} t topside)")
     print(f"  {'Mode':>4} {'f [Hz]':>10} {'T [s]':>10}")
@@ -670,13 +673,14 @@ def cmd_dynamic(args):
                 model, refined, args.refine, wave, case,
                 n_harmonics=args.n_harmonics, damping_ratio=args.damping,
                 n_steps=args.phase_steps, n_chain_modes=args.chain_modes,
-                support_stiffness=spring)
+                support_stiffness=spring, added_mass_Ca=args.added_mass)
         else:
             resp = dynamic_response(model, wave, case,
                                     n_harmonics=args.n_harmonics,
                                     damping_ratio=args.damping,
                                     n_steps=args.phase_steps,
-                                    support_stiffness=spring)
+                                    support_stiffness=spring,
+                                    added_mass_Ca=args.added_mass)
     print(f"Rayleigh damping: alpha={float(resp.rayleigh_alpha):.4f} "
           f"beta={float(resp.rayleigh_beta):.2e} "
           f"(zeta={args.damping:.1%})")
@@ -747,6 +751,9 @@ def main(argv=None):
     dy.add_argument("--damping", type=float, default=0.02,
                     help="modal damping ratio")
     dy.add_argument("--phase-steps", type=int, default=72)
+    dy.add_argument("--added-mass", type=float, default=None,
+                    help="hydrodynamic added-mass coefficient Ca (= Cm - 1; "
+                         "e.g. 1.0) on the wetted members")
     dy.add_argument("--refine", type=int, default=1,
                     help="subdivide members (>1 uses the Craig-Bampton "
                          "reduced path)")
@@ -822,6 +829,9 @@ def main(argv=None):
     md.add_argument("--n-modes", type=int, default=8)
     md.add_argument("--topside-mass", type=float, default=1100.0,
                     help="lumped deck mass [tonnes]")
+    md.add_argument("--added-mass", type=float, default=None,
+                    help="hydrodynamic added-mass coefficient Ca (= Cm - 1; "
+                         "e.g. 1.0) on the wetted members")
     md.add_argument("--refine", type=int, default=1,
                     help="subdivide members (>1 uses the Craig-Bampton "
                          "reduced path; works to 100k+ DOF)")

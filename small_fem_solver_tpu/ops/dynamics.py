@@ -64,6 +64,78 @@ def _build_mass_patterns():
 _MPAT = _build_mass_patterns()
 
 
+def _build_lateral_mass_patterns():
+    """Transverse-only consistent mass patterns (the two local bending
+    planes, no axial/torsion): added mass acts perpendicular to a slender
+    member, not along it."""
+    P = np.zeros((3, 12, 12))
+
+    def sym(c, i, j, v):
+        P[c, i, j] += v
+        if i != j:
+            P[c, j, i] += v
+
+    b = 1.0 / 420.0
+    # local y translations/rotations (v = 1, 7; theta_z = 5, 11)
+    sym(0, 1, 1, 156 * b); sym(0, 7, 7, 156 * b); sym(0, 1, 7, 54 * b)
+    sym(1, 1, 5, 22 * b); sym(1, 7, 11, -22 * b)
+    sym(1, 1, 11, -13 * b); sym(1, 5, 7, 13 * b)
+    sym(2, 5, 5, 4 * b); sym(2, 11, 11, 4 * b); sym(2, 5, 11, -3 * b)
+    # local z translations/rotations (w = 2, 8; theta_y = 4, 10)
+    sym(0, 2, 2, 156 * b); sym(0, 8, 8, 156 * b); sym(0, 2, 8, 54 * b)
+    sym(1, 2, 4, -22 * b); sym(1, 8, 10, 22 * b)
+    sym(1, 2, 10, 13 * b); sym(1, 4, 8, -13 * b)
+    sym(2, 4, 4, 4 * b); sym(2, 10, 10, 4 * b); sym(2, 4, 10, -3 * b)
+    return P.reshape(3, 144)
+
+
+_MPAT_LAT = _build_lateral_mass_patterns()
+
+
+def element_added_mass(coords, conn, D_m, rho_water=1025.0, Ca=1.0):
+    """Hydrodynamic ADDED mass matrices [M, 12, 12] (tonnes).
+
+    The Morison inertia force on a MOVING member carries a
+    rho Ca (pi D^2/4) term proportional to the structure's own
+    acceleration — the added mass that every submerged-structure dynamic
+    analysis must include (it lengthens jacket periods by ~5-15%).  The
+    reference excludes dynamics entirely; the round-2 dynamics tier used
+    structural + topside mass only.
+
+    Transverse-only consistent formulation (added mass acts perpendicular
+    to a slender cylinder; the axial/torsional terms are ~zero), scaled by
+    each member's STILL-WATER wetted length fraction (z < 0; the
+    time-varying wetted band is a second-order effect on the mass matrix).
+    ``Ca`` is the added-mass coefficient (Cm - 1; 1.0 for a cylinder,
+    matching the default Cm = 2).
+    """
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    dL = c2 - c1
+    L = jnp.linalg.norm(dL, axis=-1)              # m
+    L_mm = L * 1000.0
+    dtype = coords.dtype
+
+    # still-water wetted fraction from the end elevations
+    z1, z2 = c1[:, 2], c2[:, 2]
+    zlo = jnp.minimum(z1, z2)
+    zhi = jnp.maximum(z1, z2)
+    span = jnp.maximum(zhi - zlo, 1e-12)
+    frac = jnp.clip((0.0 - zlo) / span, 0.0, 1.0)
+    frac = jnp.where(zhi - zlo < 1e-9, (zhi < 0.0).astype(dtype), frac)
+
+    # rho Ca pi D^2/4 [kg/m] -> [t/mm]
+    ma = (rho_water * Ca * jnp.pi * D_m**2 / 4.0) * 1e-6 * frac
+    mL = ma * L_mm                                # t per element
+    coeffs = jnp.stack([mL, mL * L_mm, mL * L_mm**2], axis=-1)
+    pat = jnp.asarray(_MPAT_LAT, dtype=dtype)
+    M_local = (coeffs @ pat).reshape(-1, 12, 12)
+
+    R = local_axes(dL, L)
+    T = transformation_matrices(R)
+    return jnp.einsum("mji,mjk,mkl->mil", T, M_local, T)
+
+
 def element_mass(coords, conn, sec: TubeSections, sect_id):
     """Stacked global-frame consistent mass matrices [M, 12, 12] (tonnes)."""
     c1 = coords[conn[:, 0]]
@@ -97,10 +169,13 @@ class ModalResults(NamedTuple):
     total_mass_t: jnp.ndarray      # structural mass [tonnes]
 
 
-def _build_km(model, E, nu, topside_mass_t):
+def _build_km(model, E, nu, topside_mass_t, added_mass_Ca=None,
+              rho_water=1025.0):
     """Assembled (K, M, free-dof array, member lengths) shared by the modal
-    and harmonic-response paths (single source for the topside-mass lumping)."""
+    and harmonic-response paths (single source for the topside-mass lumping
+    and the hydrodynamic added mass)."""
     from .assembly import assemble_dense
+    from .morison import hydro_diameter_m
     from .solve import free_fixed_dofs
 
     G = E / (2.0 * (1.0 + nu))
@@ -108,6 +183,10 @@ def _build_km(model, E, nu, topside_mass_t):
                                             model.sections, model.sect_id,
                                             E, G)
     Mg = element_mass(model.coords, model.conn, model.sections, model.sect_id)
+    if added_mass_Ca is not None:
+        D_m = hydro_diameter_m(model.sections, model.sect_id)
+        Mg = Mg + element_added_mass(model.coords, model.conn, D_m,
+                                     rho_water=rho_water, Ca=added_mass_Ca)
     K = assemble_dense(Kg, model.conn, model.n_dof)
     M = assemble_dense(Mg, model.conn, model.n_dof)
     if topside_mass_t:
@@ -136,7 +215,8 @@ def _modal_from_ff(K_ff, M_ff, free, n_dof, n_modes, dtype):
 
 def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
                    nu: float = 0.3, topside_mass_t: float = 0.0,
-                   support_stiffness=None) -> ModalResults:
+                   support_stiffness=None,
+                   added_mass_Ca=None, rho_water: float = 1025.0) -> ModalResults:
     """Natural frequencies/mode shapes of the (supported) structure.
 
     ``topside_mass_t`` lumps an optional deck mass equally onto the top
@@ -146,13 +226,18 @@ def modal_analysis(model, n_modes: int = 10, E: float = 210000.0,
     clamp with foundation springs: the eigenproblem is solved over ALL
     DOFs with ``K + diag(k)``, so foundation flexibility lengthens the
     natural periods — the first-order SSI effect on jacket dynamics.
+    ``added_mass_Ca`` (e.g. 1.0 = the default Cm - 1) adds the
+    hydrodynamic added mass of the wetted members
+    (:func:`element_added_mass`) — submerged structures vibrate with the
+    entrained water, lengthening the periods.
     Dense path (fine to a few thousand DOF).  Note: float64 factorizations
     are unimplemented on the TPU backend — run f64 modal analysis on the
     host CPU (see the CLI 'modes' command).
     """
     dtype = model.coords.dtype
     with jax.default_matmul_precision("highest"):
-        K, M, free, (_, _, L_m) = _build_km(model, E, nu, topside_mass_t)
+        K, M, free, (_, _, L_m) = _build_km(model, E, nu, topside_mass_t,
+                                            added_mass_Ca, rho_water)
         if support_stiffness is not None:
             from .solve import ground_with_springs
             K, free = ground_with_springs(K, model.fixed_mask,
@@ -232,9 +317,11 @@ class CBReduction(NamedTuple):
 
 def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
                topside_mass_t: float, n_chain_modes: int,
-               support_stiffness=None) -> CBReduction:
+               support_stiffness=None, added_mass_Ca=None,
+               rho_water: float = 1025.0) -> CBReduction:
     """Build the reduced (K, M) and the member transformation blocks."""
     from .assembly import assemble_dense
+    from .morison import hydro_diameter_m
     from .solve import free_fixed_dofs
 
     dtype = refined.coords.dtype
@@ -245,6 +332,11 @@ def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
             E, G)
         Mg = element_mass(refined.coords, refined.conn, refined.sections,
                           refined.sect_id)
+        if added_mass_Ca is not None:
+            D_m = hydro_diameter_m(refined.sections, refined.sect_id)
+            Mg = Mg + element_added_mass(refined.coords, refined.conn, D_m,
+                                         rho_water=rho_water,
+                                         Ca=added_mass_Ca)
         KA, KB, KC, KE = _chain_blocks(Kg, n_seg)
         MA, MB, MC, ME = _chain_blocks(Mg, n_seg)
         K_ii, K_ib, K_bb = _chain_dense(KA, KB, KC, KE, n_seg)
@@ -348,7 +440,8 @@ def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
                              E: float = 210000.0, nu: float = 0.3,
                              topside_mass_t: float = 0.0,
                              n_chain_modes: int = 12,
-                             support_stiffness=None) -> ModalResults:
+                             support_stiffness=None, added_mass_Ca=None,
+                             rho_water: float = 1025.0) -> ModalResults:
     """Craig-Bampton reduced modal analysis for chain-refined jackets.
 
     The dense path (:func:`modal_analysis`) is O(n^3) on the full refined
@@ -367,7 +460,8 @@ def modal_analysis_condensed(coarse, refined, n_seg: int, n_modes: int = 10,
     """
     dtype = refined.coords.dtype
     cb = _cb_reduce(coarse, refined, n_seg, E, nu, topside_mass_t,
-                    n_chain_modes, support_stiffness=support_stiffness)
+                    n_chain_modes, support_stiffness=support_stiffness,
+                    added_mass_Ca=added_mass_Ca, rho_water=rho_water)
     with jax.default_matmul_precision("highest"):
         K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
         M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]
@@ -393,7 +487,8 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
                                n_steps: int = 72, n_gauss: int = 15,
                                topside_mass_t: float | None = None,
                                n_chain_modes: int = 12,
-                               support_stiffness=None) -> "HarmonicResponse":
+                               support_stiffness=None,
+                               added_mass_Ca=None) -> "HarmonicResponse":
     """Steady-state dynamic response of a REFINED jacket on the
     Craig-Bampton reduced basis.
 
@@ -417,7 +512,9 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
         topside_mass_t = float(case.custom_sw_tonnes)
     cb = _cb_reduce(coarse, refined, n_seg, float(case.E), float(case.nu),
                     topside_mass_t, n_chain_modes,
-                    support_stiffness=support_stiffness)
+                    support_stiffness=support_stiffness,
+                    added_mass_Ca=added_mass_Ca,
+                    rho_water=float(case.rho_water))
     nc, Mc = cb.nc, cb.Mc
 
     with jax.default_matmul_precision("highest"):
@@ -549,6 +646,7 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
                                  ramp_periods: float = 0.0,
                                  u0=None, zero_loads: bool = False,
                                  stretching: str = "none",
+                                 added_mass_Ca=None,
                                  newmark=(0.25, 0.5)) -> TransientResponse:
     """Transient (direct time-integration) response on the Craig-Bampton
     reduced basis — Newmark-beta, unconditionally stable average
@@ -582,7 +680,9 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
         topside_mass_t = float(case.custom_sw_tonnes)
     cb = _cb_reduce(coarse, refined, n_seg, float(case.E), float(case.nu),
                     topside_mass_t, n_chain_modes,
-                    support_stiffness=support_stiffness)
+                    support_stiffness=support_stiffness,
+                    added_mass_Ca=added_mass_Ca,
+                    rho_water=float(case.rho_water))
     nc = cb.nc
 
     with jax.default_matmul_precision("highest"):
@@ -755,7 +855,8 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
                      damping_ratio: float = 0.02, n_steps: int = 72,
                      n_gauss: int = 15,
                      topside_mass_t: float | None = None,
-                     support_stiffness=None) -> HarmonicResponse:
+                     support_stiffness=None,
+                     added_mass_Ca=None) -> HarmonicResponse:
     """Steady-state dynamic response to the (nonlinear) Morison wave loading.
 
     Beyond the reference's quasi-static-only scope: the load time history
@@ -781,7 +882,8 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
 
     with jax.default_matmul_precision("highest"):
         K, M, free, (K_local, T, L_m) = _build_km(
-            model, float(E), float(case.nu), topside_mass_t)
+            model, float(E), float(case.nu), topside_mass_t,
+            added_mass_Ca, float(case.rho_water))
         if support_stiffness is not None:
             from .solve import ground_with_springs
             K, free = ground_with_springs(K, model.fixed_mask,

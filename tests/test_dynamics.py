@@ -333,3 +333,59 @@ def test_transient_sea_runs_and_is_bounded():
     # dynamic tip displacement of this stiff jacket stays within ~2x of
     # quasi-static (T1 ~ 0.6 s vs Tp ~ 9.4 s: DAF ~ 1)
     assert np.asarray(res.tip_displacement_mm).max() < 2.0 * tip_qs.max()
+
+
+def test_added_mass_submerged_cantilever_analytic():
+    """Fully submerged cantilever: both mass matrices share the same
+    consistent bending shape functions, so the frequency ratio is exactly
+    sqrt(m / (m + m_a)) with m = rho_s A and m_a = rho_w Ca pi D^2/4 per
+    unit length."""
+    from small_fem_solver_tpu.models.model import build_model
+    from small_fem_solver_tpu.ops.dynamics import modal_analysis
+
+    L, D, t = 30.0, 800.0, 30.0
+    n_el = 12
+    nodes = {f"N{i}": (0.0, 0.0, -35.0 + i * L / n_el)
+             for i in range(n_el + 1)}                 # all below z = 0
+    members = [{"name": f"E{i}", "node1": f"N{i}", "node2": f"N{i+1}",
+                "type": "leg"} for i in range(n_el)]
+    model = build_model(nodes, members, ["N0"], [f"N{n_el}"],
+                        leg_section=(D, t), brace_section=(D, t))
+    dry = modal_analysis(model, n_modes=2)
+    wet = modal_analysis(model, n_modes=2, added_mass_Ca=1.0,
+                         rho_water=1025.0)
+    A_mm2 = float(model.sections.Ax[0])
+    m_struct = 7850.0 * A_mm2 * 1e-6                   # kg/m
+    m_added = 1025.0 * np.pi * (D / 1000.0) ** 2 / 4.0
+    expect = np.sqrt(m_struct / (m_struct + m_added))
+    got = float(wet.frequencies_hz[0]) / float(dry.frequencies_hz[0])
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_added_mass_dry_structure_noop_and_jacket_period():
+    from small_fem_solver_tpu.ops.dynamics import (element_added_mass,
+                                                   modal_analysis,
+                                                   modal_analysis_condensed)
+
+    # members entirely above water contribute nothing
+    model = sf.default_3leg_jacket()
+    coords_up = model.coords + jnp.asarray([0.0, 0.0, 100.0])
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    Ma = element_added_mass(coords_up, model.conn, D_m, Ca=1.0)
+    assert float(jnp.abs(Ma).max()) == 0.0
+
+    # the real jacket: added mass lengthens the periods, and the
+    # Craig-Bampton condensed path carries the same added mass
+    base = modal_analysis(model, n_modes=3, topside_mass_t=1100.0)
+    wet = modal_analysis(model, n_modes=3, topside_mass_t=1100.0,
+                         added_mass_Ca=1.0)
+    assert float(wet.periods_s[0]) > float(base.periods_s[0])
+    n_seg = 4
+    refined = sf.refine_model(model, n_seg)
+    wet_r = modal_analysis(refined, n_modes=3, topside_mass_t=1100.0,
+                           added_mass_Ca=1.0)
+    cb = modal_analysis_condensed(model, refined, n_seg, n_modes=3,
+                                  topside_mass_t=1100.0, added_mass_Ca=1.0,
+                                  n_chain_modes=16)
+    np.testing.assert_allclose(np.asarray(cb.frequencies_hz),
+                               np.asarray(wet_r.frequencies_hz), rtol=2e-6)
