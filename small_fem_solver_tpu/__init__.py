@@ -21,6 +21,7 @@ from .models.model import JacketModel, build_model, refine_model
 from .models.presets import DEFAULT_STORM, default_3leg_jacket
 from .ops.design import (SectionSensitivities, SizingResult,
                           optimize_sections, section_sensitivities)
+from .ops.codecheck import CodeCheck, member_code_check
 from .ops.buckling import (BucklingResults, EulerScreen,
                            buckling_analysis, euler_member_screen)
 from .ops.dynamics import (HarmonicResponse, ModalResults,

@@ -691,6 +691,39 @@ def cmd_dynamic(args):
           f"({u_dyn/u_sta:.3f}x)")
 
 
+def cmd_code_check(args):
+    """API RP 2A-WSD member strength unity checks on the analyzed state."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from .ops.codecheck import member_code_check
+
+    model, wave, case = _setup(args)
+    with _cpu_if_f64(args):
+        res = sf.analyze(model, wave, case, solver="chol",
+                         accel="analytic")
+        chk = member_code_check(model, res, Fy=args.fy, E=args.E,
+                                K_leg=args.K_leg, K_brace=args.K_brace,
+                                Cm=args.cm_factor)
+    uc = np.asarray(chk.uc)
+    order = np.argsort(uc)[::-1][:12]
+    print(f"API RP 2A-WSD member checks (Fy={args.fy} MPa, K_leg="
+          f"{args.K_leg}, K_brace={args.K_brace}, Cm={args.cm_factor}):")
+    print(f"  {'Member':<24} {'UC':>6} {'gov':>10} {'fa':>7} {'fb':>7} "
+          f"{'Fa':>7} {'Fb':>7} {'KL/r':>6}")
+    for e in order:
+        print(f"  {model.member_names[e]:<24} {uc[e]:>6.3f} "
+              f"{chk.governing[e]:>10} {float(chk.fa_mpa[e]):>7.1f} "
+              f"{float(chk.fb_mpa[e]):>7.1f} {float(chk.Fa_mpa[e]):>7.1f} "
+              f"{float(chk.Fb_mpa[e]):>7.1f} {float(chk.KL_over_r[e]):>6.1f}")
+    if uc.max() > 1.0:
+        print("  WARNING: unity check > 1.0 — member strength exceeded per "
+              "API RP 2A-WSD!")
+    else:
+        print(f"  all members pass (max UC {uc.max():.3f}); von Mises "
+              f"utilization max {float(res.utilization.max()):.3f}")
+
+
 def cmd_save_default(args):
     import small_fem_solver_tpu as sf
     from .utils.io import save_model
@@ -823,6 +856,19 @@ def main(argv=None):
                      help="fixed-point rounds on the axial-force state")
     _add_spring_arg(pdp)
     pdp.set_defaults(fn=cmd_pdelta)
+
+    cc = sub.add_parser("code-check",
+                        help="API RP 2A-WSD member strength unity checks "
+                             "(beyond the reference's yield screen)")
+    _add_common(cc)
+    cc.add_argument("--K-leg", type=float, default=1.0,
+                    help="effective length factor for legs")
+    cc.add_argument("--K-brace", type=float, default=0.8,
+                    help="effective length factor for braces")
+    cc.add_argument("--cm-factor", type=float, default=0.85,
+                    help="moment reduction factor Cm of the interaction "
+                         "equation (not the Morison inertia coefficient)")
+    cc.set_defaults(fn=cmd_code_check)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
     _add_common(md)

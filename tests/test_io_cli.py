@@ -237,3 +237,18 @@ def test_cli_scatter_fatigue(capsys):
     assert "scatter-diagram fatigue: 2 sea states" in out
     assert "state Hs=4.0" in out and "state Hs=8.0" in out
     assert "D rainflow" in out
+
+
+def test_cli_code_check(capsys):
+    """'code-check' prints the API RP 2A-WSD unity-check table."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "code-check", "--wave-model", "airy"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "API RP 2A-WSD member checks" in out
+    assert "KL/r" in out and ("all members pass" in out or "WARNING" in out)
