@@ -22,6 +22,7 @@ from .models.presets import DEFAULT_STORM, default_3leg_jacket
 from .ops.design import (SectionSensitivities, SizingResult,
                           optimize_sections, section_sensitivities)
 from .ops.codecheck import CodeCheck, member_code_check
+from .ops.jointcheck import JointCheck, joint_code_check
 from .ops.buckling import (BucklingResults, EulerScreen,
                            buckling_analysis, euler_member_screen)
 from .ops.dynamics import (HarmonicResponse, ModalResults,

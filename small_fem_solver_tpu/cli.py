@@ -724,6 +724,43 @@ def cmd_code_check(args):
               f"utilization max {float(res.utilization.max()):.3f}")
 
 
+def cmd_joint_check(args):
+    """API RP 2A-WSD simple tubular-joint checks on the analyzed state."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from .ops.jointcheck import joint_code_check
+
+    model, wave, case = _setup(args)
+    with _cpu_if_f64(args):
+        res = sf.analyze(model, wave, case, solver="chol",
+                         accel="analytic")
+        chk = joint_code_check(model, res, Fy=args.fy,
+                               joint_class=args.joint_class,
+                               gap_mm=args.gap)
+    uc = np.asarray(chk.uc)
+    order = np.argsort(uc)[::-1][:12]
+    print(f"API RP 2A-WSD simple-joint checks (class={args.joint_class}, "
+          f"Fyc={args.fy} MPa, {uc.shape[0]} brace-to-leg joints):")
+    print(f"  {'Brace':<24} {'UC':>6} {'beta':>5} {'gamma':>6} "
+          f"{'P/Pa':>6} {'UCb':>6} {'Qf':>5}")
+    for j in order:
+        print(f"  {model.member_names[int(chk.brace[j])]:<24} "
+              f"{uc[j]:>6.3f} {float(chk.beta[j]):>5.2f} "
+              f"{float(chk.gamma[j]):>6.1f} {float(chk.uc_axial[j]):>6.3f} "
+              f"{float(chk.uc_bending[j]):>6.3f} "
+              f"{float(chk.Qf_axial[j]):>5.2f}")
+    if chk.degenerate.any():
+        n = int(chk.degenerate.sum())
+        print(f"  NOTE: {n} near-parallel brace/chord pair(s) clamped at "
+              f"sin(theta)=0.17")
+    if uc.max() > 1.0:
+        print("  WARNING: joint unity check > 1.0 — chord punching capacity "
+              "exceeded per API RP 2A-WSD!")
+    else:
+        print(f"  all joints pass (max UC {uc.max():.3f})")
+
+
 def cmd_save_default(args):
     import small_fem_solver_tpu as sf
     from .utils.io import save_model
@@ -869,6 +906,17 @@ def main(argv=None):
                     help="moment reduction factor Cm of the interaction "
                          "equation (not the Morison inertia coefficient)")
     cc.set_defaults(fn=cmd_code_check)
+
+    jc = sub.add_parser("joint-check",
+                        help="API RP 2A-WSD simple tubular-joint "
+                             "(punching-shear) checks "
+                             "(beyond the reference's yield screen)")
+    _add_common(jc)
+    jc.add_argument("--joint-class", default="Y", choices=["Y", "T", "K", "X"],
+                    help="joint classification applied to all joints")
+    jc.add_argument("--gap", type=float, default=50.0,
+                    help="K-joint gap [mm] for the Qg factor")
+    jc.set_defaults(fn=cmd_joint_check)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
     _add_common(md)

@@ -145,8 +145,8 @@ INFO_TEXT = """\
     utilization = sigma_vm,max / fy
 
   Utilization > 100% is flagged. Note this is a YIELD screen
-  only; code checks (API RP 2A / ISO 19902 buckling, punching,
-  joint checks) must be run separately.
+  only; API RP 2A-WSD member strength and simple-joint punching
+  checks are available from the CLI (code-check, joint-check).
 
 7. SCOPE OF THE GUI 'RUN' BUTTON vs THE FULL FRAMEWORK
 ----------------------------------------------------------------
@@ -163,9 +163,11 @@ INFO_TEXT = """\
     refined meshes), steady-state wave-frequency response with a
     dynamic amplification factor, and transient Newmark time
     integration (regular waves, random seas, free decay)
+  - code checks: API RP 2A-WSD member strength (cli code-check)
+    and simple tubular-joint punching-shear (cli joint-check)
   Still outside scope everywhere: wave slamming, vortex-induced
   vibration, ringing, appurtenances, flooded-member buoyancy,
-  code checks (API RP 2A / ISO 19902 punching, joint checks).
+  overlapping/stiffened joint checks, ISO 19902.
 
 8. WORKFLOW
 ----------------------------------------------------------------

@@ -252,3 +252,19 @@ def test_cli_code_check(capsys):
     out = capsys.readouterr().out
     assert "API RP 2A-WSD member checks" in out
     assert "KL/r" in out and ("all members pass" in out or "WARNING" in out)
+
+
+def test_cli_joint_check(capsys):
+    """'joint-check' prints the API RP 2A-WSD joint unity-check table."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "joint-check", "--wave-model", "airy",
+                    "--joint-class", "K", "--gap", "75.0"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "API RP 2A-WSD simple-joint checks (class=K" in out
+    assert "beta" in out and ("all joints pass" in out or "WARNING" in out)
