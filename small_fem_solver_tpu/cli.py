@@ -742,14 +742,19 @@ def cmd_joint_check(args):
     order = np.argsort(uc)[::-1][:12]
     print(f"API RP 2A-WSD simple-joint checks (class={args.joint_class}, "
           f"Fyc={args.fy} MPa, {uc.shape[0]} brace-to-leg joints):")
+    show_frac = args.joint_class == "auto"
+    frac_hdr = f" {'K/X/Y':>11}" if show_frac else ""
     print(f"  {'Brace':<24} {'UC':>6} {'beta':>5} {'gamma':>6} "
-          f"{'P/Pa':>6} {'UCb':>6} {'Qf':>5}")
+          f"{'P/Pa':>6} {'UCb':>6} {'Qf':>5}{frac_hdr}")
     for j in order:
+        frac = (f" {float(chk.frac_K[j]):>3.1f}/"
+                f"{float(chk.frac_X[j]):>3.1f}/"
+                f"{float(chk.frac_Y[j]):>3.1f}") if show_frac else ""
         print(f"  {model.member_names[int(chk.brace[j])]:<24} "
               f"{uc[j]:>6.3f} {float(chk.beta[j]):>5.2f} "
               f"{float(chk.gamma[j]):>6.1f} {float(chk.uc_axial[j]):>6.3f} "
               f"{float(chk.uc_bending[j]):>6.3f} "
-              f"{float(chk.Qf_axial[j]):>5.2f}")
+              f"{float(chk.Qf_axial[j]):>5.2f}{frac}")
     if chk.degenerate.any():
         n = int(chk.degenerate.sum())
         print(f"  NOTE: {n} near-parallel brace/chord pair(s) clamped at "
@@ -912,8 +917,10 @@ def main(argv=None):
                              "(punching-shear) checks "
                              "(beyond the reference's yield screen)")
     _add_common(jc)
-    jc.add_argument("--joint-class", default="Y", choices=["Y", "T", "K", "X"],
-                    help="joint classification applied to all joints")
+    jc.add_argument("--joint-class", default="Y",
+                    choices=["Y", "T", "K", "X", "auto"],
+                    help="joint classification applied to all joints, or "
+                         "'auto' for API 4.2 load-path fractions")
     jc.add_argument("--gap", type=float, default=50.0,
                     help="K-joint gap [mm] for the Qg factor")
     jc.set_defaults(fn=cmd_joint_check)

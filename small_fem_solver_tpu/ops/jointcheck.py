@@ -31,11 +31,18 @@ Scope (documented, deliberate):
   axial tension;
 - combined interaction (4.3-3):
       UC = |P|/Pa + (2/pi) asin sqrt((M_ipb/Ma_ipb)^2 + (M_opb/Ma_opb)^2)
-- joint CLASSIFICATION is geometric input, not load-path derived: pass
-  ``joint_class`` ('Y' default — the usual first screen, 'K', 'X', or a
-  per-joint array).  Automatic load-path classification (interpolating
-  K/X fractions per API 4.2) and overlapping-joint checks are out of
-  scope; brace-to-brace connections (no leg at the node) are skipped.
+- joint CLASSIFICATION: pass ``joint_class`` ('Y' default — the usual
+  first screen, 'K', 'X', a per-joint array, or 'auto').  'auto'
+  derives per-brace K/X/Y action FRACTIONS from the analyzed load path
+  per API 4.2: the brace axial component perpendicular to the chord is
+  balanced first by opposing perpendicular loads of coplanar braces on
+  the SAME side of the chord (K action), then by same-sense loads of
+  coplanar braces on the OPPOSITE side carrying it through the chord
+  (X action), and the remainder is reacted as chord beam shear (Y
+  action); the axial Qu is interpolated with those fractions (4.2a).
+  Coplanarity tolerance: braces within ~30 deg of the subject brace's
+  chord plane participate.  Overlapping-joint checks are out of scope;
+  brace-to-brace connections (no leg at the node) are skipped.
 
 Conventions: brace in-plane bending is the moment about the brace-chord
 plane normal; the brace end moment vector (local My, Mz rotated to
@@ -80,6 +87,9 @@ class JointCheck(NamedTuple):
     uc_bending: jnp.ndarray      # (2/pi) asin sqrt(sum of squares)
     uc: jnp.ndarray              # combined interaction (4.3-3)
     degenerate: np.ndarray       # bool: sin theta clamped
+    frac_K: np.ndarray           # load-path action fractions ('auto':
+    frac_X: np.ndarray           #   derived per API 4.2; fixed classes:
+    frac_Y: np.ndarray           #   the 0/1 indicator of the class)
 
 
 def _qbeta(beta):
@@ -94,32 +104,50 @@ def _qg(gap_over_T, gap_over_D, gamma):
     return jnp.maximum(jnp.where(gamma <= 20.0, qg_lo, qg_hi), 1.0)
 
 
+def qu_all(beta, gamma, tension, gap_over_T, gap_over_D):
+    """All Table 4.3-1 Qu values: (qu_ty, qu_k, qu_x, qu_ipb, qu_opb)."""
+    base = 3.4 + 19.0 * beta
+    qb = _qbeta(beta)
+    qg = _qg(gap_over_T, gap_over_D, gamma)
+    qu_ty = base
+    qu_k = base * qg
+    qu_x = jnp.where(tension, base, base * qb)
+    qu_ipb = base
+    qu_opb = (3.4 + 7.0 * beta) * qb
+    return qu_ty, qu_k, qu_x, qu_ipb, qu_opb
+
+
 def qu_factors(beta, gamma, class_code, tension, gap_over_T, gap_over_D):
     """(Qu_axial, Qu_ipb, Qu_opb) per API Table 4.3-1.
 
     ``class_code``: int array, 0 = T/Y, 1 = K, 2 = X; ``tension``: bool
     array, sense of the brace axial load.
     """
-    base = 3.4 + 19.0 * beta
-    qb = _qbeta(beta)
-    qg = _qg(gap_over_T, gap_over_D, gamma)
-    qu_k = base * qg
-    qu_ty = base
-    qu_x = jnp.where(tension, base, base * qb)
+    qu_ty, qu_k, qu_x, qu_ipb, qu_opb = qu_all(beta, gamma, tension,
+                                               gap_over_T, gap_over_D)
     qu_ax = jnp.where(class_code == 1, qu_k,
                       jnp.where(class_code == 2, qu_x, qu_ty))
-    qu_ipb = base
-    qu_opb = (3.4 + 7.0 * beta) * qb
     return qu_ax, qu_ipb, qu_opb
 
 
 def joint_capacities(beta, gamma, sin_theta, T_mm, d_mm, Fyc,
                      class_code, tension,
                      Qf_ax=1.0, Qf_ipb=1.0, Qf_opb=1.0,
-                     gap_over_T=0.0, gap_over_D=0.0):
-    """Allowable (Pa [N], Ma_ipb [N*mm], Ma_opb [N*mm]) per 4.3-1/2."""
-    qu_ax, qu_ipb, qu_opb = qu_factors(beta, gamma, class_code, tension,
-                                       gap_over_T, gap_over_D)
+                     gap_over_T=0.0, gap_over_D=0.0, fractions=None):
+    """Allowable (Pa [N], Ma_ipb [N*mm], Ma_opb [N*mm]) per 4.3-1/2.
+
+    ``fractions``: optional (f_Y, f_K, f_X) action fractions (API 4.2a
+    interpolated classification) — overrides ``class_code`` for the
+    axial Qu.
+    """
+    if fractions is None:
+        qu_ax, qu_ipb, qu_opb = qu_factors(beta, gamma, class_code, tension,
+                                           gap_over_T, gap_over_D)
+    else:
+        qu_ty, qu_k, qu_x, qu_ipb, qu_opb = qu_all(beta, gamma, tension,
+                                                   gap_over_T, gap_over_D)
+        fY, fK, fX = fractions
+        qu_ax = fY * qu_ty + fK * qu_k + fX * qu_x
     s = jnp.maximum(sin_theta, _SIN_MIN)
     base = Fyc * T_mm**2 / (_FS * s)
     Pa = qu_ax * Qf_ax * base
@@ -165,13 +193,73 @@ def _find_joints(model):
     return arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
 
 
+_COPLANAR_COS = 0.866  # ~30 deg side-vector tolerance for plane membership
+
+
+def classify_load_path(coords, conn, bi, be, ci, nodes, P):
+    """API 4.2 load-path action fractions (f_K, f_X, f_Y) per joint row.
+
+    ``P``: brace axial per row, +compression.  Host-side numpy — the
+    joint count is O(members), never large.  For each subject brace the
+    perpendicular-to-chord component of its axial load is balanced
+    greedily: first by opposing perpendicular loads of coplanar
+    SAME-side braces (K action), then by same-sense loads of coplanar
+    OPPOSITE-side braces (X action); the remainder is Y action.
+    Unloaded or chord-parallel braces default to pure Y.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    conn = np.asarray(conn)
+    P = np.asarray(P, dtype=np.float64)
+    J = bi.shape[0]
+
+    # unit vector from the joint node into each brace, and the chord axis
+    other = np.where(be == 0, conn[bi, 1], conn[bi, 0])
+    e = coords[other] - coords[nodes]
+    e /= np.linalg.norm(e, axis=-1, keepdims=True)
+    dc = coords[conn[ci, 1]] - coords[conn[ci, 0]]
+    uc = dc / np.linalg.norm(dc, axis=-1, keepdims=True)
+
+    # perpendicular (punching) direction and signed perpendicular load:
+    # q < 0 pushes the chord wall from the brace's side (compression)
+    w_raw = e - np.sum(e * uc, axis=-1, keepdims=True) * uc
+    s = np.linalg.norm(w_raw, axis=-1)
+    w = w_raw / np.where(s < 1e-9, 1.0, s)[:, None]
+    q = -P * s
+
+    fK = np.zeros(J)
+    fX = np.zeros(J)
+    by_node = {}
+    for r in range(J):
+        by_node.setdefault(int(nodes[r]), []).append(r)
+    for rows in by_node.values():
+        for i in rows:
+            qi = q[i]
+            if abs(qi) < 1e-9 or s[i] < 1e-6:
+                continue
+            k_avail = x_avail = 0.0
+            for j in rows:
+                if j == i:
+                    continue
+                c = float(np.dot(w[j], w[i]))
+                proj = q[j] * c                # perp load of j along w_i
+                if c > _COPLANAR_COS and proj * qi < 0.0:
+                    k_avail += abs(proj)       # same side, opposing
+                elif c < -_COPLANAR_COS and proj * qi > 0.0:
+                    x_avail += abs(proj)       # through the chord
+            fK[i] = min(k_avail, abs(qi)) / abs(qi)
+            fX[i] = min(x_avail, abs(qi) * (1.0 - fK[i])) / abs(qi)
+    fY = 1.0 - fK - fX
+    return fK, fX, fY
+
+
 def joint_code_check(model, results, Fy=None, joint_class="Y",
                      gap_mm: float = 50.0) -> JointCheck:
     """API RP 2A-WSD simple-joint checks from an analysis result.
 
     ``results``: any :class:`..api.AnalysisResults` (run at the governing
     phase).  ``Fy``: chord yield (MPa, default 355).  ``joint_class``:
-    'Y' (default), 'K', 'X', or a length-J array of those strings in the
+    'Y' (default), 'K', 'X', 'auto' (API 4.2 load-path fractions,
+    interpolated Qu), or a length-J array of Y/T/K/X strings in the
     order this function reports joints.  ``gap_mm``: K-joint gap.
     """
     bi, be, ci, ce, nodes = _find_joints(model)
@@ -181,16 +269,21 @@ def joint_code_check(model, results, Fy=None, joint_class="Y",
                          "set? brace-to-brace connections are not checked)")
     Fy = jnp.asarray(355.0 if Fy is None else Fy)
 
-    if isinstance(joint_class, str):
-        classes = np.full(J, joint_class)
+    auto = isinstance(joint_class, str) and joint_class == "auto"
+    if auto:
+        classes = np.full(J, "auto")
     else:
-        classes = np.asarray(joint_class)
-        if classes.shape != (J,):
-            raise ValueError(f"joint_class must be scalar or shape ({J},)")
-    bad = [c for c in np.unique(classes) if c not in _CLASS_CODES]
-    if bad:
-        raise ValueError(f"unknown joint class(es) {bad}; use Y/T/K/X")
-    code = jnp.asarray([_CLASS_CODES[c] for c in classes], dtype=jnp.int32)
+        if isinstance(joint_class, str):
+            classes = np.full(J, joint_class)
+        else:
+            classes = np.asarray(joint_class)
+            if classes.shape != (J,):
+                raise ValueError(
+                    f"joint_class must be scalar or shape ({J},)")
+        bad = [c for c in np.unique(classes) if c not in _CLASS_CODES]
+        if bad:
+            raise ValueError(f"unknown joint class(es) {bad}; "
+                             "use Y/T/K/X or 'auto'")
 
     sec, sid = model.sections, np.asarray(model.sect_id)
     d = jnp.asarray(sec.D_outer)[sid[bi]]          # brace OD [mm]
@@ -257,11 +350,21 @@ def joint_code_check(model, results, Fy=None, joint_class="Y",
 
     Qf_ax, Qf_i, Qf_o = qf(0.030), qf(0.045), qf(0.021)
 
+    if auto:
+        fK, fX, fY = classify_load_path(model.coords, conn, bi, be, ci,
+                                        nodes, np.asarray(P))
+    else:
+        code_np = np.array([_CLASS_CODES[c] for c in classes])
+        fK = (code_np == 1).astype(np.float64)
+        fX = (code_np == 2).astype(np.float64)
+        fY = (code_np == 0).astype(np.float64)
+
     tension = P < 0.0
     Pa, Ma_i, Ma_o = joint_capacities(
-        beta, gamma, sin_t, T, d, Fy, code, tension,
+        beta, gamma, sin_t, T, d, Fy, None, tension,
         Qf_ax=Qf_ax, Qf_ipb=Qf_i, Qf_opb=Qf_o,
-        gap_over_T=gap_mm / T, gap_over_D=gap_mm / D)
+        gap_over_T=gap_mm / T, gap_over_D=gap_mm / D,
+        fractions=(jnp.asarray(fY), jnp.asarray(fK), jnp.asarray(fX)))
 
     uc_ax2 = jnp.abs(P) / Pa
     arg = jnp.sqrt(jnp.clip((M_ipb / Ma_i)**2 + (M_opb / Ma_o)**2,
@@ -280,4 +383,4 @@ def joint_code_check(model, results, Fy=None, joint_class="Y",
         M_ipb_kNm=M_ipb / 1e6, M_opb_kNm=M_opb / 1e6,
         Ma_ipb_kNm=Ma_i / 1e6, Ma_opb_kNm=Ma_o / 1e6,
         Qf_axial=Qf_ax, uc_axial=uc_ax2, uc_bending=uc_b, uc=uc,
-        degenerate=degenerate)
+        degenerate=degenerate, frac_K=fK, frac_X=fX, frac_Y=fY)

@@ -190,3 +190,124 @@ def test_no_joints_raises():
                      solver="chol", accel="analytic")
     with pytest.raises(ValueError):
         joint_code_check(model, res)
+
+
+def _frame(nodes, members, supports, tops, load_kN, direction,
+           leg=(800.0, 40.0), brace=(400.0, 20.0)):
+    """Dry frame + point load at the top nodes ('x' shear or 'z' axial)."""
+    from small_fem_solver_tpu.models.model import build_model
+    model = build_model(nodes, members, supports, tops,
+                        leg_section=leg, brace_section=brace)
+    wave = sf.airy_wave(0.5, 9.4, 50.0)
+    if direction == "x":
+        case = sf.LoadCase(F_shear_kN=load_kN, wave_dir_deg=90.0,
+                           sw_mode="none")
+    else:
+        case = sf.LoadCase(F_axial_kN=load_kN, sw_mode="none")
+    res = sf.analyze(model, wave, case, solver="chol", accel="analytic")
+    return model, res
+
+
+def test_auto_classification_t_joint_is_pure_y():
+    """A single brace has no balancing partners: auto == scalar 'Y'."""
+    model, res = _t_joint(50.0, "axial")
+    chk_auto = joint_code_check(model, res, joint_class="auto")
+    chk_y = joint_code_check(model, res, joint_class="Y")
+    np.testing.assert_allclose(chk_auto.frac_Y, 1.0, atol=1e-12)
+    np.testing.assert_allclose(chk_auto.frac_K, 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(chk_auto.Pa_kN),
+                               np.asarray(chk_y.Pa_kN), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(chk_auto.uc),
+                               np.asarray(chk_y.uc), rtol=1e-12)
+
+
+def test_auto_classification_x_joint():
+    """Braces on opposite chord sides carrying the load straight through
+    classify as X; the compression-side capacity then picks up Qbeta."""
+    nodes = {"C0": (0.0, 0.0, 60.0), "C1": (0.0, 0.0, 70.0),
+             "C2": (0.0, 0.0, 80.0),
+             "B1": (10.0, 0.0, 70.0), "B2": (-10.0, 0.0, 70.0)}
+    members = [
+        {"name": "LEG_LO", "node1": "C0", "node2": "C1", "type": "leg"},
+        {"name": "LEG_HI", "node1": "C1", "node2": "C2", "type": "leg"},
+        {"name": "BR_P", "node1": "C1", "node2": "B1", "type": "brace"},
+        {"name": "BR_M", "node1": "C1", "node2": "B2", "type": "brace"},
+    ]
+    # beta = 600/800 = 0.75 > 0.6 so X-compression differs from Y
+    model, res = _frame(nodes, members, ["C0", "C2"], ["B1", "B2"],
+                        60.0, "x", brace=(600.0, 25.0))
+    chk = joint_code_check(model, res, joint_class="auto")
+    assert chk.node.shape == (2,)
+    # +x load at both tips: BR_P in tension, BR_M in compression, equal
+    # magnitude -> both fully balanced through the chord
+    P = np.asarray(chk.P_kN)
+    assert P.min() < -25.0 and P.max() > 25.0
+    np.testing.assert_allclose(chk.frac_X, 1.0, atol=1e-6)
+    np.testing.assert_allclose(chk.frac_K, 0.0, atol=1e-6)
+    # capacities match the fixed-X classification exactly
+    chk_x = joint_code_check(model, res, joint_class="X")
+    np.testing.assert_allclose(np.asarray(chk.Pa_kN),
+                               np.asarray(chk_x.Pa_kN), rtol=1e-9)
+    # and the compression side is derated by Qbeta vs a Y classification
+    chk_y = joint_code_check(model, res, joint_class="Y")
+    comp = int(np.argmax(P))
+    tens = int(np.argmin(P))
+    qb = 0.3 / (0.75 * (1 - 0.833 * 0.75))
+    np.testing.assert_allclose(
+        float(chk.Pa_kN[comp]) / float(chk_y.Pa_kN[comp]), qb, rtol=1e-9)
+    np.testing.assert_allclose(float(chk.Pa_kN[tens]),
+                               float(chk_y.Pa_kN[tens]), rtol=1e-9)
+
+
+def test_auto_classification_k_joint():
+    """A V pair on the same chord side with opposing perpendicular loads
+    classifies dominantly K, and the blended Pa sits between Y and K."""
+    nodes = {"C0": (0.0, 0.0, 60.0), "C1": (0.0, 0.0, 70.0),
+             "C2": (0.0, 0.0, 80.0),
+             "D1": (10.0, 0.0, 62.0), "D2": (10.0, 0.0, 78.0)}
+    members = [
+        {"name": "LEG_LO", "node1": "C0", "node2": "C1", "type": "leg"},
+        {"name": "LEG_HI", "node1": "C1", "node2": "C2", "type": "leg"},
+        {"name": "DIAG_DN", "node1": "C1", "node2": "D1", "type": "brace"},
+        {"name": "DIAG_UP", "node1": "C1", "node2": "D2", "type": "brace"},
+        {"name": "COL", "node1": "D1", "node2": "D2", "type": "brace"},
+    ]
+    model, res = _frame(nodes, members, ["C0", "C2"], ["D2"], 200.0, "z")
+    chk = joint_code_check(model, res, joint_class="auto")
+    assert chk.node.shape == (2,)  # both diagonals at C1 (COL hits no leg)
+    # opposing diagonal pair -> dominantly K action on both
+    assert (chk.frac_K > 0.6).all()
+    assert np.allclose(chk.frac_X, 0.0)
+    frac = np.asarray(chk.frac_K)
+    chk_y = joint_code_check(model, res, joint_class="Y")
+    chk_k = joint_code_check(model, res, joint_class="K")
+    Pa_blend = (frac * np.asarray(chk_k.Pa_kN)
+                + (1 - frac) * np.asarray(chk_y.Pa_kN))
+    np.testing.assert_allclose(np.asarray(chk.Pa_kN), Pa_blend, rtol=1e-9)
+
+
+def test_auto_classification_storm_jacket():
+    """Storm jacket: fractions are valid simplex weights and every blended
+    capacity lies within the fixed-class envelope."""
+    model = sf.default_3leg_jacket()
+    wave = sf.make_wave(17.038, 9.4, 50.0, U_c=1.7, model="stokes", N=5)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom",
+                       t_analysis=0.34)
+    res = sf.analyze(model, wave, case, solver="chol")
+    chk = joint_code_check(model, res, joint_class="auto")
+    fK, fX, fY = (np.asarray(chk.frac_K), np.asarray(chk.frac_X),
+                  np.asarray(chk.frac_Y))
+    assert (fK >= -1e-12).all() and (fX >= -1e-12).all() \
+        and (fY >= -1e-12).all()
+    np.testing.assert_allclose(fK + fX + fY, 1.0, atol=1e-12)
+    # X-braced jacket under combined load: some real K action somewhere
+    assert fK.max() > 0.5
+    Pa = np.asarray(chk.Pa_kN)
+    lo = np.minimum.reduce([np.asarray(joint_code_check(
+        model, res, joint_class=c).Pa_kN) for c in ("Y", "K", "X")])
+    hi = np.maximum.reduce([np.asarray(joint_code_check(
+        model, res, joint_class=c).Pa_kN) for c in ("Y", "K", "X")])
+    assert (Pa >= lo - 1e-9).all() and (Pa <= hi + 1e-9).all()
+    assert np.isfinite(np.asarray(chk.uc)).all()
