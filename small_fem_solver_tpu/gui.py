@@ -693,6 +693,8 @@ class JacketGUI:
                    command=self.plot_results).pack(side=tk.LEFT, padx=4)
         ttk.Button(btns, text="Phase Scan Plot",
                    command=self.plot_phase_scan).pack(side=tk.LEFT, padx=4)
+        ttk.Button(btns, text="Code Checks",
+                   command=self.show_code_checks).pack(side=tk.LEFT, padx=4)
         ttk.Button(btns, text="Export CSV...",
                    command=self.export_csv).pack(side=tk.LEFT, padx=4)
         self.results_text = tk.Text(f, font=("Consolas", 9))
@@ -710,6 +712,21 @@ class JacketGUI:
                 f"{m['member']}: Fx={m['Fx_max_kN']:.1f}kN, "
                 f"VM={m['von_mises_max_MPa']:.1f}MPa, "
                 f"Util={m['utilization']:.2%}\n"))
+
+    def show_code_checks(self):
+        if self.analysis_results is None:
+            messagebox.showwarning("Warning", "Run analysis first!")
+            return
+        from .utils.report import render_code_checks
+        self.results_text.delete("1.0", tk.END)
+        try:
+            txt = render_code_checks(self.analysis_model,
+                                     self.analysis_results,
+                                     Fy=float(self.analysis_case.fy))
+        except Exception as e:
+            messagebox.showerror("Error", str(e))
+            return
+        self.results_text.insert(tk.END, txt + "\n")
 
     def plot_results(self):
         if self.analysis_results is None:

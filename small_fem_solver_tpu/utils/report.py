@@ -118,3 +118,61 @@ def render_report(model: JacketModel, wave, case, results,
     log("ANALYSIS COMPLETE")
     log(BAR)
     return "\n".join(L)
+
+
+def render_code_checks(model: JacketModel, results, Fy: float | None = None,
+                       joint_class: str = "auto",
+                       top_n: int = 15) -> str:
+    """API RP 2A-WSD member + joint unity-check report as a plain string.
+
+    Display-independent so the GUI button and tests share it.  The
+    reference has no code-check output at all (its Info tab defers to
+    other tools, `/root/reference/JacketAnalysisGUI_v2.py:1544-1799`).
+    """
+    from ..ops.codecheck import member_code_check
+    from ..ops.jointcheck import joint_code_check
+
+    L = []
+    log = L.append
+    log(BAR)
+    log("API RP 2A-WSD CODE CHECKS (working stress design)")
+    log(BAR)
+
+    chk = member_code_check(model, results, Fy=Fy)
+    uc = np.asarray(chk.uc)
+    order = np.argsort(uc)[::-1][:top_n]
+    log(f"\n[MEMBER STRENGTH - Top {min(top_n, uc.shape[0])} by unity check]")
+    log(f"  {'Member':<25} {'UC':>6} {'governing':>12} {'KL/r':>6}")
+    log(f"  {'-'*53}")
+    for e in order:
+        log(f"  {model.member_names[e]:<25} {uc[e]:>6.3f} "
+            f"{chk.governing[e]:>12} {float(chk.KL_over_r[e]):>6.1f}")
+    if uc.max() > 1.0:
+        log(f"\n  *** WARNING: member UC {uc.max():.3f} > 1.0 ***")
+    else:
+        log(f"\n  All members pass (max UC {uc.max():.3f})")
+
+    try:
+        jchk = joint_code_check(model, results, Fy=Fy,
+                                joint_class=joint_class)
+    except ValueError as e:
+        log(f"\n[JOINTS] skipped: {e}")
+        log(BAR)
+        return "\n".join(L)
+    juc = np.asarray(jchk.uc)
+    order = np.argsort(juc)[::-1][:top_n]
+    log(f"\n[SIMPLE JOINTS ({joint_class}) - Top "
+        f"{min(top_n, juc.shape[0])} by unity check]")
+    log(f"  {'Brace':<25} {'UC':>6} {'beta':>5} {'K/X/Y':>12}")
+    log(f"  {'-'*51}")
+    for j in order:
+        frac = (f"{float(jchk.frac_K[j]):.1f}/{float(jchk.frac_X[j]):.1f}/"
+                f"{float(jchk.frac_Y[j]):.1f}")
+        log(f"  {model.member_names[int(jchk.brace[j])]:<25} {juc[j]:>6.3f} "
+            f"{float(jchk.beta[j]):>5.2f} {frac:>12}")
+    if juc.max() > 1.0:
+        log(f"\n  *** WARNING: joint UC {juc.max():.3f} > 1.0 ***")
+    else:
+        log(f"\n  All joints pass (max UC {juc.max():.3f})")
+    log(BAR)
+    return "\n".join(L)

@@ -311,3 +311,30 @@ def test_auto_classification_storm_jacket():
         model, res, joint_class=c).Pa_kN) for c in ("Y", "K", "X")])
     assert (Pa >= lo - 1e-9).all() and (Pa <= hi + 1e-9).all()
     assert np.isfinite(np.asarray(chk.uc)).all()
+
+
+def test_render_code_checks_report():
+    """The shared GUI/CLI code-check renderer covers members and joints."""
+    from small_fem_solver_tpu.utils.report import render_code_checks
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, F_axial_kN=25100.0,
+                       F_shear_kN=2900.0, custom_sw_tonnes=1100.0,
+                       sw_mode="custom")
+    res = sf.analyze(model, wave, case, solver="chol")
+    txt = render_code_checks(model, res, Fy=355.0)
+    assert "MEMBER STRENGTH" in txt
+    assert "SIMPLE JOINTS (auto)" in txt
+    assert "All members pass" in txt or "WARNING: member UC" in txt
+    assert "All joints pass" in txt or "WARNING: joint UC" in txt
+
+    # a model with no brace-to-leg joints degrades gracefully
+    from small_fem_solver_tpu.models.model import build_model
+    nodes = {"B": (0.0, 0.0, 60.0), "T": (0.0, 0.0, 80.0)}
+    members = [{"name": "COL", "node1": "B", "node2": "T", "type": "leg"}]
+    m2 = build_model(nodes, members, ["B"], ["T"], leg_section=(800.0, 30.0))
+    r2 = sf.analyze(m2, sf.airy_wave(0.5, 9.4, 50.0),
+                    sf.LoadCase(sw_mode="none"), solver="chol",
+                    accel="analytic")
+    txt2 = render_code_checks(m2, r2)
+    assert "[JOINTS] skipped" in txt2
