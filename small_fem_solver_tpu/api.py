@@ -71,10 +71,19 @@ class LoadCase:
     #   not to the structural section. 0 = reference semantics.
     # static:
     sw_mode: str = dataclasses.field(default="custom", metadata=dict(static=True))
+    buoyancy: str = dataclasses.field(default="none", metadata=dict(static=True))
+    #   'none' (reference semantics) | 'sealed' (air-filled members displace
+    #   their full pi D^2/4 volume) | 'flooded' (free-flooding members
+    #   displace only the steel annulus) | 'legs-flooded' (flooded legs,
+    #   sealed braces — the usual jacket design assumption).  Still-water
+    #   wetted span, applied as nodal uplift at the wetted-span centroid.
+
+    _STATIC_FIELDS = ("sw_mode", "buoyancy")
 
     def cast(self, dtype):
         vals = {f.name: jnp.asarray(getattr(self, f.name), dtype=dtype)
-                for f in dataclasses.fields(self) if f.name != "sw_mode"}
+                for f in dataclasses.fields(self)
+                if f.name not in LoadCase._STATIC_FIELDS}
         return dataclasses.replace(self, **vals)
 
 
@@ -125,6 +134,49 @@ def _topside_per_node(case: LoadCase, top_mask, dtype) -> jnp.ndarray:
     ])
 
 
+def _member_buoyancy(coords, conn, sec, sect_id, member_types, rho_water,
+                     mode, L_m):
+    """Still-water buoyant uplift per member.
+
+    Returns (F_b [M] in N, c [M] wetted-span centroid in [0, 1] from node
+    1).  Displaced area: full pi D^2/4 for 'sealed' members, the steel
+    annulus for 'flooded' ones ('legs-flooded' mixes by member type).
+    Marine growth displaces no credit-worthy volume (API practice) — the
+    bare steel OD is used.  Beyond the reference (its loads stop at
+    Morison + self-weight, `/root/reference/JacketAnalysisGUI_v2.py:1995`).
+    """
+    dtype = coords.dtype
+    D_m = sec.D_outer[sect_id] / 1000.0
+    A_sealed = jnp.pi * D_m**2 / 4.0                       # m^2
+    A_flooded = sec.Ax[sect_id] * 1e-6
+    if mode == "sealed":
+        A = A_sealed
+    elif mode == "flooded":
+        A = A_flooded
+    elif mode == "legs-flooded":
+        types = member_types or ("brace",) * conn.shape[0]
+        is_leg = jnp.asarray(np.array([t == "leg" for t in types]))
+        A = jnp.where(is_leg, A_flooded, A_sealed)
+    else:
+        raise ValueError(f"unknown buoyancy mode {mode!r}; use "
+                         "'none', 'sealed', 'flooded' or 'legs-flooded'")
+
+    # wetted parameter span [a, b] of z(t) < 0, t from node 1 to node 2
+    z1 = coords[conn[:, 0], 2]
+    z2 = coords[conn[:, 1], 2]
+    slope = z2 - z1
+    near0 = jnp.abs(slope) < 1e-9
+    t0 = -z1 / jnp.where(near0, 1.0, slope)
+    a = jnp.where(near0, 0.0,
+                  jnp.where(slope > 0, 0.0, jnp.clip(t0, 0.0, 1.0)))
+    b = jnp.where(near0, (z1 < 0.0).astype(dtype),
+                  jnp.where(slope > 0, jnp.clip(t0, 0.0, 1.0), 1.0))
+    wet = jnp.maximum(b - a, 0.0)
+    c = jnp.where(wet > 0, (a + b) / 2.0, 0.5)
+    F_b = rho_water * G_GRAV * A * L_m * wet               # N, +up
+    return F_b.astype(dtype), c.astype(dtype)
+
+
 def assemble_loads(model: JacketModel, case: LoadCase, morison_nodal: jnp.ndarray,
                    L_m: jnp.ndarray) -> jnp.ndarray:
     """Global load vector [n_dof] in N / N*mm."""
@@ -154,6 +206,16 @@ def assemble_loads(model: JacketModel, case: LoadCase, morison_nodal: jnp.ndarra
         F = F.at[:, 2].add(-total / n_nodes)
     elif case.sw_mode != "none":
         raise ValueError(f"unknown self-weight mode {case.sw_mode!r}")
+
+    # -- still-water buoyancy (beyond the reference) --
+    if case.buoyancy != "none":
+        F_b, c = _member_buoyancy(model.coords, model.conn, model.sections,
+                                  model.sect_id, model.member_types,
+                                  case.rho_water, case.buoyancy, L_m)
+        contrib = jnp.concatenate([F_b * (1.0 - c), F_b * c])
+        nodes = jnp.concatenate([model.conn[:, 0], model.conn[:, 1]])
+        bz = jax.ops.segment_sum(contrib, nodes, num_segments=n_nodes)
+        F = F.at[:, 2].add(bz)
 
     return F.reshape(-1)
 
@@ -920,6 +982,19 @@ def _chain_layout_loads(coarse: JacketModel, refined: JacketModel,
         F_I = F_I.at[..., 2].add(-per_node)
     elif case.sw_mode != "none":
         raise ValueError(f"unknown self-weight mode {case.sw_mode!r}")
+
+    # -- still-water buoyancy over the refined mesh (beyond the reference) --
+    if case.buoyancy != "none":
+        F_b, cw = _member_buoyancy(refined.coords, refined.conn,
+                                   refined.sections, refined.sect_id,
+                                   refined.member_types, case.rho_water,
+                                   case.buoyancy, L_m)
+        w1 = (F_b * (1.0 - cw)).reshape(Mc, n_seg).astype(dtype)
+        w2 = (F_b * cw).reshape(Mc, n_seg).astype(dtype)
+        g = g.at[..., 2].add(w2[:, :-1] + w1[:, 1:])
+        bI = jax.ops.segment_sum(
+            jnp.concatenate([w1[:, 0], w2[:, -1]]), nodes, num_segments=nc)
+        F_I = F_I.at[..., 2].add(bI)
 
     return F_I, g.swapaxes(1, 2)
 

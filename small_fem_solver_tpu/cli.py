@@ -10,6 +10,7 @@ maps to a flag or a JSON model file:
                             --wave-model --N --Cd --Cm
   loads tab              -> --F-axial --F-shear --M-moment --M-torsion
                             --self-weight {calculated,custom,none} --custom-sw
+                            --buoyancy {none,sealed,flooded,legs-flooded}
   analysis tab           -> run --t / --phase-scan [--phase-steps]
   results tab            -> --csv out.csv --plot out.png (+ printed report)
 
@@ -79,6 +80,12 @@ def _add_common(ap: argparse.ArgumentParser):
     l.add_argument("--self-weight", default="custom",
                    choices=["calculated", "custom", "none"])
     l.add_argument("--custom-sw", type=float, default=1100.0, help="[tonnes]")
+    l.add_argument("--buoyancy", default="none",
+                   choices=["none", "sealed", "flooded", "legs-flooded"],
+                   help="still-water buoyant uplift on submerged members: "
+                        "sealed = full displaced volume, flooded = steel "
+                        "annulus only, legs-flooded = flooded legs + sealed "
+                        "braces (beyond the reference; default off)")
     s = ap.add_argument_group("solver")
     s.add_argument("--solver", default="chol", choices=["chol", "lu", "pcg"])
     s.add_argument("--f32", action="store_true",
@@ -155,6 +162,7 @@ def _setup(args):
         F_axial_kN=args.F_axial, F_shear_kN=args.F_shear,
         M_moment_kNm=args.M_moment, M_torsion_kNm=args.M_torsion,
         custom_sw_tonnes=args.custom_sw, sw_mode=args.self_weight,
+        buoyancy=getattr(args, "buoyancy", "none"),
         marine_growth_mm=args.marine_growth,
     )
     return model, wave, case

@@ -165,9 +165,11 @@ INFO_TEXT = """\
     integration (regular waves, random seas, free decay)
   - code checks: API RP 2A-WSD member strength (cli code-check)
     and simple tubular-joint punching-shear (cli joint-check)
+  - still-water buoyancy: sealed / free-flooding / legs-flooded
+    member assumptions (Loads tab, cli --buoyancy)
   Still outside scope everywhere: wave slamming, vortex-induced
-  vibration, ringing, appurtenances, flooded-member buoyancy,
-  overlapping/stiffened joint checks, ISO 19902.
+  vibration, ringing, appurtenances, overlapping/stiffened joint
+  checks, ISO 19902.
 
 8. WORKFLOW
 ----------------------------------------------------------------
@@ -551,6 +553,18 @@ class JacketGUI:
             ttk.Radiobutton(f, text=label, variable=self.sw_mode,
                             value=val).grid(row=5 + r, column=0, columnspan=2,
                                             sticky="w")
+        # still-water buoyancy (beyond the reference, which lists
+        # flooded-member effects as excluded in its Info tab)
+        bf = ttk.Frame(f)
+        bf.grid(row=8, column=0, columnspan=3, sticky="w", pady=(10, 0))
+        ttk.Label(bf, text="Buoyancy:").pack(side=tk.LEFT)
+        self.buoyancy = tk.StringVar(value="none")
+        ttk.Combobox(bf, textvariable=self.buoyancy, width=14,
+                     state="readonly",
+                     values=["none", "sealed", "flooded",
+                             "legs-flooded"]).pack(side=tk.LEFT, padx=4)
+        ttk.Label(bf, text="(still-water uplift on wetted members)").pack(
+            side=tk.LEFT)
         # foundation springs (soil-structure interaction; beyond the
         # reference, which clamps the supports rigidly and lists SSI as
         # excluded in its Info tab)
@@ -558,10 +572,10 @@ class JacketGUI:
         ttk.Checkbutton(
             f, text="Supports on foundation springs (kx ky kz [N/mm], "
                     "krx kry krz [N*mm/rad]):",
-            variable=self.use_springs).grid(row=8, column=0, columnspan=3,
+            variable=self.use_springs).grid(row=9, column=0, columnspan=3,
                                             sticky="w", pady=(10, 0))
         sp = ttk.Frame(f)
-        sp.grid(row=9, column=0, columnspan=3, sticky="w")
+        sp.grid(row=10, column=0, columnspan=3, sticky="w")
         self.spring_entries = []
         for default in ["1e6", "1e6", "1e6", "1e12", "1e12", "1e12"]:
             e = ttk.Entry(sp, width=8)
@@ -608,6 +622,7 @@ class JacketGUI:
             M_moment=g(self.lds["M_moment"]),
             M_torsion=g(self.lds["M_torsion"]),
             custom_sw=g(self.lds["custom_sw"]), sw_mode=self.sw_mode.get(),
+            buoyancy=self.buoyancy.get(),
             t_analysis=float(self.entry_t.get()),
         )
 
@@ -645,6 +660,7 @@ class JacketGUI:
                 F_shear_kN=p["F_shear"], M_moment_kNm=p["M_moment"],
                 M_torsion_kNm=p["M_torsion"], custom_sw_tonnes=p["custom_sw"],
                 t_analysis=p["t_analysis"], sw_mode=p["sw_mode"],
+                buoyancy=p["buoyancy"],
                 marine_growth_mm=p["marine_growth"])
 
             scan = None

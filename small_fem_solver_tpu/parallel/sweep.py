@@ -83,7 +83,7 @@ def make_case_batch(base: LoadCase, **overrides) -> LoadCase:
     import dataclasses
     vals = {}
     for f in dataclasses.fields(base):
-        if f.name == "sw_mode":
+        if f.name in LoadCase._STATIC_FIELDS:
             continue
         v = overrides.get(f.name, getattr(base, f.name))
         v = jnp.asarray(v)

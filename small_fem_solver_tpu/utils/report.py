@@ -83,6 +83,8 @@ def render_report(model: JacketModel, wave, case, results,
         log("  Self-weight: calculated from member masses")
     else:
         log("  Self-weight: EXCLUDED")
+    if getattr(case, "buoyancy", "none") != "none":
+        log(f"  Buoyancy: still-water uplift, '{case.buoyancy}' members")
 
     log("\n[SUPPORT REACTIONS]")
     reac = np.asarray(results.reactions) / 1000
