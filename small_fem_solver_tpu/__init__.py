@@ -17,7 +17,8 @@ from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   scatter_fatigue, sea_response_batch, sea_scan_prepared)
 from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)
-from .models.model import JacketModel, build_model, refine_model
+from .models.model import (JacketModel, add_appurtenances, build_model,
+                           refine_model)
 from .models.presets import DEFAULT_STORM, default_3leg_jacket
 from .ops.design import (SectionSensitivities, SizingResult,
                           optimize_sections, section_sensitivities)

@@ -36,8 +36,8 @@ from .ops.assembly import (assemble_bcsr, assemble_dense, bcsr_block_diagonal,
                            bcsr_matvec, build_bcsr_pattern)
 from .ops.beams import (element_stiffness, internal_forces, matmul12,
                         matvec12)
-from .ops.morison import (MorisonLoads, hydro_diameter_m, morison_loads,
-                          morison_phase_batch)
+from .ops.morison import (MorisonLoads, hydro_diameter_m, hydro_members,
+                          morison_loads, morison_phase_batch)
 from .ops.sections import von_mises_8pt
 from .ops.waves import FourierWave
 
@@ -77,8 +77,14 @@ class LoadCase:
     #   displace only the steel annulus) | 'legs-flooded' (flooded legs,
     #   sealed braces — the usual jacket design assumption).  Still-water
     #   wetted span, applied as nodal uplift at the wetted-span centroid.
+    slam_cs: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    #   wave-slamming coefficient Cs (0 = off, reference semantics).
+    #   Recommended pi (API RP 2A commentary) to 5.15 (DNV-RP-C205 8.6).
+    #   Quasi-static splash-zone slam on the POINTWISE kinematics paths
+    #   only; separable/pallas fast paths raise (the crossing-band impact
+    #   term does not separate over the phase matmul).
 
-    _STATIC_FIELDS = ("sw_mode", "buoyancy")
+    _STATIC_FIELDS = ("sw_mode", "buoyancy", "slam_cs")
 
     def cast(self, dtype):
         vals = {f.name: jnp.asarray(getattr(self, f.name), dtype=dtype)
@@ -358,14 +364,15 @@ def _pcg_dist_prep(model, wave, case, pattern, n_gauss, accel, stretching,
                    current_alpha):
     with jax.default_matmul_precision("highest"):
         G = case.E / (2.0 * (1.0 + case.nu))
-        D_m = hydro_diameter_m(model.sections, model.sect_id,
-                               case.marine_growth_mm)
-        mor = morison_loads(wave, model.coords, model.conn, D_m,
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(model, case.marine_growth_mm,
+                                                case.Cd, case.Cm)
+        mor = morison_loads(wave, model.coords, conn_h, D_m,
                             case.wave_dir_deg, case.current_dir_deg,
-                            case.Cd, case.Cm, case.rho_water,
+                            Cd_h, Cm_h, case.rho_water,
                             case.t_analysis, n_gauss=n_gauss, accel=accel,
                             stretching=stretching,
-                            current_alpha=current_alpha)
+                            current_alpha=current_alpha,
+                            slam_cs=case.slam_cs)
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
             case.E, G)
@@ -445,14 +452,14 @@ def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
                   stretching="none", current_alpha=None, agg=None,
                   n_agg=None):
     G = case.E / (2.0 * (1.0 + case.nu))                    # (`:443`)
-    D_m = hydro_diameter_m(model.sections, model.sect_id,
-                       case.marine_growth_mm)    # (`:610`)
+    conn_h, D_m, Cd_h, Cm_h = hydro_members(model, case.marine_growth_mm,
+                                            case.Cd, case.Cm)    # (`:610`)
 
-    mor = morison_loads(wave, model.coords, model.conn, D_m,
+    mor = morison_loads(wave, model.coords, conn_h, D_m,
                         case.wave_dir_deg, case.current_dir_deg,
-                        case.Cd, case.Cm, case.rho_water, case.t_analysis,
+                        Cd_h, Cm_h, case.rho_water, case.t_analysis,
                         n_gauss=n_gauss, accel=accel, stretching=stretching,
-                        current_alpha=current_alpha)
+                        current_alpha=current_alpha, slam_cs=case.slam_cs)
 
     Kg, K_local, T, L_m = element_stiffness(
         model.coords, model.conn, model.sections, model.sect_id, case.E, G)
@@ -553,14 +560,15 @@ def _analyze_ssi_jit(model, wave, case, k_nodes, n_gauss, accel,
                      stretching, current_alpha, fixed_nodes):
     with jax.default_matmul_precision("highest"):
         G = case.E / (2.0 * (1.0 + case.nu))
-        D_m = hydro_diameter_m(model.sections, model.sect_id,
-                               case.marine_growth_mm)
-        mor = morison_loads(wave, model.coords, model.conn, D_m,
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(model, case.marine_growth_mm,
+                                                case.Cd, case.Cm)
+        mor = morison_loads(wave, model.coords, conn_h, D_m,
                             case.wave_dir_deg, case.current_dir_deg,
-                            case.Cd, case.Cm, case.rho_water,
+                            Cd_h, Cm_h, case.rho_water,
                             case.t_analysis, n_gauss=n_gauss, accel=accel,
                             stretching=stretching,
-                            current_alpha=current_alpha)
+                            current_alpha=current_alpha,
+                            slam_cs=case.slam_cs)
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
             case.E, G)
@@ -623,14 +631,15 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
 
     with jax.default_matmul_precision("highest"):
         G = case.E / (2.0 * (1.0 + case.nu))
-        D_m = hydro_diameter_m(model.sections, model.sect_id,
-                               case.marine_growth_mm)
-        mor = morison_loads(wave, model.coords, model.conn, D_m,
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(model, case.marine_growth_mm,
+                                                case.Cd, case.Cm)
+        mor = morison_loads(wave, model.coords, conn_h, D_m,
                             case.wave_dir_deg, case.current_dir_deg,
-                            case.Cd, case.Cm, case.rho_water,
+                            Cd_h, Cm_h, case.rho_water,
                             case.t_analysis, n_gauss=n_gauss, accel=accel,
                             stretching=stretching,
-                            current_alpha=current_alpha)
+                            current_alpha=current_alpha,
+                            slam_cs=case.slam_cs)
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
             case.E, G)
@@ -696,8 +705,8 @@ def _phase_batch_jit(model, wave, case, n_steps, n_gauss, accel, free, fixed):
 
 def _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel, free, fixed):
     G = case.E / (2.0 * (1.0 + case.nu))
-    D_m = hydro_diameter_m(model.sections, model.sect_id,
-                           case.marine_growth_mm)
+    conn_h, D_m, Cd_h, Cm_h = hydro_members(model, case.marine_growth_mm,
+                                            case.Cd, case.Cm)
     dtype = model.coords.dtype
     ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
 
@@ -707,10 +716,11 @@ def _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel, free, fixed):
     fac = solve_mod.factor_dense(K, free)
 
     def loads_at(t):
-        mor = morison_loads(wave, model.coords, model.conn, D_m,
+        mor = morison_loads(wave, model.coords, conn_h, D_m,
                             case.wave_dir_deg, case.current_dir_deg,
-                            case.Cd, case.Cm, case.rho_water, t,
-                            n_gauss=n_gauss, accel=accel)
+                            Cd_h, Cm_h, case.rho_water, t,
+                            n_gauss=n_gauss, accel=accel,
+                            slam_cs=case.slam_cs)
         return assemble_loads(model, case, mor.nodal_forces, L_m), mor
 
     F_batch, mor_batch = jax.vmap(loads_at)(ts)            # [S, n_dof]
@@ -722,6 +732,16 @@ def _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel, free, fixed):
 
     results = jax.vmap(recover)(U_batch, F_batch, mor_batch)
     return ts, results
+
+
+def _check_no_slam(case: LoadCase, path: str) -> None:
+    """Separable/spectral matmul paths cannot carry the slam term."""
+    if case.slam_cs:
+        raise ValueError(
+            f"{path} uses the separable phase/spectral kinematics matmul; "
+            "slamming (slam_cs > 0) runs on the pointwise paths only "
+            "(analyze, analyze_phase_batch, design_sweep, "
+            "phase_scan_condensed(kinematics='pointwise'))")
 
 
 def _check_shared_material(cases: LoadCase) -> None:
@@ -941,7 +961,10 @@ def _chain_layout_loads(coarse: JacketModel, refined: JacketModel,
     element p's near end), and only the 2*Mc chain ends need a (tiny)
     scatter onto the coarse interface nodes.
 
-    ``F1``/``F2``: [S, Mr, 3] Morison member end forces (N);
+    ``F1``/``F2``: [S, Mr, 3] Morison member end forces (N) — or
+    [S, Mr + A, 3] when the model carries A appurtenances (hydro-only
+    rows appended by :func:`..ops.morison.hydro_members`; their end
+    forces land directly on the coarse interface nodes below);
     ``L_m``: [Mr] refined element lengths in metres.
     Returns (F_I_nodes [S, nc, 6], g [S, n_int, Mc, 6]).
     """
@@ -949,8 +972,10 @@ def _chain_layout_loads(coarse: JacketModel, refined: JacketModel,
     nc, Mc = coarse.n_nodes, coarse.n_members
     n_int = n_seg - 1
     S = F1.shape[0]
-    F1c = F1.reshape(S, Mc, n_seg, 3)
-    F2c = F2.reshape(S, Mc, n_seg, 3)
+    Mr = Mc * n_seg
+    F1a, F2a = F1[:, Mr:], F2[:, Mr:]                   # [S, A, 3] (A >= 0)
+    F1c = F1[:, :Mr].reshape(S, Mc, n_seg, 3)
+    F2c = F2[:, :Mr].reshape(S, Mc, n_seg, 3)
 
     # -- interior chain nodes --
     g3 = F2c[:, :, :-1] + F1c[:, :, 1:]                 # [S, Mc, n_int, 3]
@@ -963,8 +988,13 @@ def _chain_layout_loads(coarse: JacketModel, refined: JacketModel,
                            (S, nc, 6)).astype(dtype)
     ends = jnp.concatenate([F1c[:, :, 0], F2c[:, :, -1]], axis=1)  # [S, 2Mc, 3]
     nodes = jnp.concatenate([coarse.conn[:, 0], coarse.conn[:, 1]])
+    end_nodes = nodes
+    if F1a.shape[1] > 0:  # appurtenance end forces -> their guide nodes
+        ends = jnp.concatenate([ends, F1a, F2a], axis=1)
+        end_nodes = jnp.concatenate([nodes, coarse.app_conn[:, 0],
+                                     coarse.app_conn[:, 1]])
     nodal = jax.vmap(lambda c: jax.ops.segment_sum(
-        c, nodes, num_segments=nc))(ends)
+        c, end_nodes, num_segments=nc))(ends)
     F_I = F_I.at[..., :3].add(nodal)
 
     # -- self-weight (`:1995-2013`), distributed over the REFINED mesh --
@@ -1124,34 +1154,40 @@ def _condensed_scan_body(coarse, refined, wave, case, n_seg, n_steps,
     ts = jnp.arange(n_steps, dtype=ldtype) * wave.T.astype(ldtype) / n_steps
 
     case_l = case.cast(ldtype)
-    D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                           case_l.marine_growth_mm)
+    conn_h, D_m, Cd_h, Cm_h = hydro_members(refined, case_l.marine_growth_mm,
+                                            case_l.Cd, case_l.Cm)
     if kinematics in ("separable", "pallas"):
+        if case_l.slam_cs:
+            raise ValueError(
+                "slamming (slam_cs > 0) runs on the pointwise kinematics "
+                "paths only — the crossing-band impact term does not "
+                "separate over the phase matmul. Use kinematics='pointwise'.")
         if kinematics == "pallas":
             from .ops.pallas_kernels import morison_phase_batch_pallas
             mb = morison_phase_batch_pallas(
-                wave, refined.coords, refined.conn, D_m,
+                wave, refined.coords, conn_h, D_m,
                 case_l.wave_dir_deg, case_l.current_dir_deg,
-                case_l.Cd, case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss,
+                Cd_h, Cm_h, case_l.rho_water, ts, n_gauss=n_gauss,
                 current_alpha=current_alpha)
             mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
         else:
-            mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
+            mb = morison_phase_batch(wave, refined.coords, conn_h, D_m,
                                      case_l.wave_dir_deg,
                                      case_l.current_dir_deg,
-                                     case_l.Cd, case_l.Cm, case_l.rho_water,
+                                     Cd_h, Cm_h, case_l.rho_water,
                                      ts, n_gauss=n_gauss,
                                      current_alpha=current_alpha,
                                      stretching=stretching)
         total_morison = mb.total_morison
     elif kinematics == "pointwise":
         def loads_at(t):
-            mor = morison_loads(wave, refined.coords, refined.conn, D_m,
+            mor = morison_loads(wave, refined.coords, conn_h, D_m,
                                 case_l.wave_dir_deg, case_l.current_dir_deg,
-                                case_l.Cd, case_l.Cm, case_l.rho_water, t,
+                                Cd_h, Cm_h, case_l.rho_water, t,
                                 n_gauss=n_gauss, accel=accel,
                                 stretching=stretching,
-                                current_alpha=current_alpha)
+                                current_alpha=current_alpha,
+                                slam_cs=case_l.slam_cs)
             F = assemble_loads(refined, case_l, mor.nodal_forces,
                                L_m.astype(ldtype))
             return F, mor.total_morison
@@ -1414,12 +1450,13 @@ def _analyze_prepared_jit(prep, wave, case, n_gauss, accel, refine_steps):
 
         ldtype = refined.coords.dtype
         case_l = case.cast(ldtype)
-        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                               case_l.marine_growth_mm)
-        mor = morison_loads(wave, refined.coords, refined.conn, D_m,
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            refined, case_l.marine_growth_mm, case_l.Cd, case_l.Cm)
+        mor = morison_loads(wave, refined.coords, conn_h, D_m,
                             case_l.wave_dir_deg, case_l.current_dir_deg,
-                            case_l.Cd, case_l.Cm, case_l.rho_water,
-                            case_l.t_analysis, n_gauss=n_gauss, accel=accel)
+                            Cd_h, Cm_h, case_l.rho_water,
+                            case_l.t_analysis, n_gauss=n_gauss, accel=accel,
+                            slam_cs=case_l.slam_cs)
         F = assemble_loads(refined, case_l, mor.nodal_forces,
                            prep.L_m.astype(ldtype))
         F = F.astype(solve_dtype)
@@ -1493,6 +1530,7 @@ def sea_scan_prepared(prep: CondensedPrepared, sea, case: LoadCase,
     Feed the returned von Mises history to
     :func:`.ops.spectrum.spectral_fatigue_screen`.
     """
+    _check_no_slam(case, "sea_scan_prepared")
     solve_dtype = prep.K_I.dtype
     ldtype = prep.refined.coords.dtype
     return _sea_scan_prepared_jit(prep, sea, case.cast(solve_dtype),
@@ -1511,11 +1549,11 @@ def _sea_scan_prepared_jit(prep, sea, case, ts, n_gauss, refine_steps,
         solve_dtype = prep.K_I.dtype
         ldtype = refined.coords.dtype
         case_l = case.cast(ldtype)
-        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                               case_l.marine_growth_mm)
-        mb = morison_sea_batch(sea, refined.coords, refined.conn, D_m,
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            refined, case_l.marine_growth_mm, case_l.Cd, case_l.Cm)
+        mb = morison_sea_batch(sea, refined.coords, conn_h, D_m,
                                case_l.wave_dir_deg, case_l.current_dir_deg,
-                               case_l.Cd, case_l.Cm, case_l.rho_water, ts,
+                               Cd_h, Cm_h, case_l.rho_water, ts,
                                n_gauss=n_gauss, current_alpha=current_alpha,
                                stretching=stretching)
         F_I_nodes, g = _chain_layout_loads(coarse, refined, case_l,
@@ -1611,6 +1649,7 @@ def sea_response_batch(model: JacketModel, sea, case: LoadCase, ts,
     :class:`CondensedScanResults` layout (ts, U, von Mises, utilization,
     reactions, total Morison, critical index).
     """
+    _check_no_slam(case, "sea_response_batch")
     ks_nodes, free_np, fixed_np = _ssi_spring_nodes(model, support_stiffness,
                                                     model.coords.dtype)
     return _sea_response_batch_jit(model, sea, case.cast(model.coords.dtype),
@@ -1632,11 +1671,11 @@ def _sea_response_batch_jit(model, sea, case, ts, n_gauss, stretching,
             case.E, G)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         fac = _spring_dfac(K, ks_nodes, free)
-        D_m = hydro_diameter_m(model.sections, model.sect_id,
-                               case.marine_growth_mm)
-        mb = morison_sea_batch(sea, model.coords, model.conn, D_m,
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            model, case.marine_growth_mm, case.Cd, case.Cm)
+        mb = morison_sea_batch(sea, model.coords, conn_h, D_m,
                                case.wave_dir_deg, case.current_dir_deg,
-                               case.Cd, case.Cm, case.rho_water, ts,
+                               Cd_h, Cm_h, case.rho_water, ts,
                                n_gauss=n_gauss, current_alpha=current_alpha,
                                stretching=stretching)
         F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
@@ -1727,12 +1766,13 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
         # ---- hydrodynamic + interface + self-weight loads (model dtype) ----
         ldtype = refined.coords.dtype
         case_l = case.cast(ldtype)
-        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                               case_l.marine_growth_mm)
-        mor = morison_loads(wave, refined.coords, refined.conn, D_m,
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            refined, case_l.marine_growth_mm, case_l.Cd, case_l.Cm)
+        mor = morison_loads(wave, refined.coords, conn_h, D_m,
                             case_l.wave_dir_deg, case_l.current_dir_deg,
-                            case_l.Cd, case_l.Cm, case_l.rho_water,
-                            case_l.t_analysis, n_gauss=n_gauss, accel=accel)
+                            Cd_h, Cm_h, case_l.rho_water,
+                            case_l.t_analysis, n_gauss=n_gauss, accel=accel,
+                            slam_cs=case_l.slam_cs)
         F = assemble_loads(refined, case_l, mor.nodal_forces,
                            L_m.astype(ldtype))
         F = F.astype(solve_dtype)
@@ -1822,6 +1862,7 @@ def design_envelope(model: JacketModel, waves: FourierWave, cases: LoadCase,
     foundation springs (see :func:`analyze_ssi`) for the whole envelope.
     """
     _check_shared_material(cases)
+    _check_no_slam(cases, "design_envelope")
     ks_nodes, free_np, _ = _ssi_spring_nodes(model, support_stiffness,
                                              model.coords.dtype)
     free = jnp.asarray(free_np)
@@ -1857,11 +1898,11 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss,
 
         def one_case(wave, case):
             ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-            D_m = hydro_diameter_m(model.sections, model.sect_id,
-                                   case.marine_growth_mm)
-            mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
+            conn_h, D_m, Cd_h, Cm_h = hydro_members(
+                model, case.marine_growth_mm, case.Cd, case.Cm)
+            mb = morison_phase_batch(wave, model.coords, conn_h, D_m,
                                      case.wave_dir_deg, case.current_dir_deg,
-                                     case.Cd, case.Cm, case.rho_water, ts,
+                                     Cd_h, Cm_h, case.rho_water, ts,
                                      n_gauss=n_gauss,
                                      current_alpha=current_alpha,
                                      stretching=stretching)
@@ -1916,6 +1957,7 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     case block; only the member-envelope reduction crosses ICI.
     """
     _check_shared_material(cases)
+    _check_no_slam(cases, "design_envelope_condensed")
     _check_refined_layout(coarse, refined, n_seg)
     if stretching != "none" and kinematics == "pallas":
         raise ValueError("the fused Pallas kernel does not implement Wheeler "
@@ -1968,23 +2010,23 @@ def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
     def one_case(args):
             wave, case = args
             case_l = case.cast(ldtype)
-            D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                                   case_l.marine_growth_mm)
+            conn_h, D_m, Cd_h, Cm_h = hydro_members(
+                refined, case_l.marine_growth_mm, case_l.Cd, case_l.Cm)
             ts = jnp.arange(n_steps, dtype=ldtype) \
                 * wave.T.astype(ldtype) / n_steps
             if kinematics == "pallas":
                 from .ops.pallas_kernels import morison_phase_batch_pallas
                 mb = morison_phase_batch_pallas(
-                    wave, refined.coords, refined.conn, D_m,
-                    case_l.wave_dir_deg, case_l.current_dir_deg, case_l.Cd,
-                    case_l.Cm, case_l.rho_water, ts, n_gauss=n_gauss,
+                    wave, refined.coords, conn_h, D_m,
+                    case_l.wave_dir_deg, case_l.current_dir_deg, Cd_h,
+                    Cm_h, case_l.rho_water, ts, n_gauss=n_gauss,
                     current_alpha=current_alpha)
                 mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
             elif kinematics == "separable":
-                mb = morison_phase_batch(wave, refined.coords, refined.conn,
+                mb = morison_phase_batch(wave, refined.coords, conn_h,
                                          D_m, case_l.wave_dir_deg,
-                                         case_l.current_dir_deg, case_l.Cd,
-                                         case_l.Cm, case_l.rho_water, ts,
+                                         case_l.current_dir_deg, Cd_h,
+                                         Cm_h, case_l.rho_water, ts,
                                          n_gauss=n_gauss,
                                          current_alpha=current_alpha,
                                          stretching=stretching)

@@ -3,7 +3,9 @@
 Every widget of the reference's 8 tabs (`/root/reference/JacketAnalysisGUI_v2.py:843-850`)
 maps to a flag or a JSON model file:
 
-  geometry/members tabs  -> --model jacket.json (or the built-in default)
+  geometry/members tabs  -> --model jacket.json (or the built-in default;
+                            the JSON schema also carries appurtenances —
+                            hydro-only risers/conductors with Cd/Cm factors)
   material tab           -> --E --nu --fy --rho-steel --rho-water
                             --D-leg --t-leg --D-brace --t-brace
   wave tab               -> --H --T --d --Uc --wave-dir --current-dir
@@ -80,6 +82,11 @@ def _add_common(ap: argparse.ArgumentParser):
     l.add_argument("--self-weight", default="custom",
                    choices=["calculated", "custom", "none"])
     l.add_argument("--custom-sw", type=float, default=1100.0, help="[tonnes]")
+    l.add_argument("--slam-cs", type=float, default=0.0,
+                   help="wave-slamming coefficient Cs (0 = off; pi per API "
+                        "RP 2A commentary, 5.15 per DNV-RP-C205). "
+                        "Quasi-static splash-zone slam; pointwise "
+                        "kinematics paths only")
     l.add_argument("--buoyancy", default="none",
                    choices=["none", "sealed", "flooded", "legs-flooded"],
                    help="still-water buoyant uplift on submerged members: "
@@ -163,6 +170,7 @@ def _setup(args):
         M_moment_kNm=args.M_moment, M_torsion_kNm=args.M_torsion,
         custom_sw_tonnes=args.custom_sw, sw_mode=args.self_weight,
         buoyancy=getattr(args, "buoyancy", "none"),
+        slam_cs=getattr(args, "slam_cs", 0.0),
         marine_growth_mm=args.marine_growth,
     )
     return model, wave, case
@@ -182,12 +190,14 @@ def cmd_run(args):
 
     scan = None
     if args.phase_scan:
-        D_m = hydro_diameter_m(model.sections, model.sect_id,
-                               case.marine_growth_mm)
-        scan = mor_phase_scan(wave, model.coords, model.conn, D_m,
+        from .ops.morison import hydro_members
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(model, case.marine_growth_mm,
+                                                case.Cd, case.Cm)
+        scan = mor_phase_scan(wave, model.coords, conn_h, D_m,
                               case.wave_dir_deg, case.current_dir_deg,
-                              case.Cd, case.Cm, case.rho_water,
-                              n_steps=args.phase_steps, accel=args.accel)
+                              Cd_h, Cm_h, case.rho_water,
+                              n_steps=args.phase_steps, accel=args.accel,
+                              slam_cs=case.slam_cs)
 
     spring = getattr(args, "support_spring", None)
     _spring_banner(spring)

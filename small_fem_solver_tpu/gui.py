@@ -167,9 +167,13 @@ INFO_TEXT = """\
     and simple tubular-joint punching-shear (cli joint-check)
   - still-water buoyancy: sealed / free-flooding / legs-flooded
     member assumptions (Loads tab, cli --buoyancy)
-  Still outside scope everywhere: wave slamming, vortex-induced
-  vibration, ringing, appurtenances, overlapping/stiffened joint
-  checks, ISO 19902.
+  - appurtenances: risers/conductors/J-tubes as hydro-only
+    members with Cd/Cm shielding factors (JSON models and the
+    library API: add_appurtenances)
+  - wave slamming: quasi-static splash-zone impact loads
+    (DNV-RP-C205 form; cli --slam-cs, pointwise paths)
+  Still outside scope everywhere: vortex-induced vibration,
+  ringing, overlapping/stiffened joint checks, ISO 19902.
 
 8. WORKFLOW
 ----------------------------------------------------------------
@@ -666,12 +670,12 @@ class JacketGUI:
             scan = None
             if self.do_phase_scan.get():
                 self.log("Scanning wave period for critical phase...")
-                from .ops.morison import hydro_diameter_m
-                D_m = hydro_diameter_m(model.sections, model.sect_id,
-                                       case.marine_growth_mm)
-                scan = phase_scan(wave, model.coords, model.conn, D_m,
+                from .ops.morison import hydro_members
+                conn_h, D_m, Cd_h, Cm_h = hydro_members(
+                    model, case.marine_growth_mm, case.Cd, case.Cm)
+                scan = phase_scan(wave, model.coords, conn_h, D_m,
                                   case.wave_dir_deg, case.current_dir_deg,
-                                  case.Cd, case.Cm, case.rho_water,
+                                  Cd_h, Cm_h, case.rho_water,
                                   n_steps=36)
 
             self.log("Solving (first run compiles the XLA program)...")

@@ -57,6 +57,17 @@ class JacketModel:
     node_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     member_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     member_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # Appurtenances (risers, conductors, J-tubes, caissons): hydro-only
+    # segments between structural nodes — they attract Morison load (their
+    # own diameter, Cd/Cm multipliers) but contribute NO stiffness, mass,
+    # weight or buoyancy.  None = no appurtenances (reference semantics).
+    # The reference excludes appurtenances outright (its Info tab,
+    # `JacketAnalysisGUI_v2.py:141`).
+    app_conn: jnp.ndarray | None = None      # [A, 2] int32 node indices
+    app_D_mm: jnp.ndarray | None = None      # [A] hydrodynamic OD [mm]
+    app_cd_mult: jnp.ndarray | None = None   # [A] drag multiplier
+    app_cm_mult: jnp.ndarray | None = None   # [A] inertia multiplier
+    app_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     # ---------------- sizes ----------------
     @property
@@ -70,6 +81,10 @@ class JacketModel:
     @property
     def n_dof(self) -> int:
         return 6 * self.n_nodes
+
+    @property
+    def n_appurtenances(self) -> int:
+        return 0 if self.app_conn is None else self.app_conn.shape[0]
 
     # ---------------- geometry ----------------
     def member_geometry(self):
@@ -151,6 +166,42 @@ def build_model(
     )
 
 
+def add_appurtenances(model: JacketModel,
+                      appurtenances: Sequence[dict]) -> JacketModel:
+    """Attach hydro-only appurtenance segments to a model.
+
+    Each spec dict: ``name``, ``node1``/``node2`` (structural node names
+    — risers and conductors hang on the jacket at guide elevations),
+    ``D_mm`` (hydrodynamic OD), optional ``cd_mult``/``cm_mult``
+    (shielding or roughness factors, default 1).  The segments attract
+    Morison drag/inertia through the same batched kinematics arrays as
+    the structural members but add no stiffness, mass, weight or
+    buoyancy; their end forces land on the guide nodes by the same lever
+    rule.  Returns a new model (the input is untouched).
+    """
+    if not appurtenances:
+        return model
+    index = {n: i for i, n in enumerate(model.node_names)}
+    conn = np.array([[index[a["node1"]], index[a["node2"]]]
+                     for a in appurtenances], dtype=np.int32)
+    D = np.array([float(a["D_mm"]) for a in appurtenances])
+    cd = np.array([float(a.get("cd_mult", 1.0)) for a in appurtenances])
+    cm = np.array([float(a.get("cm_mult", 1.0)) for a in appurtenances])
+    if np.any(D <= 0):
+        raise ValueError("appurtenance D_mm must be > 0")
+    if np.any(cd < 0) or np.any(cm < 0):
+        raise ValueError("appurtenance cd_mult/cm_mult must be >= 0")
+    dtype = model.coords.dtype
+    return dataclasses.replace(
+        model,
+        app_conn=jnp.asarray(conn),
+        app_D_mm=jnp.asarray(D, dtype=dtype),
+        app_cd_mult=jnp.asarray(cd, dtype=dtype),
+        app_cm_mult=jnp.asarray(cm, dtype=dtype),
+        app_names=tuple(a["name"] for a in appurtenances),
+    )
+
+
 def refine_model(model: JacketModel, n_seg: int) -> JacketModel:
     """Subdivide every member into ``n_seg`` equal beam elements.
 
@@ -207,4 +258,11 @@ def refine_model(model: JacketModel, n_seg: int) -> JacketModel:
         node_names=node_names,
         member_names=member_names,
         member_types=member_types,
+        # appurtenance endpoints are original (coarse) nodes, whose indices
+        # are preserved by the refinement layout — carry them unchanged
+        app_conn=model.app_conn,
+        app_D_mm=model.app_D_mm,
+        app_cd_mult=model.app_cd_mult,
+        app_cm_mult=model.app_cm_mult,
+        app_names=model.app_names,
     )

@@ -530,12 +530,16 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
     with jax.default_matmul_precision("highest"):
         # loads over one period on the refined mesh, projected to CB space
         ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-        from .morison import hydro_diameter_m
-        D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                               case.marine_growth_mm)
-        mb = morison_phase_batch(wave, refined.coords, refined.conn, D_m,
+        from .morison import hydro_members
+        if case.slam_cs:
+            raise ValueError("dynamics loading uses the separable phase "
+                             "matmul; slamming (slam_cs > 0) is pointwise-"
+                             "path only")
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            refined, case.marine_growth_mm, case.Cd, case.Cm)
+        mb = morison_phase_batch(wave, refined.coords, conn_h, D_m,
                                  case.wave_dir_deg, case.current_dir_deg,
-                                 case.Cd, case.Cm, case.rho_water, ts,
+                                 Cd_h, Cm_h, case.rho_water, ts,
                                  n_gauss=n_gauss)
         F = jax.vmap(lambda nodal: assemble_loads(
             refined, case, nodal, cb.L_m))(mb.nodal_forces)  # [S, n_dof_ref]
@@ -704,21 +708,26 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
                              "SpectralSea unless zero_loads=True (free "
                              "vibration)")
         else:
-            D_m = hydro_diameter_m(refined.sections, refined.sect_id,
-                                   case.marine_growth_mm)
+            from .morison import hydro_members
+            if case.slam_cs:
+                raise ValueError("dynamics loading uses the separable "
+                                 "phase/spectral matmul; slamming "
+                                 "(slam_cs > 0) is pointwise-path only")
+            conn_h, D_m, Cd_h, Cm_h = hydro_members(
+                refined, case.marine_growth_mm, case.Cd, case.Cm)
             if isinstance(wave, SpectralSea):
-                mb = morison_sea_batch(wave, refined.coords, refined.conn,
+                mb = morison_sea_batch(wave, refined.coords, conn_h,
                                        D_m, case.wave_dir_deg,
-                                       case.current_dir_deg, case.Cd,
-                                       case.Cm, case.rho_water, ts,
+                                       case.current_dir_deg, Cd_h,
+                                       Cm_h, case.rho_water, ts,
                                        n_gauss=n_gauss,
                                        stretching=stretching)
                 T_ramp = float(wave.Tp)
             else:
-                mb = morison_phase_batch(wave, refined.coords, refined.conn,
+                mb = morison_phase_batch(wave, refined.coords, conn_h,
                                          D_m, case.wave_dir_deg,
-                                         case.current_dir_deg, case.Cd,
-                                         case.Cm, case.rho_water, ts,
+                                         case.current_dir_deg, Cd_h,
+                                         Cm_h, case.rho_water, ts,
                                          n_gauss=n_gauss,
                                          stretching=stretching)
                 T_ramp = float(wave.T)
@@ -905,12 +914,16 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
     with jax.default_matmul_precision("highest"):
         # loads over one period (separable fast path)
         ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-        from .morison import hydro_diameter_m
-        D_m = hydro_diameter_m(model.sections, model.sect_id,
-                               case.marine_growth_mm)
-        mb = morison_phase_batch(wave, model.coords, model.conn, D_m,
+        from .morison import hydro_members
+        if case.slam_cs:
+            raise ValueError("dynamics loading uses the separable phase "
+                             "matmul; slamming (slam_cs > 0) is pointwise-"
+                             "path only")
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            model, case.marine_growth_mm, case.Cd, case.Cm)
+        mb = morison_phase_batch(wave, model.coords, conn_h, D_m,
                                  case.wave_dir_deg, case.current_dir_deg,
-                                 case.Cd, case.Cm, case.rho_water, ts,
+                                 Cd_h, Cm_h, case.rho_water, ts,
                                  n_gauss=n_gauss)
         F = jax.vmap(lambda nodal: assemble_loads(model, case, nodal,
                                                   L_m))(mb.nodal_forces)

@@ -48,6 +48,39 @@ def hydro_diameter_m(sections, sect_id, marine_growth_mm=0.0):
     return (sections.D_outer[sect_id] + 2.0 * marine_growth_mm) / 1000.0
 
 
+def hydro_members(model, marine_growth_mm, Cd, Cm):
+    """Hydrodynamic segment set of a model: ``(conn_h, D_m_h, Cd_h, Cm_h)``.
+
+    The structural members, plus — when the model carries appurtenances
+    (risers, conductors, J-tubes, caissons: load-attracting segments with
+    no stiffness, see :func:`..models.model.add_appurtenances`) — their
+    segments appended, with each appurtenance's own hydrodynamic diameter
+    and its Cd/Cm shielding/roughness multipliers folded into per-member
+    coefficient vectors.  Marine growth widens appurtenances exactly like
+    structural members.  With no appurtenances the scalar ``Cd``/``Cm``
+    pass through untouched (reference semantics, zero overhead).
+
+    The reference's Info tab lists appurtenances as excluded
+    (`/root/reference/JacketAnalysisGUI_v2.py:141`); this is the
+    TPU-native upgrade: the extra segments ride the same batched
+    kinematics/integrand arrays, so the cost is O(A/M), not a second pass.
+    """
+    D_m = hydro_diameter_m(model.sections, model.sect_id, marine_growth_mm)
+    app = getattr(model, "app_conn", None)
+    if app is None or app.shape[0] == 0:
+        return model.conn, D_m, Cd, Cm
+    dtype = D_m.dtype
+    D_app = (model.app_D_mm.astype(dtype) + 2.0 * marine_growth_mm) / 1000.0
+    conn_h = jnp.concatenate([model.conn, app], axis=0)
+    D_h = jnp.concatenate([D_m, D_app])
+    ones = jnp.ones(model.conn.shape[0], dtype)
+    Cd_h = jnp.asarray(Cd, dtype) * jnp.concatenate(
+        [ones, model.app_cd_mult.astype(dtype)])
+    Cm_h = jnp.asarray(Cm, dtype) * jnp.concatenate(
+        [ones, model.app_cm_mult.astype(dtype)])
+    return conn_h, D_h, Cd_h, Cm_h
+
+
 def gauss_legendre_01(n: int, dtype=np.float64):
     """Nodes/weights of n-point Gauss-Legendre on [0, 1] (host constant).
 
@@ -85,6 +118,7 @@ def morison_loads(
     accel: str = "fd",
     stretching: str = "none",
     current_alpha=None,
+    slam_cs: float = 0.0,
 ) -> MorisonLoads:
     """Morison drag+inertia loads for all members at time ``t``.
 
@@ -97,6 +131,20 @@ def morison_loads(
     heights; ``current_alpha`` (e.g. 1/7) applies a power-law current
     profile U_c(z) = U_c ((z+d)/d)^alpha instead of the reference's uniform
     current (`JacketAnalysisGUI_v2.py:281`).
+
+    ``slam_cs`` > 0 adds a quasi-static wave-slamming line load on
+    splash-zone members (DNV-RP-C205 section 8.6 form):
+    f_s = 0.5 rho Cs D v_n^2 per unit length, where v_n is the vertical
+    surface rise velocity d(eta)/dt projected normal to the member axis,
+    active only where the instantaneous surface lies within D/2 of the
+    point (the cylinder is being crossed) AND the surface is rising.
+    Vertical members see zero slam (the normal projection vanishes);
+    horizontal members at the crest-crossing phase see the full
+    0.5 rho Cs D eta_dot^2.  Recommended Cs: pi (von Karman flat-plate,
+    the API RP 2A commentary value) to 5.15 (DNV).  The slam force is
+    folded into the drag component of the breakdown.  Default 0 = off
+    (reference semantics — the reference excludes slamming, its Info tab
+    `JacketAnalysisGUI_v2.py:141`).
     """
     dtype = coords.dtype
     theta_w = jnp.deg2rad(jnp.asarray(90.0 - wave_dir_deg, dtype=dtype))
@@ -153,6 +201,15 @@ def morison_loads(
     Lw = (L[:, None] * w[None, :])                        # [M, Q] line measure
     A_cross = jnp.pi * D**2 / 4.0
 
+    # Cd/Cm: scalar (reference semantics) or per-member [M] (appurtenance
+    # shielding/roughness multipliers — see hydro_members)
+    Cd = jnp.asarray(Cd, dtype=dtype)
+    Cm = jnp.asarray(Cm, dtype=dtype)
+    if Cd.ndim == 1:
+        Cd = Cd[:, None]
+    if Cm.ndim == 1:
+        Cm = Cm[:, None]
+
     drag_on = jnp.logical_and(sub, U_mag > 1e-10).astype(dtype)  # (`:648-651`)
     F_drag = (0.5 * rho_water * Cd * D * U_mag * Lw)[..., None] * U_perp \
         * drag_on[..., None]
@@ -160,6 +217,29 @@ def morison_loads(
         * subf[..., None]
 
     f = F_drag + F_inertia                                # [M, Q, 3]
+
+    # -- wave slamming (off unless slam_cs > 0; see docstring) --
+    if slam_cs:
+        from .waves import surface_velocity
+        eta_dot = surface_velocity(wave, x_wave, jnp.asarray(t, dtype=dtype))
+        crossing = jnp.abs(z - kin.eta) <= D / 2.0        # [M, Q]
+        vs = jnp.where(jnp.logical_and(crossing, eta_dot > 0.0), eta_dot, 0.0)
+        # vertical unit vector's perpendicular component w.r.t. the axis:
+        # z_perp = zhat - e_z e, |z_perp| = sqrt(1 - e_z^2); the normal
+        # surface velocity is v_n = eta_dot |z_perp| and the slam load is
+        # 0.5 rho Cs D v_n^2 along z_perp/|z_perp|
+        #   = 0.5 rho Cs D eta_dot^2 |z_perp| * z_perp
+        ez = e[:, 2]
+        zp_sq = jnp.maximum(1.0 - ez * ez, 0.0)           # [M]
+        zp_mag = jnp.where(zp_sq > 0,
+                           jnp.sqrt(jnp.where(zp_sq > 0, zp_sq, 1.0)), 0.0)
+        z_perp = jnp.stack([-ez * e[:, 0], -ez * e[:, 1], zp_sq],
+                           axis=-1)                       # [M, 3]
+        slam_fac = (0.5 * rho_water * jnp.asarray(slam_cs, dtype) * D
+                    * vs**2 * Lw * zp_mag[:, None])       # [M, Q]
+        F_slam = slam_fac[..., None] * z_perp[:, None, :]
+        F_drag = F_drag + F_slam
+        f = f + F_slam
 
     # lever-rule end split (`:658-659`)
     F1 = jnp.sum((1.0 - s)[None, :, None] * f, axis=1)    # [M, 3]
@@ -208,6 +288,7 @@ def phase_scan(
     n_gauss: int = 15,
     accel: str = "fd",
     keep_nodal: bool = False,
+    slam_cs: float = 0.0,
 ) -> PhaseScan:
     """Scan one wave period for the critical phase — as ONE vmapped batch.
 
@@ -223,7 +304,7 @@ def phase_scan(
     def one(t):
         r = morison_loads(wave, coords, conn, D_m, wave_dir_deg,
                           current_dir_deg, Cd, Cm, rho_water, t,
-                          n_gauss=n_gauss, accel=accel)
+                          n_gauss=n_gauss, accel=accel, slam_cs=slam_cs)
         out = (r.total_morison, r.total_drag, r.total_inertia)
         return out + ((r.nodal_forces,) if keep_nodal else ())
 
@@ -474,8 +555,13 @@ def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
     Dp = jnp.repeat(D_m, Q)[None, :]
     Lw = jnp.repeat(L, Q)[None, :] * jnp.tile(w, M)[None, :]
     drag_on = (Umag > 1e-10).astype(dtype)
-    cd_fac = 0.5 * rho_water * Cd * Dp * Umag * Lw * drag_on
-    ci_fac = rho_water * Cm * (jnp.pi * Dp**2 / 4.0) * Lw
+    # scalar or per-member [M] coefficients (appurtenance multipliers)
+    Cd = jnp.asarray(Cd, dtype=dtype)
+    Cm = jnp.asarray(Cm, dtype=dtype)
+    Cdp = jnp.repeat(Cd, Q)[None, :] if Cd.ndim == 1 else Cd
+    Cmp = jnp.repeat(Cm, Q)[None, :] if Cm.ndim == 1 else Cm
+    cd_fac = 0.5 * rho_water * Cdp * Dp * Umag * Lw * drag_on
+    ci_fac = rho_water * Cmp * (jnp.pi * Dp**2 / 4.0) * Lw
     fd = jnp.stack([cd_fac * Upx, cd_fac * Upy, cd_fac * Upz], axis=-1)
     fi = jnp.stack([ci_fac * Apx, ci_fac * Apy, ci_fac * Apz], axis=-1)
     f = (fd + fi).reshape(-1, M, Q, 3)                     # [S, M, Q, 3]

@@ -224,8 +224,14 @@ def morison_phase_batch_pallas(
     eyr = pad_pts(jnp.broadcast_to(e[:, 1:2], (M, n_gauss)))
     ezr = pad_pts(jnp.broadcast_to(e[:, 2:3], (M, n_gauss)))
     Lw = L[:, None] * wq[None, :]
-    cd_row = pad_pts(0.5 * f32(rho_water) * f32(Cd) * D_m.astype(dtype)[:, None] * Lw)
-    ci_row = pad_pts(f32(rho_water) * f32(Cm)
+    # Cd/Cm: scalar or per-member [M] (appurtenance multipliers)
+    Cd_c, Cm_c = f32(Cd), f32(Cm)
+    if Cd_c.ndim == 1:
+        Cd_c = Cd_c[:, None]
+    if Cm_c.ndim == 1:
+        Cm_c = Cm_c[:, None]
+    cd_row = pad_pts(0.5 * f32(rho_water) * Cd_c * D_m.astype(dtype)[:, None] * Lw)
+    ci_row = pad_pts(f32(rho_water) * Cm_c
                      * (jnp.pi * D_m.astype(dtype)[:, None] ** 2 / 4.0) * Lw)
     # per-point current components (uniform, or power-law when
     # current_alpha is given)

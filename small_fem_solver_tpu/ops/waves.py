@@ -106,6 +106,21 @@ def surface_elevation(wave: FourierWave, x, t):
     return jnp.sum(wave.E * jnp.cos(j * theta[..., None]), axis=-1)
 
 
+def surface_velocity(wave: FourierWave, x, t):
+    """d(eta)/dt (x, t) — the vertical surface rise velocity.
+
+    Exact derivative of the Fourier surface sum: with theta = k x - omega t,
+    d/dt sum_j E_j cos(j theta) = sum_j E_j j omega sin(j theta).
+    Used by the slamming term (the reference has no slamming concept).
+    """
+    x = jnp.asarray(x)
+    t = jnp.asarray(t)
+    theta = wave.k * x - wave.omega * t
+    j = _mode_numbers(wave.E)
+    return jnp.sum(wave.E * j * wave.omega * jnp.sin(j * theta[..., None]),
+                   axis=-1)
+
+
 def _depth_profiles(wave: FourierWave, z):
     """Overflow-safe C_j(z), S_j(z); shapes ``z.shape + (N,)``.
 

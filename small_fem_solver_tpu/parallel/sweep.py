@@ -28,7 +28,7 @@ from ..models.model import JacketModel
 from ..ops import solve as solve_mod
 from ..ops.assembly import assemble_dense
 from ..ops.beams import element_stiffness
-from ..ops.morison import hydro_diameter_m, morison_loads
+from ..ops.morison import hydro_diameter_m, hydro_members, morison_loads
 from ..ops.stokes import stokes_wave
 from ..ops.waves import FourierWave, airy_wave
 
@@ -146,12 +146,13 @@ def _design_sweep_jit(model, waves, cases, free, fixed, ks_nodes, n_gauss,
         fac = _spring_dfac(K, ks_nodes, free)
 
         def one(wave, case):
-            D_m = hydro_diameter_m(model.sections, model.sect_id,
-                                   case.marine_growth_mm)
-            mor = morison_loads(wave, model.coords, model.conn, D_m,
+            conn_h, D_m, Cd_h, Cm_h = hydro_members(
+                model, case.marine_growth_mm, case.Cd, case.Cm)
+            mor = morison_loads(wave, model.coords, conn_h, D_m,
                                 case.wave_dir_deg, case.current_dir_deg,
-                                case.Cd, case.Cm, case.rho_water,
-                                case.t_analysis, n_gauss=n_gauss, accel=accel)
+                                Cd_h, Cm_h, case.rho_water,
+                                case.t_analysis, n_gauss=n_gauss, accel=accel,
+                                slam_cs=case.slam_cs)
             F = assemble_loads(model, case, mor.nodal_forces, L_m)
             U = solve_mod.solve_factored(fac, F)
             return _recover(model, case, K, U, F, fixed, K_local, T, L_m, mor)

@@ -56,6 +56,16 @@ def model_to_dict(model: JacketModel, params: dict | None = None) -> dict:
             "rho_steel": float(sec.rho_steel[0]),
         },
     }
+    if model.n_appurtenances:
+        app = np.asarray(model.app_conn)
+        d["appurtenances"] = [
+            {"name": model.app_names[a],
+             "node1": model.node_names[app[a, 0]],
+             "node2": model.node_names[app[a, 1]],
+             "D_mm": float(model.app_D_mm[a]),
+             "cd_mult": float(model.app_cd_mult[a]),
+             "cm_mult": float(model.app_cm_mult[a])}
+            for a in range(app.shape[0])]
     if params:
         d["params"] = params
     return d
@@ -85,6 +95,9 @@ def model_from_dict(d: dict, dtype=None) -> tuple[JacketModel, dict]:
         rho_steel=sec.get("rho_steel", 7850.0),
         dtype=dtype or jnp.float64,
     )
+    if d.get("appurtenances"):
+        from ..models.model import add_appurtenances
+        model = add_appurtenances(model, d["appurtenances"])
     return model, d.get("params", {})
 
 

@@ -43,6 +43,13 @@ def _draw_structure(ax, model: JacketModel, member_colors=None, lw_leg=5.0,
         lw = lw_leg if model.member_types[e] == "leg" else lw_brace
         ax.plot([c1[0], c2[0]], [c1[1], c2[1]], [c1[2], c2[2]],
                 color=color, linewidth=lw, alpha=0.8)
+    if model.n_appurtenances:
+        app = np.asarray(model.app_conn)
+        for a in range(app.shape[0]):
+            c1, c2 = coords[app[a, 0]], coords[app[a, 1]]
+            ax.plot([c1[0], c2[0]], [c1[1], c2[1]], [c1[2], c2[2]],
+                    color="darkorange", linewidth=1.5, linestyle="--",
+                    alpha=0.9)
     fixed = np.asarray(model.fixed_mask)
     top = np.asarray(model.top_mask)
     for i in range(model.n_nodes):

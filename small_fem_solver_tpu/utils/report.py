@@ -85,6 +85,9 @@ def render_report(model: JacketModel, wave, case, results,
         log("  Self-weight: EXCLUDED")
     if getattr(case, "buoyancy", "none") != "none":
         log(f"  Buoyancy: still-water uplift, '{case.buoyancy}' members")
+    if getattr(case, "slam_cs", 0.0):
+        log(f"  Wave slamming: Cs = {float(case.slam_cs):.2f} "
+            "(splash-zone impact, folded into drag)")
 
     log("\n[SUPPORT REACTIONS]")
     reac = np.asarray(results.reactions) / 1000
