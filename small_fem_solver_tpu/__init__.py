@@ -23,6 +23,7 @@ from .models.presets import DEFAULT_STORM, default_3leg_jacket
 from .ops.design import (SectionSensitivities, SizingResult,
                           optimize_sections, section_sensitivities)
 from .ops.codecheck import CodeCheck, member_code_check
+from .ops.codecheck_iso import ISOCheck, iso_member_check
 from .ops.jointcheck import JointCheck, joint_code_check
 from .ops.buckling import (BucklingResults, EulerScreen,
                            buckling_analysis, euler_member_screen)
@@ -39,6 +40,7 @@ from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
                            sea_kinematics, sea_surface,
                            spectral_fatigue_screen)
 from .ops.stokes import stokes_wave
+from .ops.viv import VIVScreen, viv_screen
 from .ops.wave_models import make_wave, validate_wave
 from .ops.waves import FourierWave, airy_wave, kinematics, surface_elevation
 from .utils.persist import (design_envelope_resumable, load_results,

@@ -710,33 +710,48 @@ def cmd_dynamic(args):
 
 
 def cmd_code_check(args):
-    """API RP 2A-WSD member strength unity checks on the analyzed state."""
+    """API RP 2A-WSD or ISO 19902 member strength checks on the analyzed
+    state."""
     import numpy as np
 
     import small_fem_solver_tpu as sf
     from .ops.codecheck import member_code_check
+    from .ops.codecheck_iso import iso_member_check
 
     model, wave, case = _setup(args)
     with _cpu_if_f64(args):
         res = sf.analyze(model, wave, case, solver="chol",
                          accel="analytic")
-        chk = member_code_check(model, res, Fy=args.fy, E=args.E,
-                                K_leg=args.K_leg, K_brace=args.K_brace,
-                                Cm=args.cm_factor)
+        fn = member_code_check if args.standard == "api" else iso_member_check
+        chk = fn(model, res, Fy=args.fy, E=args.E,
+                 K_leg=args.K_leg, K_brace=args.K_brace, Cm=args.cm_factor)
     uc = np.asarray(chk.uc)
     order = np.argsort(uc)[::-1][:12]
-    print(f"API RP 2A-WSD member checks (Fy={args.fy} MPa, K_leg="
+    std = ("API RP 2A-WSD" if args.standard == "api"
+           else "ISO 19902 (gamma_R partial factors)")
+    print(f"{std} member checks (Fy={args.fy} MPa, K_leg="
           f"{args.K_leg}, K_brace={args.K_brace}, Cm={args.cm_factor}):")
-    print(f"  {'Member':<24} {'UC':>6} {'gov':>10} {'fa':>7} {'fb':>7} "
-          f"{'Fa':>7} {'Fb':>7} {'KL/r':>6}")
-    for e in order:
-        print(f"  {model.member_names[e]:<24} {uc[e]:>6.3f} "
-              f"{chk.governing[e]:>10} {float(chk.fa_mpa[e]):>7.1f} "
-              f"{float(chk.fb_mpa[e]):>7.1f} {float(chk.Fa_mpa[e]):>7.1f} "
-              f"{float(chk.Fb_mpa[e]):>7.1f} {float(chk.KL_over_r[e]):>6.1f}")
+    if args.standard == "api":
+        print(f"  {'Member':<24} {'UC':>6} {'gov':>10} {'fa':>7} {'fb':>7} "
+              f"{'Fa':>7} {'Fb':>7} {'KL/r':>6}")
+        for e in order:
+            print(f"  {model.member_names[e]:<24} {uc[e]:>6.3f} "
+                  f"{chk.governing[e]:>10} {float(chk.fa_mpa[e]):>7.1f} "
+                  f"{float(chk.fb_mpa[e]):>7.1f} {float(chk.Fa_mpa[e]):>7.1f} "
+                  f"{float(chk.Fb_mpa[e]):>7.1f} "
+                  f"{float(chk.KL_over_r[e]):>6.1f}")
+    else:
+        print(f"  {'Member':<24} {'UC':>6} {'gov':>11} {'fa':>7} {'fb':>7} "
+              f"{'fc':>7} {'f_b':>7} {'KL/r':>6}")
+        for e in order:
+            print(f"  {model.member_names[e]:<24} {uc[e]:>6.3f} "
+                  f"{chk.governing[e]:>11} {float(chk.fa_mpa[e]):>7.1f} "
+                  f"{float(chk.fb_mpa[e]):>7.1f} {float(chk.fc_mpa[e]):>7.1f} "
+                  f"{float(chk.fb_rep_mpa[e]):>7.1f} "
+                  f"{float(chk.KL_over_r[e]):>6.1f}")
     if uc.max() > 1.0:
-        print("  WARNING: unity check > 1.0 — member strength exceeded per "
-              "API RP 2A-WSD!")
+        print(f"  WARNING: unity check > 1.0 — member strength exceeded per "
+              f"{std}!")
     else:
         print(f"  all members pass (max UC {uc.max():.3f}); von Mises "
               f"utilization max {float(res.utilization.max()):.3f}")
@@ -782,6 +797,54 @@ def cmd_joint_check(args):
               "exceeded per API RP 2A-WSD!")
     else:
         print(f"  all joints pass (max UC {uc.max():.3f})")
+
+
+def cmd_viv(args):
+    """Current-induced VIV susceptibility screen (DNV screening values)."""
+    import jax
+
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from .ops.viv import viv_screen
+    from .utils.io import load_model
+
+    if args.model:
+        model, _ = load_model(args.model)
+    else:
+        import jax.numpy as jnp
+
+        import small_fem_solver_tpu as sf
+        model = sf.default_3leg_jacket(
+            z_water_ref=args.z_water_ref,
+            dtype=jnp.float32 if args.f32 else jnp.float64)
+    scr = viv_screen(model, U_c=args.Uc, d=args.d,
+                     rho_water=args.rho_water, zeta=args.zeta,
+                     Ca=args.Cm - 1.0, current_alpha=args.current_alpha,
+                     marine_growth_mm=args.marine_growth,
+                     flooded=args.flooded, E=args.E,
+                     end_fixity=args.end_fixity)
+    uc = np.maximum(np.asarray(scr.uc_inline), np.asarray(scr.uc_crossflow))
+    order = np.argsort(uc)[::-1][:12]
+    prof = ("uniform" if args.current_alpha is None
+            else f"power-law a={args.current_alpha}")
+    print(f"VIV screen (U_c={args.Uc} m/s {prof}, zeta={args.zeta}, "
+          f"Ca={args.Cm - 1.0:.1f}, spans {args.end_fixity}):")
+    print(f"  {'Member':<24} {'f_n[Hz]':>8} {'U[m/s]':>7} {'V_r':>6} "
+          f"{'K_s':>6} {'UC_il':>6} {'UC_cf':>6} {'flag':>10}")
+    for e in order:
+        print(f"  {model.member_names[e]:<24} {float(scr.f_n_hz[e]):>8.2f} "
+              f"{float(scr.U_ms[e]):>7.2f} {float(scr.V_r[e]):>6.2f} "
+              f"{float(scr.K_s[e]):>6.2f} {float(scr.uc_inline[e]):>6.2f} "
+              f"{float(scr.uc_crossflow[e]):>6.2f} {scr.flags[e]:>10}")
+    n_bad = int((scr.flags != "ok").sum())
+    if n_bad:
+        print(f"  WARNING: {n_bad} member(s) susceptible to VIV — detailed "
+              "assessment (DNV-RP-C205 sec. 9) required")
+    else:
+        print("  all members below VIV onset "
+              f"(max onset ratio {uc.max():.2f})")
 
 
 def cmd_save_default(args):
@@ -918,9 +981,13 @@ def main(argv=None):
     pdp.set_defaults(fn=cmd_pdelta)
 
     cc = sub.add_parser("code-check",
-                        help="API RP 2A-WSD member strength unity checks "
-                             "(beyond the reference's yield screen)")
+                        help="API RP 2A-WSD or ISO 19902 member strength "
+                             "unity checks (beyond the reference's yield "
+                             "screen)")
     _add_common(cc)
+    cc.add_argument("--standard", default="api", choices=["api", "iso"],
+                    help="API RP 2A-WSD working stress or ISO 19902 "
+                         "partial-factor checks")
     cc.add_argument("--K-leg", type=float, default=1.0,
                     help="effective length factor for legs")
     cc.add_argument("--K-brace", type=float, default=0.8,
@@ -942,6 +1009,23 @@ def main(argv=None):
     jc.add_argument("--gap", type=float, default=50.0,
                     help="K-joint gap [mm] for the Qg factor")
     jc.set_defaults(fn=cmd_joint_check)
+
+    vv = sub.add_parser("viv",
+                        help="current-induced VIV susceptibility screen "
+                             "(beyond the reference's scope)")
+    _add_common(vv)
+    vv.add_argument("--zeta", type=float, default=0.01,
+                    help="structural damping ratio of the member spans")
+    vv.add_argument("--current-alpha", type=float, default=None,
+                    help="power-law current profile exponent (e.g. 0.1429 "
+                         "= 1/7); default uniform")
+    vv.add_argument("--flooded", default="none",
+                    choices=["none", "legs", "all"],
+                    help="members carrying internal water mass")
+    vv.add_argument("--end-fixity", default="fixed",
+                    choices=["fixed", "pinned"],
+                    help="span end condition for the natural frequency")
+    vv.set_defaults(fn=cmd_viv)
 
     md = sub.add_parser("modes", help="natural frequencies (modal analysis)")
     _add_common(md)

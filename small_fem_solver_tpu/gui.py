@@ -172,8 +172,12 @@ INFO_TEXT = """\
     library API: add_appurtenances)
   - wave slamming: quasi-static splash-zone impact loads
     (DNV-RP-C205 form; cli --slam-cs, pointwise paths)
-  Still outside scope everywhere: vortex-induced vibration,
-  ringing, overlapping/stiffened joint checks, ISO 19902.
+  - VIV susceptibility screening: member reduced velocity vs
+    DNV onset values with stability-parameter gates (cli viv)
+  - ISO 19902 member checks (partial-factor format) alongside
+    the API RP 2A-WSD set (cli code-check --standard iso)
+  Still outside scope everywhere: ringing,
+  overlapping/stiffened joint checks.
 
 8. WORKFLOW
 ----------------------------------------------------------------
