@@ -39,6 +39,9 @@ from .ops.sections import TubeSections, tube_sections
 from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
                            sea_kinematics, sea_surface,
                            spectral_fatigue_screen)
+from .ops.soil import (Pile, PileHeadStiffness, SoilLayer, axial_solve,
+                       lateral_solve, pile_head_stiffness,
+                       soil_support_stiffness)
 from .ops.stokes import stokes_wave
 from .ops.viv import VIVScreen, viv_screen
 from .ops.wave_models import make_wave, validate_wave

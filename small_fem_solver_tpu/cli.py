@@ -847,6 +847,73 @@ def cmd_viv(args):
               f"(max onset ratio {uc.max():.2f})")
 
 
+_DEFAULT_SOIL = [
+    {"kind": "clay", "z_top": 0.0, "z_bot": 8.0, "su_kPa": 40.0,
+     "gamma_kN_m3": 8.0, "eps50": 0.02},
+    {"kind": "sand", "z_top": 8.0, "z_bot": 100.0, "phi_deg": 35.0,
+     "gamma_kN_m3": 10.0},
+]
+
+
+def cmd_pile(args):
+    """Pile-head springs from API p-y/t-z/Q-z curves; optional SSI run."""
+    import json
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from .ops.soil import Pile, SoilLayer
+
+    if args.soil:
+        raw = args.soil
+        if not raw.lstrip().startswith("["):
+            with open(raw) as f:
+                raw = f.read()
+        specs = json.loads(raw)
+    else:
+        specs = _DEFAULT_SOIL
+        print("[soil] using the built-in 2-layer demo profile "
+              "(soft clay over dense sand); pass --soil FILE.json for "
+              "real data", file=sys.stderr)
+    soil = [SoilLayer(**s) for s in specs]
+    pile = Pile(D_mm=args.pile_D, t_mm=args.pile_t, L_m=args.pile_L,
+                E_MPa=args.E, n_elem=args.pile_n,
+                plugged=not args.unplugged)
+
+    model, wave, case = _setup(args)
+    if args.from_analysis:
+        print("[pile] clamped analysis for per-support working loads ...")
+        res = sf.analyze(model, wave, case, solver="chol")
+        springs = sf.soil_support_stiffness(model, soil, pile,
+                                            reactions=res.reactions)
+    else:
+        head = sf.pile_head_stiffness(pile, soil, H_kN=args.pile_H,
+                                      V_kN=args.pile_V, M_kNm=args.pile_M)
+        fixed = np.where(np.asarray(model.fixed_mask))[0]
+        springs = np.tile(head.support_stiffness, (fixed.size, 1))
+        print(f"pile head at working loads H={args.pile_H} kN, "
+              f"V={args.pile_V} kN: deflection {head.y_head_mm:.1f} mm, "
+              f"settlement {head.u_head_mm:.1f} mm "
+              f"(Newton residuals {head.residuals.max():.1e})")
+    print(f"pile: O{args.pile_D:.0f}x{args.pile_t:.0f} mm, "
+          f"L = {args.pile_L:.0f} m, "
+          f"{'plugged' if not args.unplugged else 'unplugged'}; "
+          f"{len(soil)} soil layer(s)")
+    print("secant pile-head springs per support "
+          "[kN/mm transl, MN*m/rad rot]:")
+    for i, k in enumerate(springs):
+        print(f"  support {i}: kx=ky={k[0]/1e3:.1f} kz={k[2]/1e3:.1f} "
+              f"| krx=kry={k[3]/1e9:.1f} krz={k[5]/1e9:.1f}")
+    if args.analyze:
+        print("\nrunning the load case on the soil springs (analyze_ssi):")
+        res = sf.analyze_ssi(model, wave, case, springs)
+        from .utils.report import render_report
+        print(render_report(model, wave, case, res))
+
+
 def cmd_save_default(args):
     import small_fem_solver_tpu as sf
     from .utils.io import save_model
@@ -1042,6 +1109,39 @@ def main(argv=None):
                     help="retained fixed-interface modes per member chain")
     _add_spring_arg(md)
     md.set_defaults(fn=cmd_modes)
+
+    pl = sub.add_parser("pile",
+                        help="pile-head springs from API p-y/t-z/Q-z "
+                             "soil curves (feeds the SSI spring supports; "
+                             "beyond the reference's scope)")
+    _add_common(pl)
+    pl.add_argument("--soil", help="soil profile JSON (file or literal "
+                                   "list of layer dicts: kind sand/clay/"
+                                   "linear, z_top, z_bot, su_kPa, phi_deg, "
+                                   "gamma_kN_m3, ...)")
+    pl.add_argument("--pile-D", type=float, default=2134.0,
+                    help="pile OD [mm]")
+    pl.add_argument("--pile-t", type=float, default=50.0,
+                    help="pile wall [mm]")
+    pl.add_argument("--pile-L", type=float, default=60.0,
+                    help="pile penetration below mudline [m]")
+    pl.add_argument("--pile-n", type=int, default=64,
+                    help="pile discretization elements")
+    pl.add_argument("--unplugged", action="store_true",
+                    help="annulus tip area instead of plugged full circle")
+    pl.add_argument("--pile-H", type=float, default=2000.0,
+                    help="lateral working load per pile [kN]")
+    pl.add_argument("--pile-V", type=float, default=15000.0,
+                    help="axial working load per pile [kN]")
+    pl.add_argument("--pile-M", type=float, default=0.0,
+                    help="head working moment [kNm] (0 = auto probe)")
+    pl.add_argument("--from-analysis", action="store_true",
+                    help="take per-support working loads from a clamped "
+                         "analysis of this load case")
+    pl.add_argument("--analyze", action="store_true",
+                    help="run the load case on the computed springs "
+                         "(analyze_ssi) and print the report")
+    pl.set_defaults(fn=cmd_pile)
 
     sd = sub.add_parser("save-default", help="write default jacket JSON")
     sd.add_argument("out")

@@ -158,7 +158,8 @@ INFO_TEXT = """\
     screening with JONSWAP/PM realizations, narrow-band Rayleigh
     and rainflow damage (cli fatigue [--spectrum jonswap|pm])
   - soil-structure interaction: 6-DOF foundation springs on every
-    analysis path (--support-spring)
+    analysis path (--support-spring), and pile-head springs derived
+    from API p-y/t-z/Q-z soil curves (cli pile --from-analysis)
   - dynamics: natural frequencies (also Craig-Bampton reduced for
     refined meshes), steady-state wave-frequency response with a
     dynamic amplification factor, and transient Newmark time
