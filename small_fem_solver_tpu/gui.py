@@ -169,8 +169,8 @@ INFO_TEXT = """\
   - still-water buoyancy: sealed / free-flooding / legs-flooded
     member assumptions (Loads tab, cli --buoyancy)
   - appurtenances: risers/conductors/J-tubes as hydro-only
-    members with Cd/Cm shielding factors (JSON models and the
-    library API: add_appurtenances)
+    members with Cd/Cm shielding factors (Members tab editor,
+    JSON models, library API: add_appurtenances)
   - wave slamming: quasi-static splash-zone impact loads
     (DNV-RP-C205 form; cli --slam-cs, pointwise paths)
   - VIV susceptibility screening: member reduced velocity vs
@@ -230,6 +230,7 @@ class JacketGUI:
 
         self.nodes_data: dict[str, list] = {}
         self.members_data: list[dict] = []
+        self.apps_data: list[dict] = []     # hydro-only appurtenances
         self.fixed_nodes: list[str] = []
         self.top_nodes: list[str] = []
         self.analysis_results = None
@@ -382,9 +383,11 @@ class JacketGUI:
     def clear_geometry(self):
         if messagebox.askyesno("Confirm", "Clear all geometry data?"):
             self.nodes_data, self.members_data = {}, []
+            self.apps_data = []
             self.fixed_nodes, self.top_nodes = [], []
             self.refresh_nodes()
             self.refresh_members()
+            self.refresh_appurtenances()
 
     def load_default_geometry(self):
         from .models.presets import default_3leg_jacket_geometry
@@ -410,10 +413,12 @@ class JacketGUI:
         d = json.loads(open(path).read())
         self.nodes_data = {k: list(v) for k, v in d["nodes"].items()}
         self.members_data = d["members"]
+        self.apps_data = d.get("appurtenances", [])
         self.fixed_nodes = d.get("fixed_nodes", [])
         self.top_nodes = d.get("top_nodes", [])
         self.refresh_nodes()
         self.refresh_members()
+        self.refresh_appurtenances()
 
     # -------------------------------------------------------------- members
     def _build_members_tab(self):
@@ -452,6 +457,39 @@ class JacketGUI:
         ttk.Button(btns, text="Horizontal Braces",
                    command=self.autogen_h).pack(side=tk.LEFT, padx=4)
 
+        # --- appurtenances: hydro-only risers/conductors (beyond the
+        # reference, whose Info tab excludes them) ---
+        appf = ttk.LabelFrame(
+            f, text="Appurtenances (risers/conductors — attract wave load, "
+                    "no stiffness/weight)")
+        appf.pack(fill=tk.X, padx=5, pady=5)
+        row = ttk.Frame(appf)
+        row.pack(fill=tk.X, padx=3, pady=3)
+        self.app_entries = {}
+        for col, (label, key, width, default) in enumerate(
+                [("Name", "name", 10, ""), ("Node 1", "node1", 8, ""),
+                 ("Node 2", "node2", 8, ""), ("D [mm]", "D_mm", 8, "610"),
+                 ("Cd mult", "cd_mult", 7, "1.0"),
+                 ("Cm mult", "cm_mult", 7, "1.0")]):
+            ttk.Label(row, text=label + ":").grid(row=0, column=2 * col)
+            e = ttk.Entry(row, width=width)
+            if default:
+                e.insert(0, default)
+            e.grid(row=0, column=2 * col + 1, padx=2)
+            self.app_entries[key] = e
+        ttk.Button(row, text="Add", command=self.add_appurtenance).grid(
+            row=0, column=12, padx=4)
+        ttk.Button(row, text="Delete Selected",
+                   command=self.delete_appurtenance).grid(row=0, column=13,
+                                                          padx=4)
+        acols = ("name", "node1", "node2", "D_mm", "cd_mult", "cm_mult")
+        self.app_tree = ttk.Treeview(appf, columns=acols, show="headings",
+                                     height=4)
+        for c in acols:
+            self.app_tree.heading(c, text=c.upper())
+            self.app_tree.column(c, width=100)
+        self.app_tree.pack(fill=tk.X, padx=3, pady=3)
+
     def add_member(self):
         name = self.member_entries["name"].get().strip()
         n1 = self.member_entries["node1"].get().strip().upper()
@@ -478,6 +516,44 @@ class JacketGUI:
         for m in self.members_data:
             self.member_tree.insert("", tk.END, values=(
                 m["name"], m["node1"], m["node2"], m["type"]))
+        self.update_3d_preview()
+
+    def add_appurtenance(self):
+        g = {k: e.get().strip() for k, e in self.app_entries.items()}
+        if not all([g["name"], g["node1"], g["node2"], g["D_mm"]]):
+            messagebox.showerror("Error", "All fields are required")
+            return
+        n1, n2 = g["node1"].upper(), g["node2"].upper()
+        if n1 not in self.nodes_data or n2 not in self.nodes_data:
+            messagebox.showerror("Error", f"Nodes {n1} or {n2} not defined")
+            return
+        try:
+            spec = {"name": g["name"], "node1": n1, "node2": n2,
+                    "D_mm": float(g["D_mm"]),
+                    "cd_mult": float(g["cd_mult"] or 1.0),
+                    "cm_mult": float(g["cm_mult"] or 1.0)}
+            if spec["D_mm"] <= 0 or spec["cd_mult"] < 0 or spec["cm_mult"] < 0:
+                raise ValueError
+        except ValueError:
+            messagebox.showerror("Error", "D must be > 0 and the Cd/Cm "
+                                          "multipliers >= 0")
+            return
+        self.apps_data.append(spec)
+        self.refresh_appurtenances()
+
+    def delete_appurtenance(self):
+        names = {self.app_tree.item(i)["values"][0]
+                 for i in self.app_tree.selection()}
+        self.apps_data = [a for a in self.apps_data
+                          if a["name"] not in names]
+        self.refresh_appurtenances()
+
+    def refresh_appurtenances(self):
+        self.app_tree.delete(*self.app_tree.get_children())
+        for a in self.apps_data:
+            self.app_tree.insert("", tk.END, values=(
+                a["name"], a["node1"], a["node2"], a["D_mm"],
+                a["cd_mult"], a["cm_mult"]))
         self.update_3d_preview()
 
     def autogen_legs(self):
@@ -636,13 +712,14 @@ class JacketGUI:
         )
 
     def _build_model(self, p=None):
-        from .models.model import build_model
+        from .models.model import add_appurtenances, build_model
         p = p or self._params()
-        return build_model(self.nodes_data, self.members_data,
-                           self.fixed_nodes, self.top_nodes,
-                           leg_section=(p["D_leg"], p["t_leg"]),
-                           brace_section=(p["D_brace"], p["t_brace"]),
-                           rho_steel=p["rho_steel"])
+        model = build_model(self.nodes_data, self.members_data,
+                            self.fixed_nodes, self.top_nodes,
+                            leg_section=(p["D_leg"], p["t_leg"]),
+                            brace_section=(p["D_brace"], p["t_brace"]),
+                            rho_steel=p["rho_steel"])
+        return add_appurtenances(model, self.apps_data)
 
     def run_analysis(self):
         self.log_text.delete("1.0", tk.END)

@@ -30,6 +30,13 @@ def test_gui_builds_widget_tree():
         # embedded live 3D preview canvas (reference parity)
         assert app._preview_canvas is not None
         app.update_3d_preview()
+        # appurtenance editor round trip
+        app.app_entries["name"].insert(0, "R1")
+        app.app_entries["node1"].insert(0, "A1")
+        app.app_entries["node2"].insert(0, "A2")
+        app.add_appurtenance()
+        assert len(app.apps_data) == 1
+        assert app._build_model(p).n_appurtenances == 1
     finally:
         root.destroy()
 
@@ -46,6 +53,57 @@ def test_info_text_covers_reference_topics():
                   "REFERENCES", "H/L  < 0.142", "H/d  < 0.78",
                   "D/t > 10", "Wheeler"]:
         assert topic in text, f"Info tab missing topic: {topic}"
+
+
+def test_appurtenance_handlers_headless():
+    """The Members-tab appurtenance editor logic, driven without Tk."""
+    import small_fem_solver_tpu.gui as gui
+
+    class FakeEntry:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self):
+            return self.v
+
+    class FakeTree:
+        def __init__(self):
+            self.rows = []
+
+        def delete(self, *a):
+            self.rows = []
+
+        def get_children(self):
+            return ()
+
+        def insert(self, where, end, values=()):
+            self.rows.append(values)
+
+        def selection(self):
+            return ()
+
+    class Stub:
+        nodes_data = {"A1": [0.0, 0.0, -40.0], "A2": [0.0, 0.0, -20.0]}
+        apps_data = []
+        app_tree = FakeTree()
+        add_appurtenance = gui.JacketGUI.add_appurtenance
+        delete_appurtenance = gui.JacketGUI.delete_appurtenance
+        refresh_appurtenances = gui.JacketGUI.refresh_appurtenances
+
+        def update_3d_preview(self):
+            pass
+
+    s = Stub()
+    s.app_entries = {k: FakeEntry(v) for k, v in
+                     dict(name="R1", node1="a1", node2="A2", D_mm="610",
+                          cd_mult="0.8", cm_mult="1.0").items()}
+    s.add_appurtenance()
+    assert s.apps_data == [{"name": "R1", "node1": "A1", "node2": "A2",
+                            "D_mm": 610.0, "cd_mult": 0.8, "cm_mult": 1.0}]
+    assert len(s.app_tree.rows) == 1
+    # delete with nothing selected keeps the row
+    s.delete_appurtenance()
+    assert len(s.apps_data) == 1
 
 
 def test_update_3d_preview_headless_noop():
