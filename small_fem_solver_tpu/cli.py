@@ -888,10 +888,12 @@ def cmd_pile(args):
         print("[pile] clamped analysis for per-support working loads ...")
         res = sf.analyze(model, wave, case, solver="chol")
         springs = sf.soil_support_stiffness(model, soil, pile,
-                                            reactions=res.reactions)
+                                            reactions=res.reactions,
+                                            scour_m=args.scour)
     else:
         head = sf.pile_head_stiffness(pile, soil, H_kN=args.pile_H,
-                                      V_kN=args.pile_V, M_kNm=args.pile_M)
+                                      V_kN=args.pile_V, M_kNm=args.pile_M,
+                                      scour_m=args.scour)
         fixed = np.where(np.asarray(model.fixed_mask))[0]
         springs = np.tile(head.support_stiffness, (fixed.size, 1))
         print(f"pile head at working loads H={args.pile_H} kN, "
@@ -1135,6 +1137,10 @@ def main(argv=None):
                     help="axial working load per pile [kN]")
     pl.add_argument("--pile-M", type=float, default=0.0,
                     help="head working moment [kNm] (0 = auto probe)")
+    pl.add_argument("--scour", type=float, default=0.0,
+                    help="general scour depth [m]: the top metres carry "
+                         "no soil; overburden measured from the scoured "
+                         "surface")
     pl.add_argument("--from-analysis", action="store_true",
                     help="take per-support working loads from a clamped "
                          "analysis of this load case")

@@ -184,20 +184,34 @@ class _LateralParams(NamedTuple):
     c2: jnp.ndarray       # sand: k z [N/m^2]
 
 
-def _lateral_params(pile: Pile, soil: Sequence[SoilLayer],
-                    z: np.ndarray) -> _LateralParams:
+def _lateral_params(pile: Pile, soil: Sequence[SoilLayer], z: np.ndarray,
+                    scour_m: float = 0.0) -> _LateralParams:
+    """Per-node p-y parameters.
+
+    Depth-strength products use the TRUE integrated overburden sigma'_v
+    (the API uniform-soil forms ``gamma' z`` generalize to sigma'_v in
+    layered profiles: ``(C1 z + C2 D) gamma' z = (C1 z + C2 D) sigma'_v``)
+    and the geometric depth measured from the SCOURED mudline
+    (``z_eff = z - scour_m``); nodes inside the scour hole carry no soil.
+    Layer identity stays tied to the original (survey) depth ``z``.
+    """
     D = pile.D_mm / 1000.0
     layers = _layer_at(soil, z)
+    sig = _overburden(soil, z) - _overburden(soil,
+                                             np.full_like(z, scour_m))
+    sig = np.maximum(sig, 0.0)                           # sigma'_v [Pa]
+    z_eff = z - scour_m
     kind = np.zeros(len(z), np.int32)
     pu = np.zeros(len(z))
     c1 = np.zeros(len(z))
     c2 = np.zeros(len(z))
-    for i, (zi, lay) in enumerate(zip(z, layers)):
-        gam = lay.gamma_kN_m3 * 1e3                      # N/m^3
+    for i, (zi, lay) in enumerate(zip(z_eff, layers)):
         if lay.kind == "sand":
             kind[i] = 0
+            if zi < 0.0:
+                continue  # inside the scour hole                                  # scoured away
             C1, C2, C3 = _sand_C123(lay.phi_deg)
-            pu_i = min((C1 * zi + C2 * D) * gam * zi, C3 * D * gam * zi)
+            pu_i = min((C1 * zi + C2 * D) * sig[i], C3 * D * sig[i])
             A = max(3.0 - 0.8 * zi / D, 0.9)
             k = (lay.k_MN_m3 if lay.k_MN_m3 is not None
                  else float(np.interp(lay.phi_deg, _K_SAND_PHI,
@@ -206,12 +220,14 @@ def _lateral_params(pile: Pile, soil: Sequence[SoilLayer],
             c2[i] = k * zi                                # N/m^2
         elif lay.kind == "clay":
             kind[i] = 1
+            if zi < 0.0:
+                continue  # inside the scour hole
             su = lay.su_kPa * 1e3
-            pu[i] = min(3.0 + gam * zi / su + lay.J * zi / D, 9.0) * su * D
+            pu[i] = min(3.0 + sig[i] / su + lay.J * zi / D, 9.0) * su * D
             c1[i] = 2.5 * lay.eps50 * D                   # y50 [m]
         else:
             kind[i] = 2
-            c1[i] = lay.Es_MPa * 1e6                      # Pa
+            c1[i] = lay.Es_MPa * 1e6 if zi >= 0.0 else 0.0  # Pa
     return _LateralParams(jnp.asarray(kind), jnp.asarray(pu),
                           jnp.asarray(c1), jnp.asarray(c2))
 
@@ -301,15 +317,18 @@ def _newton(K, F, soil_force, soil_jac, n_iter: int = 60):
 
 
 def lateral_solve(pile: Pile, soil: Sequence[SoilLayer], H_N: float,
-                  M_Nm: float = 0.0, n_iter: int = 60) -> PileSolve:
+                  M_Nm: float = 0.0, n_iter: int = 60,
+                  scour_m: float = 0.0) -> PileSolve:
     """Laterally loaded pile: head shear ``H_N`` [N] and moment ``M_Nm``
-    [N m] at the mudline; returns nodal (y [m], theta [rad])."""
+    [N m] at the (original) mudline; returns nodal (y [m], theta [rad]).
+    ``scour_m``: general scour depth — the top metres carry no soil and
+    all depth/overburden terms are measured from the scoured surface."""
     n = pile.n_elem
     D = pile.D_mm / 1000.0
     Di = (pile.D_mm - 2 * pile.t_mm) / 1000.0
     EI = pile.E_MPa * 1e6 * np.pi / 64.0 * (D**4 - Di**4)
     z = np.linspace(0.0, pile.L_m, n + 1)
-    par = _lateral_params(pile, soil, z)
+    par = _lateral_params(pile, soil, z, scour_m=scour_m)
     trib = jnp.asarray(_trib(pile.L_m, n))
     K = jnp.asarray(_beam_matrix(EI, pile.L_m, n))
     F = jnp.zeros(2 * (n + 1), jnp.float64).at[0].set(H_N).at[1].set(M_Nm)
@@ -340,24 +359,31 @@ class _AxialParams(NamedTuple):
     scale: jnp.ndarray   # clay: D | sand: z_peak | linear: ks
 
 
-def _axial_params(pile: Pile, soil: Sequence[SoilLayer],
-                  z: np.ndarray) -> tuple[_AxialParams, float, float]:
-    """Per-node t-z parameters + (Q_max [N], D [m])."""
+def _axial_params(pile: Pile, soil: Sequence[SoilLayer], z: np.ndarray,
+                  scour_m: float = 0.0) -> tuple[_AxialParams, float, float]:
+    """Per-node t-z parameters + (Q_max [N], D [m]); scour removes skin
+    in the hole and reduces the overburden everywhere below."""
     D = pile.D_mm / 1000.0
     circ = np.pi * D
     layers = _layer_at(soil, z)
-    sig = _overburden(soil, z)
+    sig = np.maximum(_overburden(soil, z)
+                     - _overburden(soil, np.full_like(z, scour_m)), 0.0)
+    z_eff = z - scour_m
     kind = np.zeros(len(z), np.int32)
     tmax = np.zeros(len(z))
     scale = np.zeros(len(z))
-    for i, (zi, lay) in enumerate(zip(z, layers)):
+    for i, (zi, lay) in enumerate(zip(z_eff, layers)):
         if lay.kind == "sand":
             kind[i] = 0
+            if zi < 0.0:
+                continue  # inside the scour hole
             delta = np.deg2rad(max(lay.phi_deg - 5.0, 5.0))
             tmax[i] = 0.8 * sig[i] * np.tan(delta) * circ
             scale[i] = 0.00254                        # peak at 2.54 mm
         elif lay.kind == "clay":
             kind[i] = 1
+            if zi < 0.0:
+                continue  # inside the scour hole
             su = lay.su_kPa * 1e3
             psi = su / max(sig[i], 1.0)
             alpha = min(0.5 * psi**-0.5 if psi <= 1.0 else 0.5 * psi**-0.25,
@@ -366,7 +392,8 @@ def _axial_params(pile: Pile, soil: Sequence[SoilLayer],
             scale[i] = D
         else:
             kind[i] = 2
-            scale[i] = (lay.ks_MPa or 0.0) * 1e6      # N/m per m
+            scale[i] = ((lay.ks_MPa or 0.0) * 1e6 if zi >= 0.0
+                        else 0.0)                     # N/m per m
     # tip
     tip = layers[-1]
     if pile.plugged:
@@ -405,15 +432,15 @@ def tz_resistance(par: _AxialParams, u):
 
 
 def axial_solve(pile: Pile, soil: Sequence[SoilLayer], V_N: float,
-                n_iter: int = 60) -> PileSolve:
+                n_iter: int = 60, scour_m: float = 0.0) -> PileSolve:
     """Axially loaded pile (positive ``V_N`` = compression, head settles
-    +u); nonlinear t-z shaft + Q-z tip."""
+    +u); nonlinear t-z shaft + Q-z tip; ``scour_m`` as lateral_solve."""
     n = pile.n_elem
     D = pile.D_mm / 1000.0
     Di = (pile.D_mm - 2 * pile.t_mm) / 1000.0
     EA = pile.E_MPa * 1e6 * np.pi / 4.0 * (D**2 - Di**2)
     z = np.linspace(0.0, pile.L_m, n + 1)
-    par, Q_max, _ = _axial_params(pile, soil, z)
+    par, Q_max, _ = _axial_params(pile, soil, z, scour_m=scour_m)
     trib = jnp.asarray(_trib(pile.L_m, n))
     # linear-layer tip spring (if the tip layer is linear)
     tip_lay = _layer_at(soil, np.array([pile.L_m]))[0]
@@ -463,7 +490,8 @@ class PileHeadStiffness(NamedTuple):
 
 def pile_head_stiffness(pile: Pile, soil: Sequence[SoilLayer],
                         H_kN: float = 100.0, V_kN: float = 1000.0,
-                        M_kNm: float = 0.0) -> PileHeadStiffness:
+                        M_kNm: float = 0.0,
+                        scour_m: float = 0.0) -> PileHeadStiffness:
     """Uncoupled secant pile-head springs at the given working loads.
 
     Three nonlinear solves (H alone, M alone — default the H-solve's
@@ -478,7 +506,7 @@ def pile_head_stiffness(pile: Pile, soil: Sequence[SoilLayer],
                          "working loads (probe with small values if unknown)")
     H = H_kN * 1e3
     V = V_kN * 1e3
-    lat_H = lateral_solve(pile, soil, H, 0.0)
+    lat_H = lateral_solve(pile, soil, H, 0.0, scour_m=scour_m)
     y0 = float(lat_H.u[0])
     th_H = float(lat_H.u[1])
     if M_kNm <= 0.0:
@@ -487,9 +515,9 @@ def pile_head_stiffness(pile: Pile, soil: Sequence[SoilLayer],
         M = H * min(5.0 * pile.D_mm / 1000.0, pile.L_m / 4.0)
     else:
         M = M_kNm * 1e3
-    lat_M = lateral_solve(pile, soil, 0.0, M)
+    lat_M = lateral_solve(pile, soil, 0.0, M, scour_m=scour_m)
     th0 = float(lat_M.u[1])
-    ax = axial_solve(pile, soil, V)
+    ax = axial_solve(pile, soil, V, scour_m=scour_m)
     u0 = float(ax.u[0])
 
     ky = H / max(abs(y0), 1e-12)                       # N/m
@@ -502,7 +530,7 @@ def pile_head_stiffness(pile: Pile, soil: Sequence[SoilLayer],
     G = pile.E_MPa * 1e6 / (2.0 * (1.0 + pile.nu))
     J = np.pi / 32.0 * (D**4 - Di**4)
     z = np.linspace(0.0, pile.L_m, pile.n_elem + 1)
-    par, _, _ = _axial_params(pile, soil, z)
+    par, _, _ = _axial_params(pile, soil, z, scour_m=scour_m)
     u_probe = 0.001
     s0 = np.asarray(tz_resistance(par, jnp.full(len(z), u_probe))) / u_probe
     k_theta = float(np.mean(s0)) * (D / 2.0) ** 2      # N m/rad per m
@@ -524,7 +552,8 @@ def pile_head_stiffness(pile: Pile, soil: Sequence[SoilLayer],
 
 
 def soil_support_stiffness(model, soil: Sequence[SoilLayer], pile: Pile,
-                           reactions=None) -> np.ndarray:
+                           reactions=None,
+                           scour_m: float = 0.0) -> np.ndarray:
     """Per-support [n_fixed, 6] springs from per-support working loads.
 
     ``reactions``: the clamped analysis' ``results.reactions`` (N / N*mm on
@@ -545,6 +574,7 @@ def soil_support_stiffness(model, soil: Sequence[SoilLayer], pile: Pile,
             V_kN = max(abs(float(R[2])) / 1e3, 100.0)
             M_kNm = max(float(np.hypot(R[3], R[4])) / 1e6, 0.0)
         head = pile_head_stiffness(pile, soil, H_kN=H_kN, V_kN=V_kN,
-                                   M_kNm=M_kNm if M_kNm > 1.0 else 0.0)
+                                   M_kNm=M_kNm if M_kNm > 1.0 else 0.0,
+                                   scour_m=scour_m)
         out[i] = head.support_stiffness
     return out

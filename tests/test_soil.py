@@ -199,6 +199,53 @@ def test_pile_head_stiffness_and_ssi_workflow():
                                rtol=1e-6, atol=5.0)
 
 
+def test_layered_overburden_in_sand_pu():
+    """Sand p_u must use the TRUE integrated overburden, not the local
+    layer's gamma*z: clay (8 kN/m3) over sand — at z = 12 m the sand pu
+    uses sigma'_v = 8*10 + 10*2 = 100 kPa, not 10*12 = 120."""
+    soil = [SoilLayer("clay", 0.0, 10.0, su_kPa=40.0, gamma_kN_m3=8.0),
+            SoilLayer("sand", 10.0, 100.0, phi_deg=30.0, gamma_kN_m3=10.0)]
+    z = np.array([12.0])
+    par = _lateral_params(PILE, soil, z)
+    C1, C2, C3 = _sand_C123(30.0)
+    sig = 8e3 * 10 + 10e3 * 2
+    pu_hand = min((C1 * 12.0 + C2 * D_M) * sig, C3 * D_M * sig)
+    A = max(3.0 - 0.8 * 12.0 / D_M, 0.9)
+    np.testing.assert_allclose(float(par.pu[0]), A * pu_hand, rtol=1e-12)
+
+
+def test_scour():
+    """General scour: no soil in the hole, reduced overburden below, and
+    a monotonically softer pile head."""
+    soil = [SoilLayer("sand", 0.0, 100.0, phi_deg=32.0, gamma_kN_m3=10.0)]
+    S = 5.0
+    z = np.array([2.0, 12.0])
+    par = _lateral_params(PILE, soil, z, scour_m=S)
+    assert float(par.pu[0]) == 0.0 and float(par.c2[0]) == 0.0
+    # below the hole: depth and overburden measured from the scoured line
+    C1, C2, C3 = _sand_C123(32.0)
+    z_eff = 12.0 - S
+    sig = 10e3 * z_eff
+    pu_hand = min((C1 * z_eff + C2 * D_M) * sig, C3 * D_M * sig)
+    A = max(3.0 - 0.8 * z_eff / D_M, 0.9)
+    np.testing.assert_allclose(float(par.pu[1]), A * pu_hand, rtol=1e-12)
+
+    y_no = abs(float(lateral_solve(PILE, soil, 2e6).u[0]))
+    y_s2 = abs(float(lateral_solve(PILE, soil, 2e6, scour_m=2.0).u[0]))
+    y_s5 = abs(float(lateral_solve(PILE, soil, 2e6, scour_m=5.0).u[0]))
+    assert y_no < y_s2 < y_s5
+    # axial capacity also drops
+    u_no = abs(float(axial_solve(PILE, soil, 1e7).u[0]))
+    u_s5 = abs(float(axial_solve(PILE, soil, 1e7, scour_m=5.0).u[0]))
+    assert u_no < u_s5
+    # head springs soften
+    k0 = pile_head_stiffness(PILE, soil, H_kN=2000.0,
+                             V_kN=10000.0).support_stiffness
+    k5 = pile_head_stiffness(PILE, soil, H_kN=2000.0, V_kN=10000.0,
+                             scour_m=5.0).support_stiffness
+    assert np.all(k5 < k0)
+
+
 def test_cli_pile(capsys):
     from small_fem_solver_tpu.cli import main
     main(["pile", "--pile-H", "1500", "--pile-V", "12000"])
