@@ -44,6 +44,8 @@ from .ops.soil import (Pile, PileHeadStiffness, SoilLayer, axial_solve,
                        soil_support_stiffness)
 from .ops.stokes import stokes_wave
 from .ops.viv import VIVScreen, viv_screen
+from .ops.wind import (wind_member_forces, wind_profile,
+                       wind_topside_force)
 from .ops.wave_models import make_wave, validate_wave
 from .ops.waves import FourierWave, airy_wave, kinematics, surface_elevation
 from .utils.persist import (design_envelope_resumable, load_results,

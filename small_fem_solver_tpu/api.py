@@ -83,8 +83,25 @@ class LoadCase:
     #   Quasi-static splash-zone slam on the POINTWISE kinematics paths
     #   only; separable/pallas fast paths raise (the crossing-band impact
     #   term does not separate over the phase matmul).
+    # -- wind (beyond the reference: it only takes a hand-typed topside
+    #    shear).  Static scalars — wind is steady per case, and envelopes
+    #    share one wind state across the case batch. --
+    wind_speed_ms: float = dataclasses.field(default=0.0,
+                                             metadata=dict(static=True))
+    #   1-hour mean at 10 m (0 = off); see ops/wind.py for the profile.
+    wind_dir_deg: float = dataclasses.field(default=0.0,
+                                            metadata=dict(static=True))
+    wind_Cs: float = dataclasses.field(default=0.5,
+                                       metadata=dict(static=True))
+    #   member shape coefficient (API: 0.5 cylindrical sections)
+    wind_topside_area_m2: float = dataclasses.field(default=0.0,
+                                                    metadata=dict(static=True))
+    wind_topside_Cs: float = dataclasses.field(default=1.0,
+                                               metadata=dict(static=True))
 
-    _STATIC_FIELDS = ("sw_mode", "buoyancy", "slam_cs")
+    _STATIC_FIELDS = ("sw_mode", "buoyancy", "slam_cs", "wind_speed_ms",
+                      "wind_dir_deg", "wind_Cs", "wind_topside_area_m2",
+                      "wind_topside_Cs")
 
     def cast(self, dtype):
         vals = {f.name: jnp.asarray(getattr(self, f.name), dtype=dtype)
@@ -222,6 +239,28 @@ def assemble_loads(model: JacketModel, case: LoadCase, morison_nodal: jnp.ndarra
         nodes = jnp.concatenate([model.conn[:, 0], model.conn[:, 1]])
         bz = jax.ops.segment_sum(contrib, nodes, num_segments=n_nodes)
         F = F.at[:, 2].add(bz)
+
+    # -- wind (beyond the reference: API profile member drag + topside
+    #    block; steady, so one case-constant contribution) --
+    if case.wind_speed_ms:
+        from .ops.wind import wind_member_forces, wind_topside_force
+        D_struct = model.sections.D_outer[model.sect_id] / 1000.0
+        w_nodal, _ = wind_member_forces(model.coords, model.conn, D_struct,
+                                        case.wind_speed_ms,
+                                        case.wind_dir_deg, Cs=case.wind_Cs)
+        F = F.at[:, :3].add(w_nodal)
+        if case.wind_topside_area_m2:
+            top = model.top_mask.astype(dtype)
+            n_top = jnp.maximum(jnp.sum(top), 1.0)
+            z_top = jnp.sum(model.coords[:, 2] * top) / n_top
+            Fw = wind_topside_force(case.wind_speed_ms,
+                                    case.wind_topside_area_m2, z_top,
+                                    Cs=case.wind_topside_Cs)
+            th = jnp.deg2rad(jnp.asarray(90.0 - case.wind_dir_deg,
+                                         dtype=dtype))
+            per = Fw / n_top
+            F = F.at[:, 0].add(top * per * jnp.cos(th))
+            F = F.at[:, 1].add(top * per * jnp.sin(th))
 
     return F.reshape(-1)
 
@@ -1025,6 +1064,35 @@ def _chain_layout_loads(coarse: JacketModel, refined: JacketModel,
         bI = jax.ops.segment_sum(
             jnp.concatenate([w1[:, 0], w2[:, -1]]), nodes, num_segments=nc)
         F_I = F_I.at[..., 2].add(bI)
+
+    # -- wind over the refined mesh (beyond the reference; steady, so one
+    #    S-independent contribution folded like the Morison end forces) --
+    if case.wind_speed_ms:
+        from .ops.wind import wind_member_ends, wind_topside_force
+        D_struct = (refined.sections.D_outer[refined.sect_id]
+                    / 1000.0).astype(dtype)
+        F1w, F2w = wind_member_ends(refined.coords.astype(dtype),
+                                    refined.conn, D_struct,
+                                    case.wind_speed_ms, case.wind_dir_deg,
+                                    Cs=case.wind_Cs)
+        w1 = F1w.reshape(Mc, n_seg, 3)
+        w2 = F2w.reshape(Mc, n_seg, 3)
+        g = g.at[..., :3].add(w2[:, :-1] + w1[:, 1:])
+        wI = jax.ops.segment_sum(
+            jnp.concatenate([w1[:, 0], w2[:, -1]]), nodes, num_segments=nc)
+        F_I = F_I.at[..., :3].add(wI)
+        if case.wind_topside_area_m2:
+            top = coarse.top_mask.astype(dtype)
+            n_top = jnp.maximum(jnp.sum(top), 1.0)
+            z_top = jnp.sum(coarse.coords[:, 2].astype(dtype) * top) / n_top
+            Fw = wind_topside_force(case.wind_speed_ms,
+                                    case.wind_topside_area_m2, z_top,
+                                    Cs=case.wind_topside_Cs)
+            th = jnp.deg2rad(jnp.asarray(90.0 - case.wind_dir_deg,
+                                         dtype=dtype))
+            per = Fw.astype(dtype) / n_top
+            F_I = F_I.at[..., 0].add(top * per * jnp.cos(th))
+            F_I = F_I.at[..., 1].add(top * per * jnp.sin(th))
 
     return F_I, g.swapaxes(1, 2)
 

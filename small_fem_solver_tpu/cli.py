@@ -87,6 +87,19 @@ def _add_common(ap: argparse.ArgumentParser):
                         "RP 2A commentary, 5.15 per DNV-RP-C205). "
                         "Quasi-static splash-zone slam; pointwise "
                         "kinematics paths only")
+    l.add_argument("--wind-speed", type=float, default=0.0,
+                   help="1-hour mean wind speed at 10 m [m/s] (0 = off): "
+                        "API power-law member drag above still water + "
+                        "optional topside block (--wind-area)")
+    l.add_argument("--wind-dir", type=float, default=None,
+                   help="wind heading [deg from North, clockwise]; "
+                        "default = wave direction")
+    l.add_argument("--wind-Cs", type=float, default=0.5,
+                   help="member shape coefficient (API: 0.5 cylinders)")
+    l.add_argument("--wind-area", type=float, default=0.0,
+                   help="topside projected wind area [m^2]")
+    l.add_argument("--wind-topside-Cs", type=float, default=1.0,
+                   help="topside block shape coefficient")
     l.add_argument("--buoyancy", default="none",
                    choices=["none", "sealed", "flooded", "legs-flooded"],
                    help="still-water buoyant uplift on submerged members: "
@@ -171,6 +184,12 @@ def _setup(args):
         custom_sw_tonnes=args.custom_sw, sw_mode=args.self_weight,
         buoyancy=getattr(args, "buoyancy", "none"),
         slam_cs=getattr(args, "slam_cs", 0.0),
+        wind_speed_ms=getattr(args, "wind_speed", 0.0),
+        wind_dir_deg=(args.wind_dir if getattr(args, "wind_dir", None)
+                      is not None else args.wave_dir),
+        wind_Cs=getattr(args, "wind_Cs", 0.5),
+        wind_topside_area_m2=getattr(args, "wind_area", 0.0),
+        wind_topside_Cs=getattr(args, "wind_topside_Cs", 1.0),
         marine_growth_mm=args.marine_growth,
     )
     return model, wave, case

@@ -173,6 +173,8 @@ INFO_TEXT = """\
     JSON models, library API: add_appurtenances)
   - wave slamming: quasi-static splash-zone impact loads
     (DNV-RP-C205 form; cli --slam-cs, pointwise paths)
+  - wind: API power-law profile member drag above still water
+    plus a topside block force (cli --wind-speed --wind-area)
   - VIV susceptibility screening: member reduced velocity vs
     DNV onset values with stability-parameter gates (cli viv)
   - ISO 19902 member checks (partial-factor format) alongside
@@ -667,6 +669,21 @@ class JacketGUI:
             e.insert(0, default)
             e.pack(side=tk.LEFT, padx=2)
             self.spring_entries.append(e)
+        # wind (beyond the reference: it only takes the hand-typed topside
+        # shear above).  0 m/s = off.
+        wf = ttk.Frame(f)
+        wf.grid(row=11, column=0, columnspan=3, sticky="w", pady=(10, 0))
+        ttk.Label(wf, text="Wind (API profile):").pack(side=tk.LEFT)
+        self.wind_entries = {}
+        for label, key, default, width in [
+                ("speed @10m [m/s]", "wind_speed", "0", 6),
+                ("dir [deg N]", "wind_dir", "38", 6),
+                ("topside area [m^2]", "wind_area", "0", 7)]:
+            ttk.Label(wf, text="  " + label + ":").pack(side=tk.LEFT)
+            e = ttk.Entry(wf, width=width)
+            e.insert(0, default)
+            e.pack(side=tk.LEFT, padx=2)
+            self.wind_entries[key] = e
 
     # ------------------------------------------------------------- analysis
     def _build_analysis_tab(self):
@@ -708,6 +725,9 @@ class JacketGUI:
             M_torsion=g(self.lds["M_torsion"]),
             custom_sw=g(self.lds["custom_sw"]), sw_mode=self.sw_mode.get(),
             buoyancy=self.buoyancy.get(),
+            wind_speed=g(self.wind_entries["wind_speed"]),
+            wind_dir=g(self.wind_entries["wind_dir"]),
+            wind_area=g(self.wind_entries["wind_area"]),
             t_analysis=float(self.entry_t.get()),
         )
 
@@ -747,6 +767,8 @@ class JacketGUI:
                 M_torsion_kNm=p["M_torsion"], custom_sw_tonnes=p["custom_sw"],
                 t_analysis=p["t_analysis"], sw_mode=p["sw_mode"],
                 buoyancy=p["buoyancy"],
+                wind_speed_ms=p["wind_speed"], wind_dir_deg=p["wind_dir"],
+                wind_topside_area_m2=p["wind_area"],
                 marine_growth_mm=p["marine_growth"])
 
             scan = None

@@ -88,6 +88,12 @@ def render_report(model: JacketModel, wave, case, results,
     if getattr(case, "slam_cs", 0.0):
         log(f"  Wave slamming: Cs = {float(case.slam_cs):.2f} "
             "(splash-zone impact, folded into drag)")
+    if getattr(case, "wind_speed_ms", 0.0):
+        extra = (f" + topside block {case.wind_topside_area_m2:.0f} m^2"
+                 if getattr(case, "wind_topside_area_m2", 0.0) else "")
+        log(f"  Wind: {float(case.wind_speed_ms):.1f} m/s @ 10 m "
+            f"(API profile, member drag Cs = {case.wind_Cs}{extra}), "
+            f"heading {float(case.wind_dir_deg):.0f} deg")
 
     log("\n[SUPPORT REACTIONS]")
     reac = np.asarray(results.reactions) / 1000
