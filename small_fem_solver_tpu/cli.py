@@ -20,7 +20,10 @@ Extra subcommands beyond the GUI: ``sweep`` (vmapped design envelope),
 ``refined`` (condensed large-mesh phase scan), ``envelope`` (multi-case
 storm envelope), ``modes`` / ``dynamic`` (Craig-Bampton-reduced for
 ``--refine``), ``buckling``, ``pdelta`` (second-order amplification),
-``optimize`` (differentiable sizing), ``fatigue`` (S-N screen),
+``optimize`` (differentiable sizing), ``fatigue`` (S-N / spectral screen),
+``code-check`` (API RP 2A-WSD / ISO 19902 member checks), ``joint-check``
+(punching shear), ``viv`` (vortex-shedding screen), ``pile`` (p-y/t-z/Q-z
+foundation springs), ``seismic`` (response-spectrum earthquake check),
 ``save-default`` (write the default jacket JSON).
 
 Usage examples:
@@ -682,6 +685,58 @@ def cmd_modes(args):
           f"(ratio {args.T/float(res.periods_s[0]):.2f})")
 
 
+def cmd_seismic(args):
+    """Response-spectrum earthquake check (modal CQC) — beyond the
+    reference's scope (its Info tab excludes seismic actions)."""
+    import numpy as np
+
+    from .ops.seismic import response_spectrum
+
+    model, _, case = _setup(args)
+    dirs = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
+    if args.vertical:
+        dirs.append((0.0, 0.0, 1.0))
+    spectrum = None
+    if args.spectrum_file:
+        tab = np.loadtxt(args.spectrum_file, delimiter=",")
+        spectrum = (tab[:, 0], tab[:, 1])
+        print(f"site-specific spectrum: {tab.shape[0]} (T, Sa) points "
+              f"from {args.spectrum_file}")
+    spring = getattr(args, "support_spring", None)
+    _spring_banner(spring)
+    with _cpu_if_f64(args):
+        res = response_spectrum(
+            model, args.pga_g, ground=args.ground, zeta=args.zeta,
+            n_modes=args.n_modes, E=args.E, nu=args.nu, fy=args.fy,
+            topside_mass_t=args.topside_mass, support_stiffness=spring,
+            added_mass_Ca=args.added_mass, rho_water=args.rho_water,
+            directions=dirs, spectrum=spectrum,
+            combination=args.combination, dir_rule=args.dir_rule)
+    print(f"design PGA {args.pga_g:g} g, ground class {args.ground}, "
+          f"damping {100 * args.zeta:.1f}%, {args.combination.upper()} x "
+          f"{args.dir_rule} over {len(dirs)} directions")
+    print(f"structural + topside mass: {float(res.total_mass_t):.1f} t")
+    print(f"  {'Mode':>4} {'T [s]':>8} {'Sa_x [m/s2]':>12} "
+          f"{'M_eff,x [t]':>12} {'M_eff,y [t]':>12}")
+    meff = np.asarray(res.effective_mass_t)
+    for i, T in enumerate(np.asarray(res.periods_s)):
+        print(f"  {i + 1:>4} {T:>8.3f} {float(res.Sa_ms2[0, i]):>12.3f} "
+              f"{meff[0, i]:>12.1f} {meff[1, i]:>12.1f}")
+    cum = meff.sum(axis=1) / float(res.total_mass_t)
+    names = ("x", "y", "z")[:meff.shape[0]]
+    print("captured modal mass: "
+          + ", ".join(f"{n} {c:.1%}" for n, c in zip(names, cum))
+          + " of total (aim >= 90%; raise --n-modes if low)")
+    for d, v in zip(("x", "y", "z"), np.asarray(res.base_shear_kN)):
+        print(f"base shear {d}: {v:,.0f} kN")
+    print(f"peak displacement: {float(res.max_displacement_mm):.1f} mm")
+    util = np.asarray(res.utilization)
+    order = np.argsort(util)[::-1][:10]
+    print(f"  {'Member (seismic only)':<30} {'Util':>8}")
+    for e in order:
+        print(f"  {model.member_names[e]:<30} {util[e]:>8.2%}")
+
+
 def cmd_dynamic(args):
     """Steady-state wave-frequency dynamic response + DAF."""
     import numpy as np
@@ -1130,6 +1185,35 @@ def main(argv=None):
                     help="retained fixed-interface modes per member chain")
     _add_spring_arg(md)
     md.set_defaults(fn=cmd_modes)
+
+    se = sub.add_parser("seismic",
+                        help="response-spectrum earthquake check "
+                             "(modal CQC, EC8-shape or site spectrum)")
+    _add_common(se)
+    se.add_argument("--pga-g", type=float, default=0.2,
+                    help="design peak ground acceleration [g]")
+    se.add_argument("--ground", default="A", choices=list("ABCDE"),
+                    help="EC8 Type-1 ground class")
+    se.add_argument("--zeta", type=float, default=0.05,
+                    help="modal damping ratio")
+    se.add_argument("--n-modes", type=int, default=12)
+    se.add_argument("--topside-mass", type=float, default=1100.0,
+                    help="lumped deck mass [tonnes]")
+    se.add_argument("--added-mass", type=float, default=None,
+                    help="hydrodynamic added-mass coefficient Ca (= Cm - 1)")
+    se.add_argument("--vertical", action="store_true",
+                    help="add the vertical excitation direction "
+                         "(EC8 vertical spectrum)")
+    se.add_argument("--spectrum-file", default=None,
+                    help="CSV of site-specific T[s],Sa[m/s^2] rows "
+                         "(overrides the parametric shape)")
+    se.add_argument("--combination", default="cqc",
+                    choices=["cqc", "srss"], help="modal combination")
+    se.add_argument("--dir-rule", default="srss",
+                    choices=["srss", "100-40-40"],
+                    help="direction combination")
+    _add_spring_arg(se)
+    se.set_defaults(fn=cmd_seismic)
 
     pl = sub.add_parser("pile",
                         help="pile-head springs from API p-y/t-z/Q-z "
