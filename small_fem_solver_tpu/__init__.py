@@ -39,8 +39,10 @@ from .ops.sections import TubeSections, tube_sections
 from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
                            sea_kinematics, sea_surface,
                            spectral_fatigue_screen)
+from .ops.airgap import AirGapResult, air_gap_check
 from .ops.seismic import (SpectrumResults, cqc_correlation, ec8_spectrum,
-                          response_spectrum, table_spectrum)
+                          response_spectrum, response_spectrum_condensed,
+                          table_spectrum)
 from .ops.soil import (Pile, PileHeadStiffness, SoilLayer, axial_solve,
                        lateral_solve, pile_head_stiffness,
                        soil_support_stiffness)

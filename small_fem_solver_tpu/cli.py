@@ -692,7 +692,6 @@ def cmd_seismic(args):
 
     from .ops.seismic import response_spectrum
 
-    model, _, case = _setup(args)
     dirs = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)]
     if args.vertical:
         dirs.append((0.0, 0.0, 1.0))
@@ -704,14 +703,30 @@ def cmd_seismic(args):
               f"from {args.spectrum_file}")
     spring = getattr(args, "support_spring", None)
     _spring_banner(spring)
+    # enter the CPU context BEFORE building the model so no array is
+    # placed device-side: the eigensolve path is all small dense algebra
+    # and per-op relay transfers of TPU-resident inputs dominate otherwise
     with _cpu_if_f64(args):
-        res = response_spectrum(
-            model, args.pga_g, ground=args.ground, zeta=args.zeta,
-            n_modes=args.n_modes, E=args.E, nu=args.nu, fy=args.fy,
-            topside_mass_t=args.topside_mass, support_stiffness=spring,
-            added_mass_Ca=args.added_mass, rho_water=args.rho_water,
-            directions=dirs, spectrum=spectrum,
-            combination=args.combination, dir_rule=args.dir_rule)
+        model, _, case = _setup(args)
+        kw = dict(ground=args.ground, zeta=args.zeta, n_modes=args.n_modes,
+                  E=args.E, nu=args.nu, fy=args.fy,
+                  topside_mass_t=args.topside_mass, support_stiffness=spring,
+                  added_mass_Ca=args.added_mass, rho_water=args.rho_water,
+                  directions=dirs, spectrum=spectrum,
+                  combination=args.combination, dir_rule=args.dir_rule)
+        if args.refine > 1:
+            from .models.model import refine_model
+            from .ops.seismic import response_spectrum_condensed
+            refined = refine_model(model, args.refine)
+            print(f"Craig-Bampton reduced spectrum analysis: "
+                  f"{refined.n_dof} DOF, demands recovered on the full "
+                  f"refined mesh")
+            res = response_spectrum_condensed(
+                model, refined, args.refine, args.pga_g,
+                n_chain_modes=args.chain_modes, **kw)
+            model = refined  # member table below reports refined elements
+        else:
+            res = response_spectrum(model, args.pga_g, **kw)
     print(f"design PGA {args.pga_g:g} g, ground class {args.ground}, "
           f"damping {100 * args.zeta:.1f}%, {args.combination.upper()} x "
           f"{args.dir_rule} over {len(dirs)} directions")
@@ -735,6 +750,27 @@ def cmd_seismic(args):
     print(f"  {'Member (seismic only)':<30} {'Util':>8}")
     for e in order:
         print(f"  {model.member_names[e]:<30} {util[e]:>8.2%}")
+
+
+def cmd_air_gap(args):
+    """Deck air-gap (crest clearance) screen — beyond the reference."""
+    from .ops.airgap import air_gap_check
+
+    model, wave, case = _setup(args)
+    res = air_gap_check(model, wave, wave_dir_deg=case.wave_dir_deg,
+                        deck_elevation_m=args.deck_elevation,
+                        surge_m=args.surge, tide_m=args.tide,
+                        margin_m=args.margin,
+                        n_phases=args.phase_steps)
+    print(f"deck underside: {res.deck_elevation_m:.2f} m above MWL")
+    print(f"max crest: {float(res.crest_m):.2f} m at phase "
+          f"{float(res.crest_phase_deg):.0f} deg, x' = "
+          f"{float(res.crest_x_m):.1f} m along the heading"
+          + (f"; still-water level +{res.swl_offset_m:.2f} m (surge+tide)"
+             if res.swl_offset_m else ""))
+    print(f"air gap: {float(res.air_gap_m):.2f} m vs required "
+          f"{res.margin_m:.2f} m -> "
+          + ("OK" if bool(res.ok) else "INSUFFICIENT (wave-in-deck risk)"))
 
 
 def cmd_dynamic(args):
@@ -1186,6 +1222,21 @@ def main(argv=None):
     _add_spring_arg(md)
     md.set_defaults(fn=cmd_modes)
 
+    ag = sub.add_parser("air-gap",
+                        help="deck air-gap (wave crest clearance) screen")
+    _add_common(ag)
+    ag.add_argument("--deck-elevation", type=float, default=None,
+                    help="deck underside above MWL [m] (default: the "
+                         "model's top-node elevation)")
+    ag.add_argument("--surge", type=float, default=0.0,
+                    help="storm surge still-water rise [m]")
+    ag.add_argument("--tide", type=float, default=0.0,
+                    help="tidal still-water rise [m]")
+    ag.add_argument("--margin", type=float, default=1.5,
+                    help="required clearance margin [m] (ISO 19902: 1.5)")
+    ag.add_argument("--phase-steps", type=int, default=360)
+    ag.set_defaults(fn=cmd_air_gap)
+
     se = sub.add_parser("seismic",
                         help="response-spectrum earthquake check "
                              "(modal CQC, EC8-shape or site spectrum)")
@@ -1212,6 +1263,11 @@ def main(argv=None):
     se.add_argument("--dir-rule", default="srss",
                     choices=["srss", "100-40-40"],
                     help="direction combination")
+    se.add_argument("--refine", type=int, default=1,
+                    help="subdivide members (>1 uses the Craig-Bampton "
+                         "reduced path; demands on the full refined mesh)")
+    se.add_argument("--chain-modes", type=int, default=12,
+                    help="retained fixed-interface modes per member chain")
     _add_spring_arg(se)
     se.set_defaults(fn=cmd_seismic)
 

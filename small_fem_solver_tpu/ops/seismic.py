@@ -197,86 +197,107 @@ def response_spectrum(model, pga_g: float, ground: str = "A",
         n_modes = min(n_modes, K_ff.shape[0])
         omega, shapes = _modal_from_ff(K_ff, M_ff, free, model.n_dof,
                                        n_modes, dtype)
-        periods = jnp.where(omega > 0, 2.0 * jnp.pi / jnp.maximum(omega, 1e-30),
-                            jnp.inf)
 
-        # participation per direction: Gamma = phi^T M r (shapes are
-        # mass-orthonormal, so m_i = 1 t and M_eff,i = Gamma_i^2).
-        Mphi = shapes[:, free] @ M_ff                       # [n_modes, n_free]
+        # participation per direction: Gamma = phi^T M iota over ALL DOFs
+        # (shapes are mass-orthonormal, so m_i = 1 t and M_eff,i =
+        # Gamma_i^2).  The influence vector iota is the full rigid ground
+        # translation INCLUDING the fixed supports: with a consistent mass
+        # matrix the free-fixed coupling block M_fc iota_c carries ~1% of
+        # the effective force and must not be dropped (Chopra's
+        # p_eff = -(M_ff iota_f + M_fc iota_c) u''_g).
         r_full = jnp.zeros((dirs.shape[0], model.n_dof), dtype=dtype)
         for c in range(3):
             r_full = r_full.at[:, c::6].set(
                 jnp.asarray(dirs[:, c], dtype=dtype)[:, None])
-        gamma = jnp.einsum("mf,df->dm", Mphi, r_full[:, free])
+        gamma = jnp.einsum("mn,dn->dm", shapes @ M, r_full)
 
-        # spectral acceleration per direction/mode (mm/s^2 for mm results)
-        Sa_rows = []
-        for d in range(dirs.shape[0]):
-            is_vert = vertical_spectrum and abs(dirs[d, 2]) > 0.99
-            if spectrum is not None:
-                Sa_d = table_spectrum(periods, spectrum[0], spectrum[1])
-            else:
-                Sa_d = ec8_spectrum(periods, pga_g, ground, zeta,
-                                    vertical=is_vert)
-            Sa_rows.append(jnp.where(omega > 0, Sa_d, 0.0))
-        Sa = jnp.stack(Sa_rows)                              # [n_dirs, n_modes]
-
-        w2_safe = jnp.where(omega > 0, omega, 1.0) ** 2
-        q = gamma * (Sa * 1e3) / w2_safe                     # [n_dirs, n_modes]
-        q = jnp.where(omega > 0, q, 0.0)
-
-        if combination == "cqc":
-            rho = cqc_correlation(omega, zeta)
-        else:
-            rho = jnp.eye(omega.shape[0], dtype=dtype)
-
-        # per-mode responses, batched over the mode axis
-        dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
-                                6 * model.conn[:, 1:2] + jnp.arange(6)],
-                               axis=-1)
-        u_elem_modes = shapes[:, dofs]                       # [n_modes, M, 12]
-        F1_m, F2_m = jax.vmap(internal_forces, in_axes=(None, None, 0))(
-            K_local, T_rot, u_elem_modes)                    # [n_modes, M, 6]
-
-        def per_direction(qd):
-            U = _combine(rho, qd[:, None] * shapes)          # [n_dof]
-            F1 = _combine(rho, qd[:, None, None] * F1_m)     # [M, 6]
-            F2 = _combine(rho, qd[:, None, None] * F2_m)
-            return U, F1, F2
-
-        U_d, F1_d, F2_d = jax.vmap(per_direction)(q)
-
-        # direction combination
-        if dir_rule == "srss":
-            U_peak = jnp.sqrt(jnp.sum(U_d**2, axis=0))
-            F1 = jnp.sqrt(jnp.sum(F1_d**2, axis=0))
-            F2 = jnp.sqrt(jnp.sum(F2_d**2, axis=0))
-        else:  # 100/40/40 on unsigned peaks: max over which axis is at 100%
-            n_d = dirs.shape[0]
-            w = 0.4 + 0.6 * jnp.eye(n_d, dtype=dtype)        # rows: 100% axis
-            U_peak = jnp.max(w @ U_d.reshape(n_d, -1), axis=0)
-            F1 = jnp.max(jnp.einsum("kd,dmc->kmc", w, F1_d), axis=0)
-            F2 = jnp.max(jnp.einsum("kd,dmc->kmc", w, F2_d), axis=0)
-
-        vm = von_mises_8pt(model.sections, model.sect_id,
-                           F1[:, 0], F1[:, 1], F1[:, 2],
-                           F1[:, 3], F1[:, 4], F1[:, 5])
-
-        # CQC base shear per direction: modal base shear V_i = Gamma_i^2 Sa_i
-        # [t * m/s^2 = kN] — combine with the same correlation.
-        V = jax.vmap(lambda gd, sd: _combine(rho, gd**2 * sd))(gamma, Sa)
+        core = _spectrum_core(
+            model.conn, model.sections, model.sect_id, omega, shapes, gamma,
+            K_local, T_rot, pga_g, ground, zeta, dirs, spectrum,
+            vertical_spectrum, combination, dir_rule, fy, dtype)
 
     mass_per_m = model.sections.mass_per_m[model.sect_id]
     total_mass = jnp.sum(mass_per_m * L_m) / 1000.0 + topside_mass_t
-    disp = jnp.linalg.norm(U_peak.reshape(-1, 6)[:, :3], axis=-1)
+    return core._replace(total_mass_t=total_mass)
 
+
+def _spectrum_core(conn, sections, sect_id, omega, shapes, gamma,
+                   K_local, T_rot, pga_g, ground, zeta, dirs, spectrum,
+                   vertical_spectrum, combination, dir_rule, fy,
+                   dtype) -> SpectrumResults:
+    """Shared spectrum/combination pipeline for the dense and condensed
+    paths: Sa lookup, modal peaks, per-mode member forces, CQC/SRSS over
+    modes, direction rule, stresses and base shear.  ``shapes`` are
+    mass-orthonormal over whatever DOF layout ``conn`` indexes (the dense
+    mesh or the CB-expanded refined mesh).  ``total_mass_t`` is left at 0
+    for the caller to fill."""
+    periods = jnp.where(omega > 0, 2.0 * jnp.pi / jnp.maximum(omega, 1e-30),
+                        jnp.inf)
+
+    # spectral acceleration per direction/mode (mm/s^2 for mm results)
+    Sa_rows = []
+    for d in range(dirs.shape[0]):
+        is_vert = vertical_spectrum and abs(dirs[d, 2]) > 0.99
+        if spectrum is not None:
+            Sa_d = table_spectrum(periods, spectrum[0], spectrum[1])
+        else:
+            Sa_d = ec8_spectrum(periods, pga_g, ground, zeta,
+                                vertical=is_vert)
+        Sa_rows.append(jnp.where(omega > 0, Sa_d, 0.0))
+    Sa = jnp.stack(Sa_rows)                              # [n_dirs, n_modes]
+
+    w2_safe = jnp.where(omega > 0, omega, 1.0) ** 2
+    q = gamma * (Sa * 1e3) / w2_safe                     # [n_dirs, n_modes]
+    q = jnp.where(omega > 0, q, 0.0)
+
+    if combination == "cqc":
+        rho = cqc_correlation(omega, zeta)
+    else:
+        rho = jnp.eye(omega.shape[0], dtype=dtype)
+
+    # per-mode responses, batched over the mode axis
+    dofs = jnp.concatenate([6 * conn[:, 0:1] + jnp.arange(6),
+                            6 * conn[:, 1:2] + jnp.arange(6)], axis=-1)
+    u_elem_modes = shapes[:, dofs]                       # [n_modes, M, 12]
+    F1_m, F2_m = jax.vmap(internal_forces, in_axes=(None, None, 0))(
+        K_local, T_rot, u_elem_modes)                    # [n_modes, M, 6]
+
+    def per_direction(qd):
+        U = _combine(rho, qd[:, None] * shapes)          # [n_dof]
+        F1 = _combine(rho, qd[:, None, None] * F1_m)     # [M, 6]
+        F2 = _combine(rho, qd[:, None, None] * F2_m)
+        return U, F1, F2
+
+    U_d, F1_d, F2_d = jax.vmap(per_direction)(q)
+
+    # direction combination
+    if dir_rule == "srss":
+        U_peak = jnp.sqrt(jnp.sum(U_d**2, axis=0))
+        F1 = jnp.sqrt(jnp.sum(F1_d**2, axis=0))
+        F2 = jnp.sqrt(jnp.sum(F2_d**2, axis=0))
+    else:  # 100/40/40 on unsigned peaks: max over which axis is at 100%
+        n_d = dirs.shape[0]
+        w = 0.4 + 0.6 * jnp.eye(n_d, dtype=dtype)        # rows: 100% axis
+        U_peak = jnp.max(w @ U_d.reshape(n_d, -1), axis=0)
+        F1 = jnp.max(jnp.einsum("kd,dmc->kmc", w, F1_d), axis=0)
+        F2 = jnp.max(jnp.einsum("kd,dmc->kmc", w, F2_d), axis=0)
+
+    vm = von_mises_8pt(sections, sect_id,
+                       F1[:, 0], F1[:, 1], F1[:, 2],
+                       F1[:, 3], F1[:, 4], F1[:, 5])
+
+    # CQC base shear per direction: modal base shear V_i = Gamma_i^2 Sa_i
+    # [t * m/s^2 = kN] — combine with the same correlation.
+    V = jax.vmap(lambda gd, sd: _combine(rho, gd**2 * sd))(gamma, Sa)
+
+    disp = jnp.linalg.norm(U_peak.reshape(-1, 6)[:, :3], axis=-1)
     return SpectrumResults(
         periods_s=periods,
         frequencies_hz=jnp.where(omega > 0, omega / (2.0 * jnp.pi), 0.0),
         Sa_ms2=Sa,
         participation=gamma,
         effective_mass_t=gamma**2,
-        total_mass_t=total_mass,
+        total_mass_t=jnp.zeros((), dtype=dtype),
         U_peak=U_peak,
         F1_local=F1, F2_local=F2,
         von_mises=vm,
@@ -286,3 +307,75 @@ def response_spectrum(model, pga_g: float, ground: str = "A",
         directions=dirs,
         mode_shapes=shapes,
     )
+
+
+def response_spectrum_condensed(coarse, refined, n_seg: int, pga_g: float,
+                                ground: str = "A", zeta: float = 0.05,
+                                n_modes: int = 10,
+                                E: float = 210000.0, nu: float = 0.3,
+                                fy: float = 355.0,
+                                topside_mass_t: float = 0.0,
+                                n_chain_modes: int = 12,
+                                support_stiffness=None,
+                                added_mass_Ca=None,
+                                rho_water: float = 1025.0,
+                                directions: Sequence[Sequence[float]] = (
+                                    (1.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
+                                spectrum=None,
+                                vertical_spectrum: bool = True,
+                                combination: str = "cqc",
+                                dir_rule: str = "srss") -> SpectrumResults:
+    """Response-spectrum analysis of a chain-refined mesh via the
+    Craig-Bampton reduction (:func:`ops.dynamics.modal_analysis_condensed`).
+
+    The eigenproblem and the modal combination run on the reduced basis
+    (size independent of refinement); member demands are recovered on the
+    FULL refined mesh through the expansion v = Psi u_b + Phi q, so the
+    peak-stress screen covers every refined element.  A rigid ground
+    translation lies exactly in the CB subspace (the constraint modes are
+    the exact static condensation), so the participation factors computed
+    from the reduced mass matrix are exact, not approximate.
+    Same spectra/combination options as :func:`response_spectrum`.
+    """
+    if combination not in ("cqc", "srss"):
+        raise ValueError("combination must be 'cqc' or 'srss' "
+                         f"(got {combination!r})")
+    if dir_rule not in ("srss", "100-40-40"):
+        raise ValueError("dir_rule must be 'srss' or '100-40-40' "
+                         f"(got {dir_rule!r})")
+    from .dynamics import _cb_expand, _cb_reduce, _modal_from_ff
+
+    dtype = refined.coords.dtype
+    dirs = np.asarray(directions, dtype=np.float64)
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    cb = _cb_reduce(coarse, refined, n_seg, E, nu, topside_mass_t,
+                    n_chain_modes, support_stiffness=support_stiffness,
+                    added_mass_Ca=added_mass_Ca, rho_water=rho_water)
+    with jax.default_matmul_precision("highest"):
+        K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
+        M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]
+        n_modes = min(n_modes, K_ff.shape[0])
+        omega, shapes_r = _modal_from_ff(K_ff, M_ff, cb.free, cb.n_red,
+                                         n_modes, dtype)
+
+        # participation on the reduced basis: the influence vector of a
+        # rigid translation has ALL interface translations set (including
+        # fixed supports — the consistent-mass coupling block, see the
+        # dense path) and ZERO generalized coordinates (fixed-interface
+        # modes vanish at a rigidly translated boundary).
+        r_red = jnp.zeros((dirs.shape[0], cb.n_red), dtype=dtype)
+        for c in range(3):
+            r_red = r_red.at[:, c:6 * cb.nc:6].set(
+                jnp.asarray(dirs[:, c], dtype=dtype)[:, None])
+        gamma = jnp.einsum("mn,dn->dm", shapes_r @ cb.M_red, r_red)
+
+        shapes = _cb_expand(cb, shapes_r)       # [n_modes, n_dof_refined]
+        core = _spectrum_core(
+            refined.conn, refined.sections, refined.sect_id, omega, shapes,
+            gamma, cb.K_local, cb.T, pga_g, ground, zeta, dirs, spectrum,
+            vertical_spectrum, combination, dir_rule, fy, dtype)
+
+    mass_per_m = refined.sections.mass_per_m[refined.sect_id]
+    total_mass = jnp.sum(mass_per_m * cb.L_m) / 1000.0 + topside_mass_t
+    return core._replace(total_mass_t=total_mass)

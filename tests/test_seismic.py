@@ -84,7 +84,9 @@ def test_sdof_peak_displacement():
 
 
 def test_effective_mass_identity():
-    """With ALL modes kept, sum Gamma_i^2 = r_f^T M_ff r_f per direction."""
+    """With ALL modes kept, sum Gamma_i^2 = b^T M_ff^{-1} b per direction,
+    b = (M iota)|_free — the completeness identity for the consistent-mass
+    participation Gamma_i = phi_i^T M iota (iota spans fixed DOFs too)."""
     from small_fem_solver_tpu.ops.dynamics import _build_km
 
     model = _cantilever(n_el=4)
@@ -92,15 +94,17 @@ def test_effective_mass_identity():
     res = sf.response_spectrum(model, 0.2, n_modes=n_free,
                                directions=((1, 0, 0), (0, 0, 1)))
     K, M, free, _ = _build_km(model, 210000.0, 0.3, 0.0)
-    M_ff = np.asarray(M)[np.ix_(np.asarray(free), np.asarray(free))]
+    M = np.asarray(M)
+    free = np.asarray(free)
+    M_ff = M[np.ix_(free, free)]
     for d, vec in enumerate([(1, 0, 0), (0, 0, 1)]):
         r = np.zeros(model.n_dof)
         for c in range(3):
             r[c::6] = vec[c]
-        r_f = r[np.asarray(free)]
+        b = (M @ r)[free]
         np.testing.assert_allclose(
             float(jnp.sum(res.effective_mass_t[d])),
-            r_f @ M_ff @ r_f, rtol=1e-8)
+            b @ np.linalg.solve(M_ff, b), rtol=1e-8)
 
 
 def test_direction_rules_and_combination():
@@ -151,6 +155,34 @@ def test_jacket_seismic_smoke():
         model, 0.25, n_modes=6, topside_mass_t=1100.0,
         spectrum=(jnp.array([0.0, 10.0]), jnp.array([3.0, 3.0])))
     np.testing.assert_allclose(np.asarray(tab.Sa_ms2), 3.0, rtol=1e-12)
+
+
+def test_condensed_matches_dense_when_exact():
+    """Craig-Bampton with ALL interior modes retained is an exact change of
+    basis: the condensed spectrum analysis must match the dense analysis of
+    the refined mesh (the degenerate-pair ambiguity cancels in CQC because
+    the fully correlated pair contributes resp(sum Gamma_i phi_i), which is
+    rotation-invariant)."""
+    model = sf.default_3leg_jacket()
+    n_seg = 3
+    refined = sf.refine_model(model, n_seg)
+    kw = dict(ground="B", zeta=0.05, n_modes=6, topside_mass_t=1100.0,
+              directions=((1, 0, 0), (0, 1, 0)))
+    dense = sf.response_spectrum(refined, 0.2, **kw)
+    cond = sf.response_spectrum_condensed(
+        model, refined, n_seg, 0.2, n_chain_modes=6 * (n_seg - 1), **kw)
+    np.testing.assert_allclose(np.asarray(cond.periods_s),
+                               np.asarray(dense.periods_s), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(cond.base_shear_kN),
+                               np.asarray(dense.base_shear_kN), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(cond.U_peak),
+                               np.asarray(dense.U_peak),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cond.utilization),
+                               np.asarray(dense.utilization),
+                               rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(float(cond.total_mass_t),
+                               float(dense.total_mass_t), rtol=1e-12)
 
 
 def test_cli_seismic(capsys, tmp_path):
