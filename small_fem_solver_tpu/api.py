@@ -414,7 +414,7 @@ def _pcg_dist_prep(model, wave, case, pattern, n_gauss, accel, stretching,
                             slam_cs=case.slam_cs)
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
-            case.E, G)
+            case.E, G, release=model.release)
         F = assemble_loads(model, case, mor.nodal_forces, L_m)
         A = assemble_bcsr(Kg, pattern)
         return mor, K_local, T, L_m, F, A
@@ -501,7 +501,8 @@ def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
                         current_alpha=current_alpha, slam_cs=case.slam_cs)
 
     Kg, K_local, T, L_m = element_stiffness(
-        model.coords, model.conn, model.sections, model.sect_id, case.E, G)
+        model.coords, model.conn, model.sections, model.sect_id, case.E, G,
+        release=model.release)
 
     F = assemble_loads(model, case, mor.nodal_forces, L_m)
 
@@ -610,7 +611,7 @@ def _analyze_ssi_jit(model, wave, case, k_nodes, n_gauss, accel,
                             slam_cs=case.slam_cs)
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
-            case.E, G)
+            case.E, G, release=model.release)
         F = assemble_loads(model, case, mor.nodal_forces, L_m)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         sdofs = (6 * fixed_nodes[:, None] + jnp.arange(6)).reshape(-1)
@@ -681,7 +682,12 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
                             slam_cs=case.slam_cs)
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
-            case.E, G)
+            case.E, G, release=model.release)
+        W_rel = None
+        if model.release is not None:
+            from .ops.beams import release_W
+            W_rel = release_W(model.coords, model.conn, model.sections,
+                              model.sect_id, case.E, G, model.release)
         F = assemble_loads(model, case, mor.nodal_forces, L_m)
         K = assemble_dense(Kg, model.conn, model.n_dof)
 
@@ -695,7 +701,8 @@ def _analyze_pdelta_jit(model, wave, case, n_iter, n_gauss, accel,
             # axial force sign convention: see buckling.member_axial_forces
             F1, _ = internal_forces(K_local, T, U[dofs])
             N = -F1[:, 0]
-            KGg = element_geometric_stiffness(model.coords, model.conn, N)
+            KGg = element_geometric_stiffness(model.coords, model.conn, N,
+                                              W=W_rel)
             K2 = K - assemble_dense(KGg, model.conn, model.n_dof)
             U = solve_mod.solve_factored(_spring_dfac(K2, ks_diag, free), F)
         res = _recover(model, case, K2, U, F, fixed, K_local, T, L_m, mor)
@@ -750,7 +757,8 @@ def _phase_batch_impl(model, wave, case, n_steps, n_gauss, accel, free, fixed):
     ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
 
     Kg, K_local, T, L_m = element_stiffness(
-        model.coords, model.conn, model.sections, model.sect_id, case.E, G)
+        model.coords, model.conn, model.sections, model.sect_id, case.E, G,
+        release=model.release)
     K = assemble_dense(Kg, model.conn, model.n_dof)
     fac = solve_mod.factor_dense(K, free)
 
@@ -1190,7 +1198,7 @@ def _phase_scan_condensed_impl(coarse, refined, wave, case, n_seg, n_steps,
     Kg, K_local, T, L_m = element_stiffness(
         coords64, refined.conn, jax.tree.map(lambda x: x.astype(solve_dtype),
                                              refined.sections),
-        refined.sect_id, case.E, G)
+        refined.sect_id, case.E, G, release=refined.release)
     fac = _chain_fns(chain_solver)[0](Kg, n_seg)
 
     # interface stiffness on the coarse connectivity
@@ -1418,7 +1426,8 @@ def _prepare_condensed_jit(coarse, refined, E, nu, n_seg, chain_solver,
         sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
                              refined.sections)
         Kg, K_local, T, L_m = element_stiffness(
-            coords_s, refined.conn, sec_s, refined.sect_id, E, G)
+            coords_s, refined.conn, sec_s, refined.sect_id, E, G,
+            release=refined.release)
         fac = _chain_fns(chain_solver)[0](Kg, n_seg)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * coarse.n_nodes)
         dfac = _spring_dfac(K_I, ks_nodes, free)
@@ -1736,7 +1745,7 @@ def _sea_response_batch_jit(model, sea, case, ts, n_gauss, stretching,
         G = case.E / (2.0 * (1.0 + case.nu))
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
-            case.E, G)
+            case.E, G, release=model.release)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         fac = _spring_dfac(K, ks_nodes, free)
         conn_h, D_m, Cd_h, Cm_h = hydro_members(
@@ -1826,7 +1835,8 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
         sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
                              refined.sections)
         Kg, K_local, T, L_m = element_stiffness(
-            coords_s, refined.conn, sec_s, refined.sect_id, case.E, G)
+            coords_s, refined.conn, sec_s, refined.sect_id, case.E, G,
+            release=refined.release)
         fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
         K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
         dfac = _spring_dfac(K_I, ks_nodes, free)
@@ -1956,7 +1966,7 @@ def _design_envelope_jit(model, waves, cases, free, n_steps, n_gauss,
         G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
-            cases.E[0], G)
+            cases.E[0], G, release=model.release)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         fac = _spring_dfac(K, ks_nodes, free)
         KT6 = -matmul12(K_local, T)[:, :6, :]
@@ -2067,7 +2077,8 @@ def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
     sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
                          refined.sections)
     Kg, K_local, T, L_m = element_stiffness(
-        coords_s, refined.conn, sec_s, refined.sect_id, cases.E[0], G)
+        coords_s, refined.conn, sec_s, refined.sect_id, cases.E[0], G,
+        release=refined.release)
     fac, _condense, _backsub = _chain_factor(Kg, n_seg, chain_solver)
     K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
     dfac = _spring_dfac(K_I, ks_nodes, free)

@@ -5,7 +5,9 @@ maps to a flag or a JSON model file:
 
   geometry/members tabs  -> --model jacket.json (or the built-in default;
                             the JSON schema also carries appurtenances —
-                            hydro-only risers/conductors with Cd/Cm factors)
+                            hydro-only risers/conductors with Cd/Cm factors —
+                            and per-member end releases: "release":
+                            "pinned"/"pinned1"/"pinned2" for pin-ended braces)
   material tab           -> --E --nu --fy --rho-steel --rho-water
                             --D-leg --t-leg --D-brace --t-brace
   wave tab               -> --H --T --d --Uc --wave-dir --current-dir

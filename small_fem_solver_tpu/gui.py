@@ -438,12 +438,17 @@ class JacketGUI:
         ttk.Combobox(entry, textvariable=self.member_type, width=9,
                      values=["leg", "h_brace", "x_brace", "brace"]).grid(
             row=0, column=7, padx=2)
+        ttk.Label(entry, text="Ends:").grid(row=0, column=8)
+        self.member_release = tk.StringVar(value="none")
+        ttk.Combobox(entry, textvariable=self.member_release, width=8,
+                     values=["none", "pinned1", "pinned2", "pinned"]).grid(
+            row=0, column=9, padx=2)
         ttk.Button(entry, text="Add Member", command=self.add_member).grid(
-            row=0, column=8, padx=4)
+            row=0, column=10, padx=4)
         ttk.Button(entry, text="Delete Selected",
-                   command=self.delete_member).grid(row=0, column=9, padx=4)
+                   command=self.delete_member).grid(row=0, column=11, padx=4)
 
-        cols = ("name", "node1", "node2", "type")
+        cols = ("name", "node1", "node2", "type", "release")
         self.member_tree = ttk.Treeview(f, columns=cols, show="headings",
                                         height=20)
         for c in cols:
@@ -502,8 +507,11 @@ class JacketGUI:
         if n1 not in self.nodes_data or n2 not in self.nodes_data:
             messagebox.showerror("Error", f"Nodes {n1} or {n2} not defined")
             return
-        self.members_data.append({"name": name, "node1": n1, "node2": n2,
-                                  "type": self.member_type.get()})
+        m = {"name": name, "node1": n1, "node2": n2,
+             "type": self.member_type.get()}
+        if self.member_release.get() not in ("", "none"):
+            m["release"] = self.member_release.get()
+        self.members_data.append(m)
         self.refresh_members()
 
     def delete_member(self):
@@ -517,7 +525,8 @@ class JacketGUI:
         self.member_tree.delete(*self.member_tree.get_children())
         for m in self.members_data:
             self.member_tree.insert("", tk.END, values=(
-                m["name"], m["node1"], m["node2"], m["type"]))
+                m["name"], m["node1"], m["node2"], m["type"],
+                m.get("release", "none")))
         self.update_3d_preview()
 
     def add_appurtenance(self):

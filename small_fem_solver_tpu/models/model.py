@@ -68,6 +68,11 @@ class JacketModel:
     app_cd_mult: jnp.ndarray | None = None   # [A] drag multiplier
     app_cm_mult: jnp.ndarray | None = None   # [A] inertia multiplier
     app_names: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # Member end releases: [M] int32 codes (ops.beams.RELEASE_*; bit 0 =
+    # node-1 end pinned, bit 1 = node-2 end pinned — the two local bending
+    # rotations of that end are statically condensed out of the element).
+    # None = every member rigidly framed (reference semantics).
+    release: jnp.ndarray | None = None
 
     # ---------------- sizes ----------------
     @property
@@ -129,6 +134,14 @@ def build_model(
     `JacketAnalysisGUI_v2.py:327-336`); members of type 'leg' use
     ``leg_section`` = (D_mm, t_mm), all other types use ``brace_section``
     (`JacketAnalysisGUI_v2.py:329`).
+
+    Beyond the reference, a member dict may carry ``release``:
+    ``"none"`` (default), ``"pinned1"``, ``"pinned2"`` or ``"pinned"``
+    (both ends) — the pinned end transmits axial, shear and torsion but no
+    bending moment.  Every non-support node must keep at least one
+    rigidly framed member end (otherwise its bending rotations have no
+    stiffness and the system is singular); violations raise here with the
+    node named.
     """
     node_names = tuple(nodes.keys())
     index = {n: i for i, n in enumerate(node_names)}
@@ -138,6 +151,15 @@ def build_model(
     member_types = tuple(m.get("type", "brace") for m in members)
     member_names = tuple(m["name"] for m in members)
     sect_id = np.array([0 if t == "leg" else 1 for t in member_types], dtype=np.int32)
+
+    _REL_CODES = {"none": 0, "": 0, "pinned1": 1, "pinned2": 2,
+                  "pinned": 3, "both": 3}
+    rel_strs = [str(m.get("release", "none")).lower() for m in members]
+    bad = sorted({s for s in rel_strs if s not in _REL_CODES})
+    if bad:
+        raise ValueError(f"unknown member release {bad}; use "
+                         "'none' | 'pinned1' | 'pinned2' | 'pinned'")
+    release = np.array([_REL_CODES[s] for s in rel_strs], dtype=np.int32)
 
     (D_leg, t_leg), (D_brace, t_brace) = leg_section, brace_section
     sections = tube_sections(
@@ -153,6 +175,24 @@ def build_model(
     for n in top_nodes:
         top_mask[index[n]] = True
 
+    if release.any():
+        # a non-support node whose EVERY attached member end is pinned has
+        # no bending stiffness on its rotational DOFs -> singular system
+        rigid = np.zeros(len(node_names), dtype=bool)
+        rigid[fixed_mask] = True
+        for e in range(conn.shape[0]):
+            if not (release[e] & 1):
+                rigid[conn[e, 0]] = True
+            if not (release[e] & 2):
+                rigid[conn[e, 1]] = True
+        if not rigid.all():
+            offenders = [node_names[i] for i in np.where(~rigid)[0]]
+            raise ValueError(
+                f"node(s) {offenders} have ONLY pinned member ends "
+                "attached: their rotations are unrestrained (singular "
+                "system). Keep at least one rigidly framed member end at "
+                "every non-support node.")
+
     return JacketModel(
         coords=coords,
         conn=jnp.asarray(conn),
@@ -163,6 +203,7 @@ def build_model(
         node_names=node_names,
         member_names=member_names,
         member_types=member_types,
+        release=jnp.asarray(release) if release.any() else None,
     )
 
 
@@ -248,6 +289,16 @@ def refine_model(model: JacketModel, n_seg: int) -> JacketModel:
     types = model.member_types if model.member_types else ("brace",) * M
     member_types = tuple(types[e] for e in range(M) for _ in range(n_seg))
 
+    # end releases live on the PHYSICAL member ends: the node-1 bit goes to
+    # the first segment, the node-2 bit to the last; interior joints rigid
+    new_release = None
+    if model.release is not None:
+        rel = np.asarray(model.release)
+        seg_rel = np.zeros((M, n_seg), dtype=np.int32)
+        seg_rel[:, 0] |= rel & 1
+        seg_rel[:, -1] |= rel & 2
+        new_release = jnp.asarray(seg_rel.reshape(-1))
+
     return JacketModel(
         coords=jnp.asarray(new_coords, dtype=model.coords.dtype),
         conn=jnp.asarray(new_conn.astype(np.int32)),
@@ -265,4 +316,5 @@ def refine_model(model: JacketModel, n_seg: int) -> JacketModel:
         app_cd_mult=model.app_cd_mult,
         app_cm_mult=model.app_cm_mult,
         app_names=model.app_names,
+        release=new_release,
     )

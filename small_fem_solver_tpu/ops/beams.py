@@ -23,6 +23,7 @@ Element formulation details replicated exactly (required for 1e-8 parity):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -179,13 +180,78 @@ def matvec12(A, u):
     return acc
 
 
+# Member end releases ("pinned" connections).  Code is a 2-bit flag:
+# bit 0 = node-1 end pinned, bit 1 = node-2 end pinned.  A pinned end
+# releases the two LOCAL bending rotations (ry, rz) of that end; axial,
+# shear and torsion stay connected (releasing torsion at both ends would
+# leave the member free to spin — singular).  The reference has no end
+# releases at all (every `BeamElement3D` is rigidly framed,
+# `JacketAnalysisGUI_v2.py:360-432`); this is the standard pinned-brace /
+# secondary-steel idealization of design practice.
+RELEASE_NONE, RELEASE_PIN1, RELEASE_PIN2, RELEASE_PIN_BOTH = 0, 1, 2, 3
+_REL_MASKS = np.zeros((4, 12))
+_REL_MASKS[1, [4, 5]] = 1.0
+_REL_MASKS[2, [10, 11]] = 1.0
+_REL_MASKS[3, [4, 5, 10, 11]] = 1.0
+
+
+def release_transform(K_local, release):
+    """Batched kept-DOF expansion ``W [M, 12, 12]`` for end releases.
+
+    ``u_full = W @ u_kept`` (with the kept vector embedded, zeros at the
+    released slots): the released rotations take their static, zero-moment
+    values ``u_r = -K_rr^{-1} K_rk u_k`` — exact static condensation, so
+    ``W^T K_local W`` is the released element stiffness with exactly zero
+    rows/columns at the released DOFs, and ``W^T K_G W`` is the consistent
+    projection of any other element matrix (geometric stiffness).
+
+    ``A = P K P + (I - P)`` is SPD for bending-rotation releases (the
+    rotational block of a beam with clamped translations is PD), so the
+    batched solve is Cholesky — no LU, which would not lower in f64 on the
+    TPU backend.
+    """
+    m = jnp.asarray(_REL_MASKS, dtype=K_local.dtype)[release]   # [M, 12]
+    eye = jnp.eye(12, dtype=K_local.dtype)
+    A = K_local * m[:, :, None] * m[:, None, :] + eye * (1.0 - m)[:, :, None]
+    Lc = jnp.linalg.cholesky(A)
+    PK = K_local * m[:, :, None]                                # P K
+    X = jax.scipy.linalg.cho_solve((Lc, True), PK)              # A^-1 P K
+    return (eye - X) * (1.0 - m)[:, None, :]                    # zero released cols
+
+
+def apply_releases(K_local, release, W=None):
+    """Released local stiffness ``W^T K W`` with exact zeros on the
+    released rows/columns (the congruence leaves ~1e-10 roundoff there)."""
+    if W is None:
+        W = release_transform(K_local, release)
+    m = jnp.asarray(_REL_MASKS, dtype=K_local.dtype)[release]
+    Kc = congruence(W, K_local)
+    return Kc * (1.0 - m)[:, :, None] * (1.0 - m)[:, None, :]
+
+
+def release_W(coords, conn, sec: TubeSections, sect_id, E, G, release):
+    """Local-frame release expansion ``W`` from the RAW (uncondensed)
+    element stiffness — for projecting companion element matrices (the
+    geometric stiffness in buckling/P-delta) consistently:
+    ``K_G_released = W^T K_G W``."""
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    L = jnp.linalg.norm(c2 - c1, axis=-1)
+    K_local = local_stiffness(L * 1000.0, sec, sect_id, E, G)
+    return release_transform(K_local, release)
+
+
 def element_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,
-                      include_shear: bool = True):
+                      include_shear: bool = True, release=None):
     """All per-element matrices in one shot.
 
     Returns (K_global [M,12,12], K_local [M,12,12], T [M,12,12], L_m [M]).
     ``K_global = T^T K_local T`` (`JacketAnalysisGUI_v2.py:369`) as a batched
     congruence (see :func:`congruence` for the TPU layout note).
+    ``release`` ([M] int codes, see :data:`RELEASE_PIN_BOTH`) statically
+    condenses pinned end rotations out of K_local BEFORE the rotation, so
+    every consumer (assembly, condensation chains, internal-force recovery)
+    sees the released element transparently.
     """
     c1 = coords[conn[:, 0]]
     c2 = coords[conn[:, 1]]
@@ -194,6 +260,8 @@ def element_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,
     R = local_axes(dL, L)
     T = transformation_matrices(R)
     K_local = local_stiffness(L * 1000.0, sec, sect_id, E, G, include_shear)
+    if release is not None:
+        K_local = apply_releases(K_local, release)
     K_global = congruence(T, K_local)
     return K_global, K_local, T, L
 

@@ -66,12 +66,17 @@ def _build_gpat():
 _GPAT = _build_gpat()
 
 
-def element_geometric_stiffness(coords, conn, N_axial):
+def element_geometric_stiffness(coords, conn, N_axial, W=None):
     """Stacked global-frame geometric stiffness [M, 12, 12].
 
     ``N_axial``: [M] member axial force in N, POSITIVE IN COMPRESSION (so
     the assembled K_G is the destabilizing matrix and the eigenproblem reads
     K phi = lambda K_G phi).  Units: N/mm blocks like the elastic K.
+    ``W`` ([M, 12, 12], from :func:`ops.beams.release_W`): consistent
+    projection for members with pinned end releases — the geometric
+    stiffness must live on the same kept-DOF subspace as the released
+    elastic K, else the zeroed elastic rotation rows against nonzero K_G
+    rows produce spurious near-zero buckling factors.
     """
     c1 = coords[conn[:, 0]]
     c2 = coords[conn[:, 1]]
@@ -86,6 +91,8 @@ def element_geometric_stiffness(coords, conn, N_axial):
     ], axis=-1)                                            # [M, 4]
     pat = jnp.asarray(_GPAT, dtype=coords.dtype)
     Kg_local = (coeffs @ pat).reshape(-1, 12, 12)
+    if W is not None:
+        Kg_local = congruence(W, Kg_local)
     R = local_axes(dL, L)
     T = transformation_matrices(R)
     return congruence(T, Kg_local)
@@ -169,9 +176,16 @@ def buckling_analysis(model, results, E: float = 210000.0, nu: float = 0.3,
     G = E / (2.0 * (1.0 + nu))
     with jax.default_matmul_precision("highest"):
         Kg, _, _, _ = element_stiffness(model.coords, model.conn,
-                                        model.sections, model.sect_id, E, G)
+                                        model.sections, model.sect_id, E, G,
+                                        release=model.release)
         N = member_axial_forces(results).astype(dtype)
-        KGg = element_geometric_stiffness(model.coords, model.conn, N)
+        W_rel = None
+        if model.release is not None:
+            from .beams import release_W
+            W_rel = release_W(model.coords, model.conn, model.sections,
+                              model.sect_id, E, G, model.release)
+        KGg = element_geometric_stiffness(model.coords, model.conn, N,
+                                          W=W_rel)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         KG = assemble_dense(KGg, model.conn, model.n_dof)
         if support_stiffness is not None:

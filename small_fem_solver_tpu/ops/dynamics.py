@@ -181,7 +181,7 @@ def _build_km(model, E, nu, topside_mass_t, added_mass_Ca=None,
     G = E / (2.0 * (1.0 + nu))
     Kg, K_local, T, L_m = element_stiffness(model.coords, model.conn,
                                             model.sections, model.sect_id,
-                                            E, G)
+                                            E, G, release=model.release)
     Mg = element_mass(model.coords, model.conn, model.sections, model.sect_id)
     if added_mass_Ca is not None:
         D_m = hydro_diameter_m(model.sections, model.sect_id)
@@ -329,7 +329,7 @@ def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
     with jax.default_matmul_precision("highest"):
         Kg, K_local, T, L_m = element_stiffness(
             refined.coords, refined.conn, refined.sections, refined.sect_id,
-            E, G)
+            E, G, release=refined.release)
         Mg = element_mass(refined.coords, refined.conn, refined.sections,
                           refined.sect_id)
         if added_mass_Ca is not None:

@@ -141,7 +141,7 @@ def _design_sweep_jit(model, waves, cases, free, fixed, ks_nodes, n_gauss,
         G = cases.E[0] / (2.0 * (1.0 + cases.nu[0]))
         Kg, K_local, T, L_m = element_stiffness(
             model.coords, model.conn, model.sections, model.sect_id,
-            cases.E[0], G)
+            cases.E[0], G, release=model.release)
         K = assemble_dense(Kg, model.conn, model.n_dof)
         fac = _spring_dfac(K, ks_nodes, free)
 

@@ -46,7 +46,11 @@ def model_to_dict(model: JacketModel, params: dict | None = None) -> dict:
             {"name": model.member_names[e],
              "node1": model.node_names[conn[e, 0]],
              "node2": model.node_names[conn[e, 1]],
-             "type": model.member_types[e]}
+             "type": model.member_types[e],
+             **({"release": ("none", "pinned1", "pinned2", "pinned")[
+                 int(np.asarray(model.release)[e])]}
+                if model.release is not None
+                and int(np.asarray(model.release)[e]) else {})}
             for e in range(model.n_members)],
         "fixed_nodes": model.fixed_node_names(),
         "top_nodes": model.top_node_names(),
