@@ -52,6 +52,7 @@ from .ops.wind import (wind_member_forces, wind_profile,
                        wind_topside_force)
 from .ops.wave_models import make_wave, validate_wave
 from .ops.waves import FourierWave, airy_wave, kinematics, surface_elevation
+from .utils.combos import combine_results, combo_envelope
 from .utils.persist import (design_envelope_resumable, load_results,
                             save_results)
 
