@@ -687,6 +687,55 @@ def cmd_modes(args):
           f"(ratio {args.T/float(res.periods_s[0]):.2f})")
 
 
+def cmd_transient(args):
+    """Newmark time integration on the Craig-Bampton basis — beyond the
+    reference (its Info tab excludes dynamics)."""
+    import numpy as np
+
+    from .models.model import refine_model
+    from .ops.dynamics import transient_response_condensed
+
+    with _cpu_if_f64(args):
+        model, wave, case = _setup(args)
+        if args.spectrum:
+            from .ops.spectrum import make_random_sea
+            hs = args.hs if args.hs is not None else args.H
+            tp = args.tp if args.tp is not None else args.T
+            wave = make_random_sea(hs, tp, args.d, args.components,
+                                   seed=args.seed, spectrum=args.spectrum)
+            T_char = tp
+            print(f"irregular sea: {args.spectrum.upper()} Hs={hs} m "
+                  f"Tp={tp} s, {args.components} components")
+        else:
+            T_char = args.T
+        refined = refine_model(model, args.refine)
+        dt = args.dt if args.dt else T_char / 64.0
+        n_steps = int(round(args.periods * T_char / dt))
+        spring = getattr(args, "support_spring", None)
+        _spring_banner(spring)
+        print(f"transient: {refined.n_dof} DOF (reduced march), dt={dt:.3f} s"
+              f", {n_steps} steps ({args.periods:g} periods), damping "
+              f"{100 * args.damping:.1f}%"
+              + (", relative-velocity drag" if args.relative_drag else ""))
+        res = transient_response_condensed(
+            model, refined, args.refine, wave, case, dt, n_steps,
+            damping_ratio=args.damping, topside_mass_t=args.topside_mass,
+            n_chain_modes=args.chain_modes, support_stiffness=spring,
+            ramp_periods=args.ramp, added_mass_Ca=args.added_mass,
+            relative_drag=args.relative_drag)
+    tip = np.asarray(res.tip_displacement_mm)
+    util = np.asarray(res.utilization)
+    i_peak = int(util.max(axis=1).argmax())
+    print(f"first natural period: {2 * np.pi / float(res.omega1):.3f} s")
+    print(f"peak displacement: {tip.max():.1f} mm at "
+          f"t = {float(res.ts[int(tip.argmax())]):.2f} s")
+    print(f"peak utilization: {util.max():.4f} at t = "
+          f"{float(res.ts[i_peak]):.2f} s")
+    tail = util[n_steps // 2:]
+    print(f"steady-state utilization (last half): max {tail.max():.4f}, "
+          f"mean-of-peaks {tail.max(axis=1).mean():.4f}")
+
+
 def cmd_seismic(args):
     """Response-spectrum earthquake check (modal CQC) — beyond the
     reference's scope (its Info tab excludes seismic actions)."""
@@ -1141,6 +1190,41 @@ def main(argv=None):
                          "of [[Hs, Tp, occurrence], ...] rows; damage "
                          "accumulates over the states (uses --refine, min 2)")
     fa.set_defaults(fn=cmd_fatigue)
+
+    tr = sub.add_parser("transient",
+                        help="Newmark time integration on the Craig-"
+                             "Bampton reduced basis (regular wave or "
+                             "irregular sea; optional relative-velocity "
+                             "drag damping)")
+    _add_common(tr)
+    tr.add_argument("--refine", type=int, default=4,
+                    help="member subdivision (reduced-basis size is "
+                         "refinement-independent)")
+    tr.add_argument("--chain-modes", type=int, default=12)
+    tr.add_argument("--dt", type=float, default=None,
+                    help="time step [s] (default T/64)")
+    tr.add_argument("--periods", type=float, default=10.0,
+                    help="simulation length in wave (peak) periods")
+    tr.add_argument("--damping", type=float, default=0.02,
+                    help="Rayleigh damping ratio")
+    tr.add_argument("--ramp", type=float, default=2.0,
+                    help="load ramp-up [periods]")
+    tr.add_argument("--topside-mass", type=float, default=1100.0)
+    tr.add_argument("--added-mass", type=float, default=None,
+                    help="hydrodynamic added-mass Ca (= Cm - 1)")
+    tr.add_argument("--relative-drag", action="store_true",
+                    help="relative-velocity Morison drag (physical "
+                         "hydrodynamic damping)")
+    tr.add_argument("--spectrum", choices=["jonswap", "pm"], default=None,
+                    help="drive with an irregular-sea realization")
+    tr.add_argument("--hs", type=float, default=None,
+                    help="significant wave height [m] (default: -H)")
+    tr.add_argument("--tp", type=float, default=None,
+                    help="peak period [s] (default: -T)")
+    tr.add_argument("--components", type=int, default=48)
+    tr.add_argument("--seed", type=int, default=0)
+    _add_spring_arg(tr)
+    tr.set_defaults(fn=cmd_transient)
 
     bk = sub.add_parser("buckling",
                         help="member Euler screen + linearized global "

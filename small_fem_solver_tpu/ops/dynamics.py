@@ -617,6 +617,23 @@ class TransientResponse(NamedTuple):
     rayleigh_beta: jnp.ndarray
 
 
+def _cb_reduce_forces(cb: CBReduction, F, nc, n_seg, dtype):
+    """Work-conjugate projection of full-mesh load vectors [..., n_dof_ref]
+    to CB coordinates [..., n_red]."""
+    lead = F.shape[:-1]
+    Fn = F.reshape(*lead, -1, 6)
+    F_b = Fn[..., :nc, :].reshape(*lead, -1)
+    n_int = n_seg - 1
+    F_i = Fn[..., nc:, :].reshape(*lead, cb.Mc, n_int * 6)
+    F_red = jnp.zeros((*lead, cb.n_red), dtype)
+    F_red = F_red.at[..., :6 * nc].set(F_b)
+    F_red = F_red.at[..., cb.bdof].add(
+        jnp.einsum("mnj,...mn->...mj", cb.Psi, F_i))
+    F_red = F_red.at[..., cb.qdof].add(
+        jnp.einsum("mnq,...mn->...mq", cb.Phi, F_i))
+    return F_red
+
+
 def _cb_reduced_loads(cb: CBReduction, refined, case, nodal_forces, nc,
                       n_seg, dtype):
     """Project full-mesh nodal force batches [S, n, 3] to CB coordinates
@@ -626,18 +643,98 @@ def _cb_reduced_loads(cb: CBReduction, refined, case, nodal_forces, nc,
 
     F = jax.vmap(lambda nodal: assemble_loads(
         refined, case, nodal, cb.L_m))(nodal_forces)       # [S, n_dof_ref]
-    S = F.shape[0]
-    Fn = F.reshape(S, -1, 6)
-    F_b = Fn[:, :nc].reshape(S, -1)
-    n_int = n_seg - 1
-    F_i = Fn[:, nc:].reshape(S, cb.Mc, n_int * 6)
-    F_red = jnp.zeros((S, cb.n_red), dtype)
-    F_red = F_red.at[:, :6 * nc].set(F_b)
-    F_red = F_red.at[:, cb.bdof].add(
-        jnp.einsum("mnj,smn->smj", cb.Psi, F_i))
-    F_red = F_red.at[:, cb.qdof].add(
-        jnp.einsum("mnq,smn->smq", cb.Phi, F_i))
-    return F_red
+    return _cb_reduce_forces(cb, F, nc, n_seg, dtype)
+
+
+def _relative_drag_fn(refined, case, wave, n_gauss, stretching, dtype):
+    """Per-step relative-velocity Morison drag evaluator.
+
+    Returns ``drag_at(t, v_nodal) -> nodal [n, 3] N`` with
+    ``U_rel = U_wave + U_current - v_structure`` (``v_nodal`` in m/s) —
+    the standard relative formulation whose velocity-coupled term IS the
+    hydrodynamic (viscous) drag damping.  Mirrors :func:`.morison.
+    morison_loads`' drag term exactly at v = 0 (uniform current, analytic
+    acceleration path); the wave may be a FourierWave, a long-crested
+    SpectralSea, or None (still water: drag from structural motion alone —
+    free-decay damping).
+    """
+    from .morison import gauss_legendre_01, hydro_members
+    from .spectrum import SpectralSea, sea_kinematics
+    from .waves import kinematics as wave_kinematics
+
+    conn_h, D_m, Cd_h, Cm_h = hydro_members(refined, case.marine_growth_mm,
+                                            case.Cd, case.Cm)
+    theta_w = jnp.deg2rad(jnp.asarray(90.0 - case.wave_dir_deg, dtype=dtype))
+    theta_c = jnp.deg2rad(jnp.asarray(90.0 - case.current_dir_deg,
+                                      dtype=dtype))
+    cos_w, sin_w = jnp.cos(theta_w), jnp.sin(theta_w)
+    cos_c, sin_c = jnp.cos(theta_c), jnp.sin(theta_c)
+    coords = refined.coords
+    c1 = coords[conn_h[:, 0]]
+    c2 = coords[conn_h[:, 1]]
+    dL = c2 - c1
+    L = jnp.linalg.norm(dL, axis=-1)
+    e = dL / L[:, None]
+    s, w = gauss_legendre_01(n_gauss)
+    s = jnp.asarray(s, dtype=dtype)
+    w = jnp.asarray(w, dtype=dtype)
+    pos = c1[:, None, :] + s[None, :, None] * dL[:, None, :]   # [Mh, Q, 3]
+    x_wave = pos[..., 0] * cos_w + pos[..., 1] * sin_w
+    z = pos[..., 2]
+    Cd = jnp.asarray(Cd_h, dtype=dtype)
+    if Cd.ndim == 1:
+        Cd = Cd[:, None]
+    D = D_m[:, None]
+    Lw = L[:, None] * w[None, :]
+    rho = case.rho_water
+    n_nodes = coords.shape[0]
+    nodes = jnp.concatenate([conn_h[:, 0], conn_h[:, 1]])
+
+    if isinstance(wave, SpectralSea) and wave.dir_deg is not None:
+        raise ValueError("relative_drag supports long-crested seas only "
+                         "(spread seas resolve per-mode headings in the "
+                         "precomputed batch, not pointwise)")
+
+    def drag_at(t, v_nodal):
+        if wave is None:                                   # still water
+            sub = z <= 0.0
+            subf = sub.astype(dtype)
+            U = jnp.zeros_like(pos)
+        else:
+            if isinstance(wave, SpectralSea):
+                kin = sea_kinematics(wave, x_wave, z,
+                                     jnp.asarray(t, dtype=dtype))
+            else:
+                kin = wave_kinematics(wave, x_wave, z,
+                                      jnp.asarray(t, dtype=dtype),
+                                      accel="analytic", stretching=stretching)
+            sub = kin.submerged
+            subf = sub.astype(dtype)
+            u_wave_only = kin.u - wave.U_c * subf
+            U = jnp.stack([
+                u_wave_only * cos_w + wave.U_c * subf * cos_c,
+                u_wave_only * sin_w + wave.U_c * subf * sin_c,
+                kin.w,
+            ], axis=-1)                                    # [Mh, Q, 3]
+        v1 = v_nodal[conn_h[:, 0]]
+        v2 = v_nodal[conn_h[:, 1]]
+        v_pt = (1.0 - s)[None, :, None] * v1[:, None, :] \
+            + s[None, :, None] * v2[:, None, :]
+        U_rel = U - v_pt * subf[..., None]
+        eb = e[:, None, :]
+        U_perp = U_rel - jnp.sum(U_rel * eb, axis=-1, keepdims=True) * eb
+        U_sq = jnp.sum(U_perp * U_perp, axis=-1)
+        U_mag = jnp.where(U_sq > 0,
+                          jnp.sqrt(jnp.where(U_sq > 0, U_sq, 1.0)), 0.0)
+        drag_on = jnp.logical_and(sub, U_mag > 1e-10).astype(dtype)
+        f = (0.5 * rho * Cd * D * U_mag * Lw)[..., None] * U_perp \
+            * drag_on[..., None]
+        F1 = jnp.sum((1.0 - s)[None, :, None] * f, axis=1)
+        F2 = jnp.sum(s[None, :, None] * f, axis=1)
+        contrib = jnp.concatenate([F1, F2], axis=0)
+        return jax.ops.segment_sum(contrib, nodes, num_segments=n_nodes)
+
+    return drag_at
 
 
 def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
@@ -651,6 +748,8 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
                                  u0=None, zero_loads: bool = False,
                                  stretching: str = "none",
                                  added_mass_Ca=None,
+                                 relative_drag: bool = False,
+                                 drag_iterations: int = 1,
                                  newmark=(0.25, 0.5)) -> TransientResponse:
     """Transient (direct time-integration) response on the Craig-Bampton
     reduced basis — Newmark-beta, unconditionally stable average
@@ -673,6 +772,17 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
     vibration/decay.  Rayleigh damping is calibrated to ``damping_ratio``
     at the first two distinct natural frequencies, exactly as the harmonic
     solvers do.
+
+    ``relative_drag=True`` switches the drag term to the relative-velocity
+    Morison formulation F_d ~ |U - v| (U - v): the velocity-coupled part
+    is the physical hydrodynamic (viscous) damping — amplitude-dependent,
+    quadratic, and absent from both the reference and the Rayleigh model.
+    The wave inertia loads stay precomputed (one matmul); only the drag is
+    evaluated inside the march, from the previous step's velocity (lagged
+    explicit splitting; ``drag_iterations=2`` adds a corrected pass at the
+    new velocity).  With ``zero_loads=True`` it gives still-water
+    free-decay damping (classical hyperbolic amplitude decay — the
+    signature of quadratic damping, validated in tests/test_dynamics.py).
     """
     from .morison import hydro_diameter_m, morison_phase_batch
     from .solve import factor_dense, solve_factored
@@ -701,6 +811,7 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
 
     with jax.default_matmul_precision("highest"):
         ts = jnp.arange(n_steps, dtype=dtype) * dt
+        ramp_arr = jnp.ones((n_steps,), dtype)  # wave-load ramp (see below)
         if zero_loads:
             F_f = jnp.zeros((n_steps, cb.free.shape[0]), dtype)
         elif wave is None:
@@ -713,8 +824,12 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
                 raise ValueError("dynamics loading uses the separable "
                                  "phase/spectral matmul; slamming "
                                  "(slam_cs > 0) is pointwise-path only")
+            # with the relative-velocity formulation the drag term is
+            # state-dependent and evaluated inside the march; precompute
+            # only the inertia (+ static) loads here by zeroing Cd
+            Cd_pre = 0.0 if relative_drag else case.Cd
             conn_h, D_m, Cd_h, Cm_h = hydro_members(
-                refined, case.marine_growth_mm, case.Cd, case.Cm)
+                refined, case.marine_growth_mm, Cd_pre, case.Cm)
             if isinstance(wave, SpectralSea):
                 mb = morison_sea_batch(wave, refined.coords, conn_h,
                                        D_m, case.wave_dir_deg,
@@ -735,8 +850,8 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
                                       nc, n_seg, dtype)
             F_f = F_red[:, cb.free]
             if ramp_periods > 0:
-                ramp = jnp.minimum(ts / (ramp_periods * T_ramp), 1.0)
-                F_f = F_f * ramp[:, None]
+                ramp_arr = jnp.minimum(ts / (ramp_periods * T_ramp), 1.0)
+                F_f = F_f * ramp_arr[:, None]
 
         C_ff = alpha * M_ff + beta_r * K_ff
         bN, gN = newmark
@@ -750,6 +865,28 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
         nf = K_ff.shape[0]
         fac = factor_dense(K_eff, jnp.arange(nf))
 
+        # relative-velocity drag: a per-step force from the CURRENT
+        # structural velocity (hydrodynamic damping).  Evaluated with the
+        # previous step's velocity (explicit/lagged, O(dt) splitting) and
+        # optionally re-evaluated at the corrected velocity
+        # (drag_iterations = 2) — the effective matrix stays constant so
+        # the march remains one factorization + scan.
+        if relative_drag:
+            drag_wave = None if zero_loads else wave
+            drag_at = _relative_drag_fn(refined, case, drag_wave, n_gauss,
+                                        stretching, dtype)
+
+            def drag_reduced(t, v_free):
+                v_red = jnp.zeros((cb.n_red,), dtype).at[cb.free].set(v_free)
+                v_nodal = _cb_expand(cb, v_red).reshape(-1, 6)[:, :3] / 1e3
+                nodal = drag_at(t, v_nodal)                 # [n, 3] N
+                F_full = jnp.zeros((refined.n_dof // 6, 6), dtype)
+                F_full = F_full.at[:, :3].set(nodal).reshape(-1)
+                return _cb_reduce_forces(cb, F_full, nc, n_seg,
+                                         dtype)[cb.free]
+        else:
+            drag_reduced = None
+
         # initial state
         if u0 is not None:
             u = _cb_project(cb, jnp.asarray(u0, dtype))[cb.free]
@@ -758,18 +895,37 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
         v = jnp.zeros((nf,), dtype)
         # consistent initial acceleration: M a0 = F0 - C v0 - K u0
         Mfac = factor_dense(M_ff, jnp.arange(nf))
-        acc = solve_factored(Mfac, F_f[0] - K_ff @ u - C_ff @ v)
+        F0 = F_f[0]
+        if relative_drag:
+            # the same startup ramp the precomputed loads get (the drag
+            # carries the wave-drag action, so an unramped drag would
+            # reintroduce the startup transient the ramp suppresses)
+            F0 = F0 + ramp_arr[0] * drag_reduced(ts[0], v)
+        acc = solve_factored(Mfac, F0 - K_ff @ u - C_ff @ v)
 
-        def step(carry, Fn1):
+        def step(carry, inp):
             u, v, acc = carry
-            rhs = Fn1 + M_ff @ (a0 * u + a2 * v + a3 * acc) \
+            Fn1, t1, r1 = inp
+            hist = M_ff @ (a0 * u + a2 * v + a3 * acc) \
                 + C_ff @ (a1 * u + a4 * v + a5 * acc)
-            u1 = solve_factored(fac, rhs)
-            acc1 = a0 * (u1 - u) - a2 * v - a3 * acc
-            v1 = v + dt * ((1.0 - gN) * acc + gN * acc1)
+            if relative_drag:
+                Fd = r1 * drag_reduced(t1, v)              # lagged velocity
+                u1 = solve_factored(fac, Fn1 + Fd + hist)
+                acc1 = a0 * (u1 - u) - a2 * v - a3 * acc
+                v1 = v + dt * ((1.0 - gN) * acc + gN * acc1)
+                for _ in range(max(int(drag_iterations) - 1, 0)):
+                    Fd = r1 * drag_reduced(t1, v1)         # corrector pass
+                    u1 = solve_factored(fac, Fn1 + Fd + hist)
+                    acc1 = a0 * (u1 - u) - a2 * v - a3 * acc
+                    v1 = v + dt * ((1.0 - gN) * acc + gN * acc1)
+            else:
+                u1 = solve_factored(fac, Fn1 + hist)
+                acc1 = a0 * (u1 - u) - a2 * v - a3 * acc
+                v1 = v + dt * ((1.0 - gN) * acc + gN * acc1)
             return (u1, v1, acc1), u1
 
-        _, u_hist = jax.lax.scan(step, (u, v, acc), F_f[1:])
+        _, u_hist = jax.lax.scan(step, (u, v, acc),
+                                 (F_f[1:], ts[1:], ramp_arr[1:]))
         u_hist = jnp.concatenate([u[None], u_hist], axis=0)  # [S, nf]
 
         U_red = jnp.zeros((n_steps, cb.n_red), dtype)
