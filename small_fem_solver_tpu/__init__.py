@@ -33,6 +33,7 @@ from .ops.dynamics import (HarmonicResponse, ModalResults,
                            modal_analysis_condensed,
                            transient_response_condensed)
 from .ops.fatigue import FatigueScreen, fatigue_screen
+from .ops.dispersion import apparent_period, solve_dispersion
 from .ops.fenton import fenton_wave
 from .ops.morison import MorisonLoads, morison_loads, phase_scan
 from .ops.sections import TubeSections, tube_sections

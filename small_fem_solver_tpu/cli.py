@@ -67,6 +67,10 @@ def _add_common(ap: argparse.ArgumentParser):
     w.add_argument("--wave-model", default="auto",
                    choices=["auto", "airy", "stokes", "fenton"])
     w.add_argument("--N", type=int, default=10, help="wave order / modes")
+    w.add_argument("--doppler", action="store_true",
+                   help="wave-current interaction: build the wave with the "
+                        "APPARENT period (API RP 2A Doppler correction from "
+                        "the along-wave current component)")
     w.add_argument("--Cd", type=float, default=0.7, help="drag coefficient")
     w.add_argument("--Cm", type=float, default=2.0, help="inertia coefficient")
     def _nonneg(v):
@@ -173,11 +177,22 @@ def _setup(args):
 
     from .ops.sections import validate_sections
     from .ops.wave_models import make_wave, validate_wave
-    for msg in validate_wave(args.H, args.T, args.d):
+    T_wave = args.T
+    if getattr(args, "doppler", False) and args.Uc:
+        import numpy as np
+
+        from .ops.dispersion import apparent_period
+        beta = np.deg2rad(args.wave_dir - args.current_dir)
+        U_along = args.Uc * float(np.cos(beta))
+        T_wave = float(apparent_period(args.T, args.d, U_along))
+        print(f"[doppler] apparent period {T_wave:.3f} s (absolute "
+              f"{args.T:g} s, along-wave current {U_along:+.2f} m/s)",
+              file=sys.stderr)
+    for msg in validate_wave(args.H, T_wave, args.d):
         print(f"WARNING: {msg}", file=sys.stderr)
     for msg in validate_sections(model.sections):
         print(f"WARNING: {msg}", file=sys.stderr)
-    wave = make_wave(args.H, args.T, args.d, args.Uc, model=args.wave_model,
+    wave = make_wave(args.H, T_wave, args.d, args.Uc, model=args.wave_model,
                      N=args.N, dtype=dtype)
 
     case = sf.LoadCase(

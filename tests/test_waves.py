@@ -108,3 +108,37 @@ def test_eta_periodicity():
     e0 = surface_elevation(wave, 1.0, 0.5)
     e1 = surface_elevation(wave, 1.0, 0.5 + 9.0)
     np.testing.assert_allclose(float(e0), float(e1), rtol=1e-9)
+
+
+def test_apparent_period_doppler():
+    """Wave-current apparent period: the current-modified dispersion
+    (omega_a - kU)^2 = gk tanh(kd) is satisfied; following current
+    lengthens T_app, opposing shortens; earth-frame celerity identity
+    C_a = C_i + U; U = 0 is the identity."""
+    import numpy as np
+
+    from small_fem_solver_tpu.constants import G_GRAV
+    from small_fem_solver_tpu.ops.dispersion import (apparent_period,
+                                                     solve_dispersion)
+
+    T, d = 9.4, 50.0
+    assert float(apparent_period(T, d, 0.0)) == pytest.approx(T, rel=1e-12)
+    for U in (1.7, -1.5):
+        T_app = float(apparent_period(T, d, U))
+        if U > 0:
+            assert T_app > T
+        else:
+            assert T_app < T
+        # the intrinsic wave satisfies plain dispersion at T_app...
+        k = float(solve_dispersion(2 * np.pi / T_app, d))
+        wi = 2 * np.pi / T_app
+        assert wi**2 == pytest.approx(G_GRAV * k * np.tanh(k * d), rel=1e-10)
+        # ...and the earth-frame frequency is recovered: omega_a = wi + kU
+        assert wi + k * U == pytest.approx(2 * np.pi / T, rel=1e-10)
+
+
+def test_cli_doppler_flag(capsys):
+    from small_fem_solver_tpu.cli import main
+    main(["run", "--doppler", "--t", "0.0"])
+    err_out = capsys.readouterr()
+    assert "[doppler] apparent period" in err_out.err
