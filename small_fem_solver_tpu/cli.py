@@ -26,7 +26,9 @@ storm envelope), ``modes`` / ``dynamic`` (Craig-Bampton-reduced for
 ``code-check`` (API RP 2A-WSD / ISO 19902 member checks), ``joint-check``
 (punching shear), ``viv`` (vortex-shedding screen), ``pile`` (p-y/t-z/Q-z
 foundation springs), ``seismic`` (response-spectrum earthquake check),
-``save-default`` (write the default jacket JSON).
+``transient`` (Newmark time integration, optional relative-velocity
+drag), ``pushover`` (reserve strength ratio), ``air-gap`` (crest
+clearance), ``save-default`` (write the default jacket JSON).
 
 Usage examples:
     python -m small_fem_solver_tpu.cli run --phase-scan --csv forces.csv
@@ -702,6 +704,43 @@ def cmd_modes(args):
           f"(ratio {args.T/float(res.periods_s[0]):.2f})")
 
 
+def cmd_pushover(args):
+    """Pushover / Reserve Strength Ratio — beyond the reference (it is
+    strictly linear-elastic)."""
+    import numpy as np
+
+    from .ops.pushover import pushover
+
+    with _cpu_if_f64(args):
+        model, wave, case = _setup(args)
+        spring = getattr(args, "support_spring", None)
+        _spring_banner(spring)
+        res = pushover(model, wave, case, lambda_max=args.lambda_max,
+                       n_lambda=args.n_lambda, n_iter=args.iterations,
+                       k_factor=args.k_factor, residual=args.residual,
+                       support_stiffness=spring)
+    lam = np.asarray(res.lambdas)
+    conv = np.asarray(res.converged)
+    disp = np.asarray(res.max_displacement_mm)
+    ny = np.asarray(res.n_yielded)
+    util = np.asarray(res.max_util)
+    print("pushover (gravity constant, environment x lambda; EPP axial "
+          "yield, elastic bending):")
+    print(f"  {'lambda':>7} {'max disp [mm]':>14} {'yielded':>8} "
+          f"{'max util':>9}")
+    for i in range(len(lam)):
+        tag = "" if conv[i] else "  <- NOT CONVERGED (collapse)"
+        print(f"  {lam[i]:>7.3f} {disp[i]:>14.1f} {ny[i]:>8d} "
+              f"{util[i]:>9.3f}{tag}")
+        if not conv[i]:
+            break
+    print(f"first member yield at lambda = "
+          f"{float(res.first_yield_lambda):.3f}")
+    print(f"reserve strength ratio (RSR) = {float(res.rsr):.3f}"
+          + ("  (no collapse below lambda_max — raise --lambda-max for "
+             "the true RSR)" if conv.all() else ""))
+
+
 def cmd_transient(args):
     """Newmark time integration on the Craig-Bampton basis — beyond the
     reference (its Info tab excludes dynamics)."""
@@ -1205,6 +1244,24 @@ def main(argv=None):
                          "of [[Hs, Tp, occurrence], ...] rows; damage "
                          "accumulates over the states (uses --refine, min 2)")
     fa.set_defaults(fn=cmd_fatigue)
+
+    po = sub.add_parser("pushover",
+                        help="pushover / reserve strength ratio (gravity "
+                             "constant, environment scaled; EPP axial "
+                             "member yield)")
+    _add_common(po)
+    po.add_argument("--lambda-max", type=float, default=6.0,
+                    help="largest environmental load factor scanned")
+    po.add_argument("--n-lambda", type=int, default=25)
+    po.add_argument("--iterations", type=int, default=120,
+                    help="secant load-shedding iterations per lambda")
+    po.add_argument("--k-factor", type=float, default=1.0,
+                    help="effective-length factor for compression capacity")
+    po.add_argument("--residual", type=float, default=1.0,
+                    help="post-capacity retained fraction (EPP = 1; < 1 "
+                         "approximates post-buckling degradation)")
+    _add_spring_arg(po)
+    po.set_defaults(fn=cmd_pushover)
 
     tr = sub.add_parser("transient",
                         help="Newmark time integration on the Craig-"
