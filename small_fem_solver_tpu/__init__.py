@@ -41,7 +41,7 @@ from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
                            sea_kinematics, sea_surface,
                            spectral_fatigue_screen)
 from .ops.airgap import AirGapResult, air_gap_check
-from .ops.pushover import PushoverResults, pushover
+from .ops.pushover import PushoverResults, pushover, pushover_rose
 from .ops.seismic import (SpectrumResults, cqc_correlation, ec8_spectrum,
                           response_spectrum, response_spectrum_condensed,
                           table_spectrum)

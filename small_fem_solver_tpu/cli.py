@@ -715,10 +715,21 @@ def cmd_pushover(args):
         model, wave, case = _setup(args)
         spring = getattr(args, "support_spring", None)
         _spring_banner(spring)
-        res = pushover(model, wave, case, lambda_max=args.lambda_max,
-                       n_lambda=args.n_lambda, n_iter=args.iterations,
-                       k_factor=args.k_factor, residual=args.residual,
-                       support_stiffness=spring)
+        kw = dict(lambda_max=args.lambda_max, n_lambda=args.n_lambda,
+                  n_iter=args.iterations, k_factor=args.k_factor,
+                  residual=args.residual, support_stiffness=spring)
+        if args.rose:
+            from .ops.pushover import pushover_rose
+            headings = [360.0 * i / args.rose for i in range(args.rose)]
+            hd, rsr, fy, _ = pushover_rose(model, wave, case, headings, **kw)
+            print(f"directional pushover rose ({args.rose} headings):")
+            print(f"  {'heading':>8} {'1st yield':>10} {'RSR':>8}")
+            for h, f, r in zip(hd, fy, rsr):
+                print(f"  {h:>7.0f}deg {f:>10.3f} {r:>8.3f}")
+            i = int(rsr.argmin())
+            print(f"governing heading {hd[i]:.0f} deg: RSR = {rsr[i]:.3f}")
+            return
+        res = pushover(model, wave, case, **kw)
     lam = np.asarray(res.lambdas)
     conv = np.asarray(res.converged)
     disp = np.asarray(res.max_displacement_mm)
@@ -1260,6 +1271,10 @@ def main(argv=None):
     po.add_argument("--residual", type=float, default=1.0,
                     help="post-capacity retained fraction (EPP = 1; < 1 "
                          "approximates post-buckling degradation)")
+    po.add_argument("--rose", type=int, default=0,
+                    help="directional rose: pushover at N equally spaced "
+                         "headings (wave+current rotate together), "
+                         "reporting the governing (minimum) RSR")
     _add_spring_arg(po)
     po.set_defaults(fn=cmd_pushover)
 

@@ -236,3 +236,26 @@ def pushover(model, wave, case, lambda_max: float = 4.0, n_lambda: int = 33,
         rsr=jnp.asarray(float(rsr), dtype),
         F_perm=F_perm, F_env=F_env,
     )
+
+
+def pushover_rose(model, wave, case, headings_deg, **kw):
+    """Directional pushover: the RSR for every storm heading.
+
+    The design reserve is the MINIMUM over headings (a jacket's weakest
+    wave direction is rarely the design-storm one).  Each heading reuses
+    the vmapped single-heading :func:`pushover` with the wave AND current
+    rotated together (their relative angle is preserved).  Returns
+    ``(headings_deg, rsr[n], first_yield[n], results list)``.
+    """
+    import dataclasses
+
+    headings = np.asarray(headings_deg, dtype=np.float64)
+    rel = case.current_dir_deg - case.wave_dir_deg
+    out = []
+    for h in headings:
+        c = dataclasses.replace(case, wave_dir_deg=float(h),
+                                current_dir_deg=float(h) + rel)
+        out.append(pushover(model, wave, c, **kw))
+    rsr = np.array([float(r.rsr) for r in out])
+    fy = np.array([float(r.first_yield_lambda) for r in out])
+    return headings, rsr, fy, out

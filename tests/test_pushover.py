@@ -91,3 +91,26 @@ def test_jacket_pushover_redundancy():
     i1 = int(np.argmin(np.abs(lam - 1.0)))
     assert conv[i1] and ny[i1] == 0
     assert 0 < float(res.max_util[i1]) < 1.0
+
+
+def test_pushover_rose_symmetry():
+    """First-yield factors respect the jacket's 3-fold symmetry: headings
+    120 degrees apart give the same first-yield lambda (the topside shear
+    and the wave rotate together; gravity is isotropic)."""
+    from small_fem_solver_tpu.ops.pushover import pushover_rose
+
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=0.0, current_dir_deg=0.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    kw = dict(lambda_max=16.0, n_lambda=9, n_iter=60)
+    headings, rsr, fy, _ = pushover_rose(
+        model, wave, case, [10.0, 130.0, 250.0, 70.0], **kw)
+    # 3-fold symmetry: 10 / 130 / 250 are equivalent headings
+    np.testing.assert_allclose(fy[1], fy[0], rtol=1e-6)
+    np.testing.assert_allclose(fy[2], fy[0], rtol=1e-6)
+    np.testing.assert_allclose(rsr[1], rsr[0], rtol=1e-9)
+    np.testing.assert_allclose(rsr[2], rsr[0], rtol=1e-9)
+    # a non-equivalent heading is allowed to differ (and the min governs)
+    assert np.isfinite(rsr).all() and rsr.min() > 1.0
