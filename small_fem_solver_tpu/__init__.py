@@ -42,6 +42,7 @@ from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
                            spectral_fatigue_screen)
 from .ops.airgap import AirGapResult, air_gap_check
 from .ops.pushover import PushoverResults, pushover, pushover_rose
+from .ops.robustness import RemovalScreen, member_removal_screen
 from .ops.seismic import (SpectrumResults, cqc_correlation, ec8_spectrum,
                           response_spectrum, response_spectrum_condensed,
                           table_spectrum)

@@ -704,6 +704,39 @@ def cmd_modes(args):
           f"(ratio {args.T/float(res.periods_s[0]):.2f})")
 
 
+def cmd_robustness(args):
+    """Member-removal (ALS damage) screen — beyond the reference."""
+    import numpy as np
+
+    from .ops.robustness import member_removal_screen
+
+    with _cpu_if_f64(args):
+        model, wave, case = _setup(args)
+        spring = getattr(args, "support_spring", None)
+        _spring_banner(spring)
+        scr = member_removal_screen(model, wave, case,
+                                    support_stiffness=spring)
+    util = np.asarray(scr.max_util)
+    stable = np.asarray(scr.stable)
+    crit = np.asarray(scr.critical)
+    gov = np.asarray(scr.governing_member)
+    print(f"single-member-removal screen over {model.n_members} members "
+          f"(one vmapped batch); intact max utilization "
+          f"{float(scr.intact_util):.4f}")
+    order = np.argsort(np.where(stable, util, np.inf))[::-1][:args.top]
+    print(f"  {'Removed member':<26} {'max util (others)':>18} "
+          f"{'governing':>22}")
+    for m in order:
+        state = ("UNSTABLE" if not stable[m]
+                 else f"{util[m]:>18.4f}")
+        print(f"  {model.member_names[m]:<26} {state:>18} "
+              f"{model.member_names[int(gov[m])]:>22}"
+              + ("   << CRITICAL" if crit[m] else ""))
+    n_crit = int(crit.sum())
+    print(f"critical members (loss yields or destabilizes): {n_crit}"
+          + ("" if n_crit == 0 else " -- NOT damage-tolerant at this state"))
+
+
 def cmd_pushover(args):
     """Pushover / Reserve Strength Ratio — beyond the reference (it is
     strictly linear-elastic)."""
@@ -1255,6 +1288,16 @@ def main(argv=None):
                          "of [[Hs, Tp, occurrence], ...] rows; damage "
                          "accumulates over the states (uses --refine, min 2)")
     fa.set_defaults(fn=cmd_fatigue)
+
+    rb = sub.add_parser("robustness",
+                        help="single-member-removal (ALS damage) screen: "
+                             "re-analyzes every damaged configuration in "
+                             "one vmapped batch")
+    _add_common(rb)
+    rb.add_argument("--top", type=int, default=12,
+                    help="rows shown (worst removals first)")
+    _add_spring_arg(rb)
+    rb.set_defaults(fn=cmd_robustness)
 
     po = sub.add_parser("pushover",
                         help="pushover / reserve strength ratio (gravity "
