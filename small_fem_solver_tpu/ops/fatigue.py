@@ -56,7 +56,9 @@ def fatigue_screen(von_mises_phases, T_wave: float, exposure_years: float,
     ``occurrence``: fraction of the exposure this sea state acts (1.0 =
     the screening assumption that the design wave runs continuously —
     conservative by construction).  ``scf`` multiplies the range (joint
-    stress concentration).
+    stress concentration) — a scalar or a per-member ``[M]`` vector (the
+    hot-spot workflow: supply project SCFs per member, e.g. from the
+    governing joint's parametric equations).
     """
     if curve not in SN_CURVES:
         raise ValueError(f"unknown S-N curve {curve!r}; "

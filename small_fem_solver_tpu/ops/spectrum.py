@@ -333,7 +333,8 @@ def spectral_fatigue_screen(vm_history, dt: float, exposure_years: float,
 
     Both scale the realization's damage RATE to ``exposure_years`` x
     ``occurrence``.  S-N curves as in :mod:`.fatigue` (DNV RP-C203
-    single-slope).
+    single-slope).  ``scf`` is a scalar or a per-member ``[M]`` vector
+    (hot-spot workflow with project-specific joint SCFs).
     """
     from math import gamma as gamma_fn
 

@@ -47,3 +47,20 @@ def test_jacket_storm_screen():
     S = np.asarray(scr.stress_range_mpa)
     assert np.argmax(dmg) == np.argmax(S)
     assert scr.n_cycles == pytest.approx(25.0 * 365.25 * 24 * 3600 / 9.4)
+
+
+def test_per_member_scf_vector():
+    """scf accepts a per-member vector (hot-spot workflow): damage scales
+    by scf^m member-wise."""
+    import jax.numpy as jnp
+
+    from small_fem_solver_tpu.ops.fatigue import SN_CURVES, fatigue_screen
+
+    S = jnp.array([[100.0, 50.0], [60.0, 20.0], [80.0, 35.0]])  # [S, M=2]
+    base = fatigue_screen(S, 9.4, 25.0, curve="D", scf=1.0)
+    scf = jnp.array([2.0, 3.0])
+    hot = fatigue_screen(S, 9.4, 25.0, curve="D", scf=scf)
+    m, _ = SN_CURVES["D"]
+    np.testing.assert_allclose(np.asarray(hot.damage),
+                               np.asarray(base.damage)
+                               * np.array([2.0, 3.0]) ** m, rtol=1e-9)
