@@ -100,64 +100,52 @@ def _split_loads(model, wave, case, n_gauss, accel):
     return F_perm, F_env
 
 
-def pushover(model, wave, case, lambda_max: float = 4.0, n_lambda: int = 33,
-             n_iter: int = 100, k_factor: float = 1.0,
-             residual: float = 1.0, n_gauss: int = 15,
-             accel: str = "analytic", support_stiffness=None,
-             collapse_ratio: float = 20.0,
-             tol: float = 1e-2) -> PushoverResults:
-    """Vmapped pushover: gravity + lambda * environment, EPP axial yield.
+def _make_curves_fn(model, case, n_iter, k_factor, residual, tol,
+                    support_stiffness):
+    """(curves(F_perm, F_env, lambdas) -> per-lambda arrays, cap_c).
 
-    ``residual`` scales the capacity a member retains AFTER reaching it
-    (1.0 = elastic-perfectly-plastic; < 1 approximates post-buckling
-    degradation on the compression side).  ``support_stiffness`` runs the
-    pushover on foundation springs (see :func:`api.analyze_ssi`).
-    ``tol`` is the allowed relative capacity violation at convergence;
-    ``collapse_ratio`` defines practical collapse on the curve (see module
-    docstring).  Returns the full curve plus the RSR.
-    """
+    The pure computational core: element data, capacities and BCs are
+    closed over once; the returned function is vmappable over an extra
+    leading F_env axis (the sharded pushover rose)."""
     dtype = model.coords.dtype
     G = case.E / (2.0 * (1.0 + case.nu))
-    with jax.default_matmul_precision("highest"):
-        Kg, K_local, T, L_m = element_stiffness(
-            model.coords, model.conn, model.sections, model.sect_id,
-            case.E, G, release=model.release)
+    Kg, K_local, T, L_m = element_stiffness(
+        model.coords, model.conn, model.sections, model.sect_id,
+        case.E, G, release=model.release)
 
-        # axial split: K_local = K_rest + (EA/L) P0 (releases leave the
-        # axial rows untouched, so the split commutes with them)
-        P0 = np.zeros((12, 12))
-        P0[0, 0] = P0[6, 6] = 1.0
-        P0[0, 6] = P0[6, 0] = -1.0
-        P0 = jnp.asarray(P0, dtype=dtype)
-        k_ax = K_local[:, 0, 0]                          # EA/L [N/mm]
-        K_axial = k_ax[:, None, None] * P0[None]
-        K_rest = K_local - K_axial
+    # axial split: K_local = K_rest + (EA/L) P0 (releases leave the
+    # axial rows untouched, so the split commutes with them)
+    P0 = np.zeros((12, 12))
+    P0[0, 0] = P0[6, 6] = 1.0
+    P0[0, 6] = P0[6, 0] = -1.0
+    P0 = jnp.asarray(P0, dtype=dtype)
+    k_ax = K_local[:, 0, 0]                          # EA/L [N/mm]
+    K_rest = K_local - k_ax[:, None, None] * P0[None]
 
-        # capacities [N]: tension A fy; compression min(A fy, Euler)
-        A = model.sections.Ax[model.sect_id]
-        Iy = model.sections.Iy[model.sect_id]
-        P_y = A * case.fy
-        P_e = jnp.pi**2 * case.E * Iy / (k_factor * L_m * 1000.0) ** 2
-        cap_t = P_y
-        cap_c = jnp.minimum(P_y, P_e)
+    # capacities [N]: tension A fy; compression min(A fy, Euler)
+    A = model.sections.Ax[model.sect_id]
+    Iy = model.sections.Iy[model.sect_id]
+    P_y = A * case.fy
+    P_e = jnp.pi**2 * case.E * Iy / (k_factor * L_m * 1000.0) ** 2
+    cap_t = P_y
+    cap_c = jnp.minimum(P_y, P_e)
 
-        F_perm, F_env = _split_loads(model, wave, case, n_gauss, accel)
+    if support_stiffness is not None:
+        from .solve import support_spring_nodes
+        ks = jnp.asarray(support_spring_nodes(
+            model.fixed_mask, support_stiffness).reshape(-1), dtype)
+        free = jnp.arange(model.n_dof)
+    else:
+        ks = None
+        free_np, _ = free_fixed_dofs(model.fixed_mask)
+        free = jnp.asarray(free_np)
 
-        if support_stiffness is not None:
-            from .solve import support_spring_nodes
-            ks = jnp.asarray(support_spring_nodes(
-                model.fixed_mask, support_stiffness).reshape(-1), dtype)
-            free = jnp.arange(model.n_dof)
-        else:
-            ks = None
-            free_np, _ = free_fixed_dofs(model.fixed_mask)
-            free = jnp.asarray(free_np)
+    dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
+                            6 * model.conn[:, 1:2] + jnp.arange(6)],
+                           axis=-1)
+    res_fac = jnp.asarray(residual, dtype)
 
-        dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
-                                6 * model.conn[:, 1:2] + jnp.arange(6)],
-                               axis=-1)
-        res_fac = jnp.asarray(residual, dtype)
-
+    def curves(F_perm, F_env, lambdas):
         def solve_state(lam, s):
             """One secant state: scaled K, solve, member axials."""
             K_loc = K_rest + (s * k_ax)[:, None, None] * P0[None]
@@ -203,30 +191,38 @@ def pushover(model, wave, case, lambda_max: float = 4.0, n_lambda: int = 33,
             return (conv, disp, n_yield, jnp.max(vm) / case.fy,
                     -carried * jnp.sign(N_trial))
 
+        return jax.vmap(fixed_point)(lambdas)
+
+    return curves, cap_c
+
+
+def pushover(model, wave, case, lambda_max: float = 4.0, n_lambda: int = 33,
+             n_iter: int = 100, k_factor: float = 1.0,
+             residual: float = 1.0, n_gauss: int = 15,
+             accel: str = "analytic", support_stiffness=None,
+             collapse_ratio: float = 20.0,
+             tol: float = 1e-2) -> PushoverResults:
+    """Vmapped pushover: gravity + lambda * environment, EPP axial yield.
+
+    ``residual`` scales the capacity a member retains AFTER reaching it
+    (1.0 = elastic-perfectly-plastic; < 1 approximates post-buckling
+    degradation on the compression side).  ``support_stiffness`` runs the
+    pushover on foundation springs (see :func:`api.analyze_ssi`).
+    ``tol`` is the allowed relative capacity violation at convergence;
+    ``collapse_ratio`` defines practical collapse on the curve (see module
+    docstring).  Returns the full curve plus the RSR.
+    """
+    dtype = model.coords.dtype
+    with jax.default_matmul_precision("highest"):
+        curves, cap_c = _make_curves_fn(model, case, n_iter, k_factor,
+                                        residual, tol, support_stiffness)
+        F_perm, F_env = _split_loads(model, wave, case, n_gauss, accel)
         lambdas = jnp.linspace(0.0, lambda_max, n_lambda).astype(dtype)
-        conv, disp, n_yield, util, axial = jax.vmap(fixed_point)(lambdas)
+        conv, disp, n_yield, util, axial = curves(F_perm, F_env, lambdas)
 
-    conv_np = np.asarray(conv)
-    lam_np = np.asarray(lambdas)
-    disp_np = np.asarray(disp)
-    yielded = np.asarray(n_yield) > 0
-    first_yield = lam_np[yielded][0] if yielded.any() else np.inf
-
-    # practical collapse from the curve: first interval whose tangent
-    # d(disp)/d(lambda) exceeds collapse_ratio x the elastic slope, or the
-    # first non-converged / non-finite state
-    slopes = np.diff(disp_np) / np.maximum(np.diff(lam_np), 1e-12)
-    s_el = slopes[0] if len(slopes) and slopes[0] > 0 else np.inf
-    rsr = lam_np[-1]
-    for i in range(len(lam_np)):
-        if not conv_np[i] or not np.isfinite(disp_np[i]):
-            rsr = lam_np[max(i - 1, 0)]
-            break
-        if i < len(slopes) and np.isfinite(s_el) \
-                and slopes[i] > collapse_ratio * s_el:
-            rsr = lam_np[i]
-            break
-
+    first_yield, rsr = _rsr_from_curve(np.asarray(lambdas), np.asarray(conv),
+                                       np.asarray(disp), np.asarray(n_yield),
+                                       collapse_ratio)
     return PushoverResults(
         lambdas=lambdas, converged=conv,
         max_displacement_mm=disp, n_yielded=n_yield, max_util=util,
@@ -238,24 +234,96 @@ def pushover(model, wave, case, lambda_max: float = 4.0, n_lambda: int = 33,
     )
 
 
-def pushover_rose(model, wave, case, headings_deg, **kw):
+def _rsr_from_curve(lam_np, conv_np, disp_np, ny_np, collapse_ratio):
+    """(first_yield, rsr) from one pushover curve: practical collapse =
+    first interval whose tangent d(disp)/d(lambda) exceeds
+    collapse_ratio x the elastic slope, or the first non-converged /
+    non-finite state."""
+    yielded = ny_np > 0
+    first_yield = lam_np[yielded][0] if yielded.any() else np.inf
+    slopes = np.diff(disp_np) / np.maximum(np.diff(lam_np), 1e-12)
+    s_el = slopes[0] if len(slopes) and slopes[0] > 0 else np.inf
+    rsr = lam_np[-1]
+    for i in range(len(lam_np)):
+        if not conv_np[i] or not np.isfinite(disp_np[i]):
+            rsr = lam_np[max(i - 1, 0)]
+            break
+        if i < len(slopes) and np.isfinite(s_el) \
+                and slopes[i] > collapse_ratio * s_el:
+            rsr = lam_np[i]
+            break
+    return first_yield, rsr
+
+
+def pushover_rose(model, wave, case, headings_deg, mesh=None, **kw):
     """Directional pushover: the RSR for every storm heading.
 
     The design reserve is the MINIMUM over headings (a jacket's weakest
-    wave direction is rarely the design-storm one).  Each heading reuses
-    the vmapped single-heading :func:`pushover` with the wave AND current
-    rotated together (their relative angle is preserved).  Returns
-    ``(headings_deg, rsr[n], first_yield[n], results list)``.
+    wave direction is rarely the design-storm one).  The wave AND current
+    rotate together (their relative angle is preserved).
+
+    ``mesh=None``: one vmapped single-heading :func:`pushover` per heading
+    (host loop).  ``mesh`` = a 1-D `jax.sharding.Mesh`: the heading axis
+    SHARDS across the devices — per-heading environmental load vectors are
+    placed with a NamedSharding and the whole [headings x lambdas]
+    nonlinear pushover grid runs as one GSPMD program with zero
+    cross-device communication until the host-side reduction (each
+    heading's secant iteration is independent).  Returns
+    ``(headings_deg, rsr[n], first_yield[n], results)`` — ``results`` is
+    the per-heading PushoverResults list (host path) or the raw stacked
+    curve arrays (sharded path).
     """
     import dataclasses
 
     headings = np.asarray(headings_deg, dtype=np.float64)
     rel = case.current_dir_deg - case.wave_dir_deg
-    out = []
-    for h in headings:
-        c = dataclasses.replace(case, wave_dir_deg=float(h),
-                                current_dir_deg=float(h) + rel)
-        out.append(pushover(model, wave, c, **kw))
-    rsr = np.array([float(r.rsr) for r in out])
-    fy = np.array([float(r.first_yield_lambda) for r in out])
-    return headings, rsr, fy, out
+    if mesh is None:
+        out = []
+        for h in headings:
+            c = dataclasses.replace(case, wave_dir_deg=float(h),
+                                    current_dir_deg=float(h) + rel)
+            out.append(pushover(model, wave, c, **kw))
+        rsr = np.array([float(r.rsr) for r in out])
+        fy = np.array([float(r.first_yield_lambda) for r in out])
+        return headings, rsr, fy, out
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dtype = model.coords.dtype
+    lambda_max = kw.pop("lambda_max", 4.0)
+    n_lambda = kw.pop("n_lambda", 33)
+    n_gauss = kw.pop("n_gauss", 15)
+    accel = kw.pop("accel", "analytic")
+    collapse_ratio = kw.pop("collapse_ratio", 20.0)
+    curves, _ = _make_curves_fn(model, case,
+                                kw.pop("n_iter", 100),
+                                kw.pop("k_factor", 1.0),
+                                kw.pop("residual", 1.0),
+                                kw.pop("tol", 1e-2),
+                                kw.pop("support_stiffness", None))
+    if kw:
+        raise TypeError(f"unknown pushover_rose options {sorted(kw)}")
+    h_arr = jnp.asarray(headings, dtype=dtype)
+
+    def env_of(h):
+        c = dataclasses.replace(case, wave_dir_deg=h,
+                                current_dir_deg=h + rel)
+        return _split_loads(model, wave, c, n_gauss, accel)
+
+    with jax.default_matmul_precision("highest"):
+        F_perm, _ = env_of(jnp.asarray(case.wave_dir_deg, dtype))
+        F_env = jax.vmap(lambda h: env_of(h)[1])(h_arr)   # [H, n_dof]
+        axis = mesh.axis_names[0]
+        F_env = jax.device_put(F_env, NamedSharding(mesh, P(axis)))
+        lambdas = jnp.linspace(0.0, lambda_max, n_lambda).astype(dtype)
+        grid = jax.jit(jax.vmap(curves, in_axes=(None, 0, None)))
+        conv, disp, ny, util, axial = grid(F_perm, F_env, lambdas)
+
+    lam_np = np.asarray(lambdas)
+    fy = np.empty(len(headings))
+    rsr = np.empty(len(headings))
+    for i in range(len(headings)):
+        fy[i], rsr[i] = _rsr_from_curve(lam_np, np.asarray(conv[i]),
+                                        np.asarray(disp[i]),
+                                        np.asarray(ny[i]), collapse_ratio)
+    return headings, rsr, fy, (conv, disp, ny, util, axial)

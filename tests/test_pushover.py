@@ -114,3 +114,26 @@ def test_pushover_rose_symmetry():
     np.testing.assert_allclose(rsr[2], rsr[0], rtol=1e-9)
     # a non-equivalent heading is allowed to differ (and the min governs)
     assert np.isfinite(rsr).all() and rsr.min() > 1.0
+
+
+def test_pushover_rose_sharded_matches_host():
+    """mesh= shards the heading axis: the sharded GSPMD rose reproduces
+    the host-loop rose exactly (8 virtual devices)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from small_fem_solver_tpu.ops.pushover import pushover_rose
+
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=0.0, current_dir_deg=0.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    headings = [0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]
+    kw = dict(lambda_max=14.0, n_lambda=8, n_iter=50)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("headings",))
+    _, rsr_sh, fy_sh, _ = pushover_rose(model, wave, case, headings,
+                                        mesh=mesh, **kw)
+    _, rsr_h, fy_h, _ = pushover_rose(model, wave, case, headings, **kw)
+    np.testing.assert_allclose(rsr_sh, rsr_h, rtol=1e-12)
+    np.testing.assert_allclose(fy_sh, fy_h, rtol=1e-12)
