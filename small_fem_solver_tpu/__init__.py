@@ -41,6 +41,8 @@ from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
                            sea_kinematics, sea_surface,
                            spectral_fatigue_screen)
 from .ops.airgap import AirGapResult, air_gap_check
+from .ops.metocean import (JointHsTp, fit_joint_hs_tp, fit_weibull,
+                           iform_contour, n_year_sea_states)
 from .ops.pushover import PushoverResults, pushover, pushover_rose
 from .ops.robustness import RemovalScreen, member_removal_screen
 from .ops.seismic import (SpectrumResults, cqc_correlation, ec8_spectrum,

@@ -704,6 +704,48 @@ def cmd_modes(args):
           f"(ratio {args.T/float(res.periods_s[0]):.2f})")
 
 
+def cmd_contour(args):
+    """N-year IFORM environmental contour (+ optional response envelope)."""
+    import json as _json
+
+    import numpy as np
+
+    from .ops.metocean import fit_joint_hs_tp, n_year_sea_states
+
+    raw = args.scatter
+    text = raw if raw.strip().startswith("[") else open(raw).read()
+    rows = np.asarray(_json.loads(text), dtype=np.float64)
+    if rows.ndim != 2 or rows.shape[1] not in (2, 3):
+        raise SystemExit("--scatter needs [[Hs, Tp, (occurrence)], ...]")
+    occ = rows[:, 2] if rows.shape[1] == 3 else None
+    model_jt = fit_joint_hs_tp(rows[:, 0], rows[:, 1], occurrence=occ,
+                               n_bins=args.bins,
+                               state_hours=args.state_hours)
+    print(f"joint fit: Hs ~ Weibull(k={model_jt.weibull_k:.3f}, "
+          f"lam={model_jt.weibull_lam:.3f} m); ln Tp | Hs lognormal over "
+          f"{args.bins} bins ({args.state_hours:g} h states)")
+    hs, tp = n_year_sea_states(model_jt, args.return_years,
+                               n_points=args.points)
+    print(f"{args.return_years:g}-year IFORM contour ({args.points} points):")
+    for h, t in zip(hs, tp):
+        print(f"  Hs {h:6.2f} m  Tp {t:6.2f} s")
+    if args.envelope:
+        from .parallel.sweep import make_case_batch, make_wave_batch
+        with _cpu_if_f64(args):
+            model, _, case = _setup(args)
+            import small_fem_solver_tpu as sf
+            hs_c = np.clip(hs, 0.05, 0.78 * args.d)
+            waves = make_wave_batch(hs_c, tp, args.d, U_c=args.Uc,
+                                    model="airy")
+            cases = make_case_batch(case, t_analysis=np.zeros(len(hs_c)))
+            env = sf.design_envelope(model, waves, cases,
+                                     n_steps=args.phase_steps)
+        g = int(env.governing_case)
+        print(f"contour response envelope: governing state Hs "
+              f"{hs_c[g]:.2f} m / Tp {tp[g]:.2f} s, max utilization "
+              f"{float(env.max_util_per_case.max()):.4f}")
+
+
 def cmd_robustness(args):
     """Member-removal (ALS damage) screen — beyond the reference."""
     import numpy as np
@@ -1288,6 +1330,22 @@ def main(argv=None):
                          "of [[Hs, Tp, occurrence], ...] rows; damage "
                          "accumulates over the states (uses --refine, min 2)")
     fa.set_defaults(fn=cmd_fatigue)
+
+    co = sub.add_parser("contour",
+                        help="N-year IFORM environmental contour from a "
+                             "(Hs, Tp) scatter, optionally driving the "
+                             "response envelope")
+    _add_common(co)
+    co.add_argument("--scatter", required=True,
+                    help="JSON file (or literal) of [[Hs, Tp, (occ)], ...]")
+    co.add_argument("--return-years", type=float, default=100.0)
+    co.add_argument("--points", type=int, default=16)
+    co.add_argument("--bins", type=int, default=8)
+    co.add_argument("--state-hours", type=float, default=3.0)
+    co.add_argument("--envelope", action="store_true",
+                    help="run the contour states through design_envelope")
+    co.add_argument("--phase-steps", type=int, default=12)
+    co.set_defaults(fn=cmd_contour)
 
     rb = sub.add_parser("robustness",
                         help="single-member-removal (ALS damage) screen: "
