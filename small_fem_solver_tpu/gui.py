@@ -803,6 +803,7 @@ class JacketGUI:
             self.analysis_results = res
             self.analysis_model = model
             self.analysis_case = case
+            self.analysis_wave = wave
             self.analysis_scan = scan
             util = float(np.asarray(res.utilization).max())
             messagebox.showinfo(
@@ -828,6 +829,9 @@ class JacketGUI:
                    command=self.plot_phase_scan).pack(side=tk.LEFT, padx=4)
         ttk.Button(btns, text="Code Checks",
                    command=self.show_code_checks).pack(side=tk.LEFT, padx=4)
+        ttk.Button(btns, text="Damage Screen",
+                   command=self.show_damage_screen).pack(side=tk.LEFT,
+                                                         padx=4)
         ttk.Button(btns, text="Export CSV...",
                    command=self.export_csv).pack(side=tk.LEFT, padx=4)
         self.results_text = tk.Text(f, font=("Consolas", 9))
@@ -860,6 +864,38 @@ class JacketGUI:
             messagebox.showerror("Error", str(e))
             return
         self.results_text.insert(tk.END, txt + "\n")
+
+    def show_damage_screen(self):
+        """ALS single-member-removal screen on the last analysis state
+        (beyond the reference: its Info tab leaves redundancy unassessed)."""
+        if self.analysis_results is None:
+            messagebox.showwarning("Warning", "Run analysis first!")
+            return
+        from .ops.robustness import member_removal_screen
+        self.results_text.delete("1.0", tk.END)
+        try:
+            scr = member_removal_screen(self.analysis_model,
+                                        self.analysis_wave,
+                                        self.analysis_case)
+        except Exception as e:
+            messagebox.showerror("Error", str(e))
+            return
+        util = np.asarray(scr.max_util)
+        stable = np.asarray(scr.stable)
+        crit = np.asarray(scr.critical)
+        gov = np.asarray(scr.governing_member)
+        names = self.analysis_model.member_names
+        self.results_text.insert(tk.END, (
+            "SINGLE-MEMBER-REMOVAL (ALS DAMAGE) SCREEN\n"
+            f"intact max utilization: {float(scr.intact_util):.2%}\n"
+            f"critical members: {int(crit.sum())}\n\n"
+            f"{'Removed':<26}{'max util (others)':>20}{'governing':>22}\n"))
+        order = np.argsort(np.where(stable, util, np.inf))[::-1]
+        for m in order[:20]:
+            state = "UNSTABLE" if not stable[m] else f"{util[m]:.2%}"
+            flag = "  << CRITICAL" if crit[m] else ""
+            self.results_text.insert(tk.END, (
+                f"{names[m]:<26}{state:>20}{names[int(gov[m])]:>22}{flag}\n"))
 
     def plot_results(self):
         if self.analysis_results is None:
