@@ -103,3 +103,49 @@ def test_random_refined_two_level_pcg(seed):
                     pcg_precond="block_jacobi", pcg_maxiter=20000)
     assert int(tl.solver_iters) * 2 <= int(bj.solver_iters), \
         (int(bj.solver_iters), int(tl.solver_iters))
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_random_model_with_releases(seed):
+    """Random pinned braces (legs kept rigid so every node stays
+    rotationally restrained): equilibrium, zero released end moments, and
+    chain-condensation consistency all hold on irregular geometry."""
+    from small_fem_solver_tpu.models.presets import \
+        default_3leg_jacket_geometry
+
+    rng = np.random.default_rng(seed)
+    nodes0, members, fixed, top = default_3leg_jacket_geometry()
+    nodes = {name: tuple(np.asarray(xyz) + rng.uniform(-0.4, 0.4, 3))
+             for name, xyz in nodes0.items()}
+    members = [dict(m) for m in members]
+    pin_idx = []
+    for i, m in enumerate(members):
+        if m.get("type") == "h_brace" and rng.random() < 0.7:
+            m["release"] = rng.choice(["pinned", "pinned1", "pinned2"])
+            pin_idx.append(i)
+    model = sf.build_model(nodes, members, fixed_nodes=fixed, top_nodes=top)
+    wave = sf.make_wave(rng.uniform(6.0, 12.0), 9.4, 50.0, U_c=1.0,
+                        model="airy")
+    case = sf.LoadCase(wave_dir_deg=rng.uniform(0, 360),
+                       current_dir_deg=rng.uniform(0, 360),
+                       F_axial_kN=2e4, F_shear_kN=2e3,
+                       custom_sw_tonnes=800.0, sw_mode="custom",
+                       t_analysis=rng.uniform(0.0, 9.0))
+    res = sf.analyze(model, wave, case, accel="analytic")
+    applied = np.asarray(res.F_applied).reshape(-1, 6)[:, :3].sum(axis=0)
+    np.testing.assert_allclose(np.asarray(res.total_reaction[:3]), -applied,
+                               rtol=1e-9, atol=1e-6)
+    rel = np.asarray(model.release)
+    F1 = np.asarray(res.F1_local)
+    F2 = np.asarray(res.F2_local)
+    for i in pin_idx:
+        if rel[i] & 1:
+            assert np.abs(F1[i, 4:6]).max() < 1e-3
+        if rel[i] & 2:
+            assert np.abs(F2[i, 4:6]).max() < 1e-3
+    # condensation consistency on the released refined mesh
+    refined = sf.refine_model(model, 3)
+    dense = sf.analyze(refined, wave, case, accel="analytic")
+    cond = sf.analyze_condensed(model, refined, 3, wave, case)
+    np.testing.assert_allclose(np.asarray(cond.U), np.asarray(dense.U),
+                               rtol=1e-6, atol=1e-8)
