@@ -25,8 +25,8 @@ from .ops.design import (SectionSensitivities, SizingResult,
 from .ops.codecheck import CodeCheck, member_code_check
 from .ops.codecheck_iso import ISOCheck, iso_member_check
 from .ops.jointcheck import JointCheck, joint_code_check
-from .ops.buckling import (BucklingResults, EulerScreen,
-                           buckling_analysis, euler_member_screen)
+from .ops.buckling import (BucklingResults, EulerScreen, buckling_analysis,
+                           buckling_analysis_condensed, euler_member_screen)
 from .ops.dynamics import (HarmonicResponse, ModalResults,
                            TransientResponse, dynamic_response,
                            dynamic_response_condensed, modal_analysis,

@@ -588,19 +588,36 @@ def cmd_buckling(args):
 
     import small_fem_solver_tpu as sf
 
-    model, wave, case = _setup(args)
     spring = getattr(args, "support_spring", None)
-    _spring_banner(spring)
     with _cpu_if_f64(args):
-        if spring:
-            res = sf.analyze_ssi(model, wave, case, spring)
+        model, wave, case = _setup(args)
+        _spring_banner(spring)
+        if args.refine > 1:
+            from .models.model import refine_model
+            from .ops.buckling import buckling_analysis_condensed
+            refined = refine_model(model, args.refine)
+            print(f"Craig-Bampton reduced buckling: {refined.n_dof} DOF, "
+                  f"{args.chain_modes} retained modes/chain")
+            res = sf.analyze_condensed(model, refined, args.refine, wave,
+                                       case, support_stiffness=spring)
+            b = buckling_analysis_condensed(
+                model, refined, args.refine, res, E=args.E, nu=args.nu,
+                n_modes=args.n_modes, n_chain_modes=args.chain_modes,
+                support_stiffness=spring)
+            scr = sf.euler_member_screen(refined, res, E=args.E,
+                                         k_factor=args.k_factor,
+                                         n_seg=args.refine)
+            # screen rows are per PHYSICAL member; keep coarse names
         else:
-            res = sf.analyze(model, wave, case, solver="chol")
-        b = sf.buckling_analysis(model, res, E=args.E, nu=args.nu,
-                                 n_modes=args.n_modes,
-                                 support_stiffness=spring)
-        scr = sf.euler_member_screen(model, res, E=args.E,
-                                     k_factor=args.k_factor)
+            if spring:
+                res = sf.analyze_ssi(model, wave, case, spring)
+            else:
+                res = sf.analyze(model, wave, case, solver="chol")
+            b = sf.buckling_analysis(model, res, E=args.E, nu=args.nu,
+                                     n_modes=args.n_modes,
+                                     support_stiffness=spring)
+            scr = sf.euler_member_screen(model, res, E=args.E,
+                                         k_factor=args.k_factor)
     lam = np.asarray(b.load_factor)
     print("linearized global buckling load factors (on this load case):")
     for i, l in enumerate(lam):
@@ -1421,6 +1438,11 @@ def main(argv=None):
     bk.add_argument("--k-factor", type=float, default=0.8,
                     help="member effective-length factor for the screen")
     bk.add_argument("--n-modes", type=int, default=4)
+    bk.add_argument("--refine", type=int, default=1,
+                    help="subdivide members (>1 uses the Craig-Bampton "
+                         "reduced buckling path)")
+    bk.add_argument("--chain-modes", type=int, default=12,
+                    help="retained fixed-interface modes per member chain")
     _add_spring_arg(bk)
     bk.set_defaults(fn=cmd_buckling)
 

@@ -200,20 +200,102 @@ def buckling_analysis(model, results, E: float = 210000.0, nu: float = 0.3,
 
         # K phi = lambda K_G phi -> L^-1 K_G L^-T y = (1/lambda) y with
         # K_ff = L L^T; the LARGEST eigenvalues mu give the LOWEST factors
-        d = 1.0 / jnp.sqrt(jnp.diagonal(K_ff))
-        Ks = K_ff * d[:, None] * d[None, :]
-        Lc = jnp.linalg.cholesky(Ks)
-        B = KG_ff * d[:, None] * d[None, :]
-        Y = jax.scipy.linalg.solve_triangular(Lc, B, lower=True)
-        A = jax.scipy.linalg.solve_triangular(Lc, Y.T, lower=True)
-        A = 0.5 * (A + A.T)
-        mu, V = jnp.linalg.eigh(A)                        # ascending
-        mu_top = mu[::-1][:n_modes]                       # largest first
-        lam = jnp.where(mu_top > 1e-12, 1.0 / mu_top, jnp.inf)
-        phi_y = V[:, ::-1][:, :n_modes]
-        phi_f = d[:, None] * jax.scipy.linalg.solve_triangular(
-            Lc.T, phi_y, lower=False)
+        lam, phi_f = _buckling_pencil(K_ff, KG_ff, n_modes, dtype)
         shapes = jnp.zeros((n_modes, model.n_dof), dtype)
         shapes = shapes.at[:, free].set(phi_f.T)
+    return BucklingResults(load_factor=lam, mode_shapes=shapes,
+                           member_axial_N=N)
+
+
+def _buckling_pencil(K_ff, KG_ff, n_modes, dtype):
+    """Lowest buckling factors of K phi = lambda K_G phi (shared by the
+    dense and Craig-Bampton reduced paths): Jacobi-scaled Cholesky of K,
+    largest eigenvalues of L^-1 K_G L^-T."""
+    d = 1.0 / jnp.sqrt(jnp.diagonal(K_ff))
+    Ks = K_ff * d[:, None] * d[None, :]
+    Lc = jnp.linalg.cholesky(Ks)
+    B = KG_ff * d[:, None] * d[None, :]
+    Y = jax.scipy.linalg.solve_triangular(Lc, B, lower=True)
+    A = jax.scipy.linalg.solve_triangular(Lc, Y.T, lower=True)
+    A = 0.5 * (A + A.T)
+    mu, V = jnp.linalg.eigh(A)
+    mu_top = mu[::-1][:n_modes]
+    lam = jnp.where(mu_top > 1e-12, 1.0 / mu_top, jnp.inf)
+    phi_y = V[:, ::-1][:, :n_modes]
+    phi_f = d[:, None] * jax.scipy.linalg.solve_triangular(
+        Lc.T, phi_y, lower=False)
+    return lam, phi_f
+
+
+def buckling_analysis_condensed(coarse, refined, n_seg: int, results,
+                                E: float = 210000.0, nu: float = 0.3,
+                                n_modes: int = 4, n_chain_modes: int = 12,
+                                support_stiffness=None) -> BucklingResults:
+    """Global buckling of a chain-refined mesh on the Craig-Bampton basis.
+
+    The dense path's O(n^3) eigensolve caps at a few thousand DOF; here
+    the geometric stiffness (from ``results`` — a condensed analysis of
+    the REFINED mesh, e.g. :func:`api.analyze_condensed`, so the axial
+    state lives on every refined element) is projected through the same
+    reduction as the mass matrix in
+    :func:`ops.dynamics.modal_analysis_condensed`:
+
+        KG_bb_r = KG_bb + KG_ib^T Psi + Psi^T KG_ib + Psi^T KG_ii Psi
+        KG_bq   = (KG_ib^T + Psi^T KG_ii) Phi,   KG_qq = Phi^T KG_ii Phi
+
+    With ALL interior modes retained the basis is complete and the factors
+    equal the dense refined solution exactly (tested); truncated
+    fixed-interface modes approximate member-level buckling shapes the
+    usual component-mode-synthesis way — keep ``n_chain_modes`` at or
+    above the number of wavelengths you expect in the governing mode.
+    Mode shapes are expanded to the full refined mesh.
+    """
+    from .dynamics import _cb_expand, _cb_reduce, _chain_blocks, _chain_dense
+
+    dtype = refined.coords.dtype
+    N = member_axial_forces(results).astype(dtype)
+    if N.shape[0] != refined.n_members:
+        raise ValueError(
+            f"results carry {N.shape[0]} member forces but the refined "
+            f"mesh has {refined.n_members} elements — pass a condensed "
+            "analysis OF THE REFINED MESH (api.analyze_condensed)")
+    with jax.default_matmul_precision("highest"):
+        W = None
+        if refined.release is not None:
+            from .beams import release_W
+            G = E / (2.0 * (1.0 + nu))
+            W = release_W(refined.coords, refined.conn, refined.sections,
+                          refined.sect_id, E, G, refined.release)
+        KGg = element_geometric_stiffness(refined.coords, refined.conn, N,
+                                          W=W)
+        cb = _cb_reduce(coarse, refined, n_seg, E, nu, 0.0, n_chain_modes,
+                        support_stiffness=support_stiffness)
+        XA, XB, XC, XE = _chain_blocks(KGg, n_seg)
+        X_ii, X_ib, X_bb = _chain_dense(XA, XB, XC, XE, n_seg)
+        PsiT = jnp.swapaxes(cb.Psi, -1, -2)
+        PhiT = jnp.swapaxes(cb.Phi, -1, -2)
+        X_bb_r = X_bb + jnp.swapaxes(X_ib, -1, -2) @ cb.Psi \
+            + PsiT @ X_ib + PsiT @ (X_ii @ cb.Psi)
+        X_bq = (jnp.swapaxes(X_ib, -1, -2) + PsiT @ X_ii) @ cb.Phi
+        X_qq = PhiT @ (X_ii @ cb.Phi)
+
+        from .assembly import assemble_dense
+        nc, Mc, m = cb.nc, cb.Mc, cb.m
+        KG_red = jnp.zeros((cb.n_red, cb.n_red), dtype)
+        KG_red = KG_red.at[:6 * nc, :6 * nc].set(
+            assemble_dense(X_bb_r, coarse.conn, 6 * nc))
+        KG_red = KG_red.at[cb.bdof[:, :, None], cb.qdof[:, None, :]].add(
+            X_bq)
+        KG_red = KG_red.at[cb.qdof[:, :, None], cb.bdof[:, None, :]].add(
+            jnp.swapaxes(X_bq, -1, -2))
+        KG_red = KG_red.at[cb.qdof[:, :, None], cb.qdof[:, None, :]].add(
+            X_qq)
+
+        K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
+        KG_ff = KG_red[jnp.ix_(cb.free, cb.free)]
+        lam, phi_f = _buckling_pencil(K_ff, KG_ff, n_modes, dtype)
+        shapes_r = jnp.zeros((n_modes, cb.n_red), dtype)
+        shapes_r = shapes_r.at[:, cb.free].set(phi_f.T)
+        shapes = _cb_expand(cb, shapes_r)
     return BucklingResults(load_factor=lam, mode_shapes=shapes,
                            member_axial_N=N)

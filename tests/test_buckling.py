@@ -1,6 +1,7 @@
 """Buckling checks: Euler-column validation and jacket screening."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import small_fem_solver_tpu as sf
 from small_fem_solver_tpu.ops.buckling import (buckling_analysis,
@@ -97,3 +98,58 @@ def test_euler_screen_refined_aggregates_physical_members():
     # governing utilizations agree to load-discretization accuracy
     np.testing.assert_allclose(float(scr_r.utilization.max()),
                                float(scr_c.utilization.max()), rtol=0.05)
+
+
+def test_condensed_buckling_matches_dense():
+    """Craig-Bampton reduced buckling: with ALL interior modes retained the
+    basis is complete and the factors equal the dense refined solution;
+    truncation stays within 1% on the lowest (global) mode."""
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.ops.buckling import (buckling_analysis,
+                                                   buckling_analysis_condensed)
+
+    model = sf.default_3leg_jacket()
+    n_seg = 3
+    refined = sf.refine_model(model, n_seg)
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    res = sf.analyze_condensed(model, refined, n_seg, wave, case)
+    dense = buckling_analysis(refined, res, n_modes=3)
+    exact = buckling_analysis_condensed(model, refined, n_seg, res,
+                                        n_modes=3,
+                                        n_chain_modes=6 * (n_seg - 1))
+    np.testing.assert_allclose(np.asarray(exact.load_factor),
+                               np.asarray(dense.load_factor), rtol=1e-8)
+    trunc = buckling_analysis_condensed(model, refined, n_seg, res,
+                                        n_modes=3, n_chain_modes=6)
+    np.testing.assert_allclose(np.asarray(trunc.load_factor[0]),
+                               np.asarray(dense.load_factor[0]), rtol=0.01)
+    # mode shapes live on the full refined mesh
+    assert exact.mode_shapes.shape == (3, refined.n_dof)
+    # wrong-mesh results raise a clear error
+    res_coarse = sf.analyze(model, wave, case)
+    with pytest.raises(ValueError, match="refined"):
+        buckling_analysis_condensed(model, refined, n_seg, res_coarse)
+
+
+def test_condensed_buckling_scales():
+    """The reduced eigenproblem size is refinement-independent: the same
+    factors (discretization-converged) at n_seg=8 (~2.6k DOF) in seconds."""
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.ops.buckling import buckling_analysis_condensed
+
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    lams = []
+    for n_seg in (3, 8):
+        refined = sf.refine_model(model, n_seg)
+        res = sf.analyze_condensed(model, refined, n_seg, wave, case)
+        b = buckling_analysis_condensed(model, refined, n_seg, res,
+                                        n_modes=2, n_chain_modes=10)
+        lams.append(float(b.load_factor[0]))
+    assert lams[1] == pytest.approx(lams[0], rel=0.03)
