@@ -27,8 +27,10 @@ storm envelope), ``modes`` / ``dynamic`` (Craig-Bampton-reduced for
 (punching shear), ``viv`` (vortex-shedding screen), ``pile`` (p-y/t-z/Q-z
 foundation springs), ``seismic`` (response-spectrum earthquake check),
 ``transient`` (Newmark time integration, optional relative-velocity
-drag), ``pushover`` (reserve strength ratio), ``air-gap`` (crest
-clearance), ``save-default`` (write the default jacket JSON).
+drag), ``pushover`` (reserve strength ratio, optional directional rose),
+``robustness`` (ALS member-removal screen), ``contour`` (N-year IFORM
+environmental contours), ``air-gap`` (crest clearance),
+``save-default`` (write the default jacket JSON).
 
 Usage examples:
     python -m small_fem_solver_tpu.cli run --phase-scan --csv forces.csv
