@@ -10,7 +10,8 @@ sweeps, block-sparse assembly and preconditioned-CG solves, and
 
 from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   EnvelopeResults, LoadCase, analyze, analyze_condensed,
-                  analyze_pdelta, analyze_phase_batch, analyze_ssi,
+                  analyze_pdelta, analyze_pdelta_condensed,
+                  analyze_phase_batch, analyze_ssi,
                   design_envelope, design_envelope_condensed,
                   analyze_prepared, phase_scan_condensed,
                   phase_scan_prepared, prepare_condensed,

@@ -1900,6 +1900,126 @@ def _analyze_condensed_jit(coarse, refined, wave, case, n_seg, n_gauss,
         )
 
 
+def analyze_pdelta_condensed(coarse: JacketModel, refined: JacketModel,
+                             n_seg: int, wave, case: LoadCase,
+                             n_iter: int = 3, n_gauss: int = 15,
+                             accel: str = "analytic",
+                             solve_dtype=jnp.float64,
+                             chain_solver: str = "auto",
+                             support_stiffness=None) -> AnalysisResults:
+    """Second-order (P-delta) analysis on a chain-refined mesh.
+
+    The same fixed point as :func:`analyze_pdelta` — solve, take member
+    axial forces, subtract the consistent geometric stiffness, re-solve —
+    but every solve goes through the exact chain condensation, so the
+    refinement range matches :func:`analyze_condensed` (the chain factor
+    is rebuilt each iteration from ``Kg - K_G(N)``; the pivots stay
+    Cholesky-positive while the case is below elastic buckling, and NaNs
+    are the honest beyond-buckling signal, as on the dense path).
+    Matches :func:`analyze_pdelta` on the same refined mesh exactly
+    (tested) since both iterate the identical linearized system.
+    """
+    _check_refined_layout(coarse, refined, n_seg)
+    ks_nodes, free_np, fixed_np = _ssi_spring_nodes(coarse,
+                                                    support_stiffness,
+                                                    solve_dtype)
+    return _analyze_pdelta_condensed_jit(
+        coarse, refined, wave, case.cast(solve_dtype), n_seg, n_iter,
+        n_gauss, accel, solve_dtype, chain_solver, ks_nodes,
+        jnp.asarray(free_np), jnp.asarray(fixed_np))
+
+
+@partial(jax.jit, static_argnames=("n_seg", "n_iter", "n_gauss", "accel",
+                                   "solve_dtype", "chain_solver"))
+def _analyze_pdelta_condensed_jit(coarse, refined, wave, case, n_seg,
+                                  n_iter, n_gauss, accel, solve_dtype,
+                                  chain_solver, ks_nodes, free, fixed):
+    from .ops.buckling import element_geometric_stiffness
+
+    with jax.default_matmul_precision("highest"):
+        nc = coarse.n_nodes
+        Mc = coarse.n_members
+        n_int = n_seg - 1
+        G = case.E / (2.0 * (1.0 + case.nu))
+        coords_s = refined.coords.astype(solve_dtype)
+        sec_s = jax.tree.map(lambda x: x.astype(solve_dtype),
+                             refined.sections)
+        Kg, K_local, T, L_m = element_stiffness(
+            coords_s, refined.conn, sec_s, refined.sect_id, case.E, G,
+            release=refined.release)
+        W_rel = None
+        if refined.release is not None:
+            from .ops.beams import release_W
+            W_rel = release_W(coords_s, refined.conn, sec_s,
+                              refined.sect_id, case.E, G, refined.release)
+
+        # loads (same as the condensed single-phase path)
+        ldtype = refined.coords.dtype
+        case_l = case.cast(ldtype)
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            refined, case_l.marine_growth_mm, case_l.Cd, case_l.Cm)
+        mor = morison_loads(wave, refined.coords, conn_h, D_m,
+                            case_l.wave_dir_deg, case_l.current_dir_deg,
+                            Cd_h, Cm_h, case_l.rho_water,
+                            case_l.t_analysis, n_gauss=n_gauss, accel=accel,
+                            slam_cs=case_l.slam_cs)
+        F = assemble_loads(refined, case_l, mor.nodal_forces,
+                           L_m.astype(ldtype)).astype(solve_dtype)
+        node1 = coarse.conn[:, 0]
+        node2 = coarse.conn[:, 1]
+        Fn = F.reshape(1, -1, 6)
+        F_I_nodes = Fn[:, :nc]
+        g = Fn[:, nc:].reshape(1, Mc, n_int, 6).swapaxes(1, 2)
+        dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
+                                6 * refined.conn[:, 1:2] + jnp.arange(6)],
+                               axis=-1)
+
+        def solve_with(Kg_i):
+            fac, _condense, _backsub = _chain_factor(Kg_i, n_seg,
+                                                     chain_solver)
+            K_I = assemble_dense(fac.K_super, coarse.conn, 6 * nc)
+            dfac = _spring_dfac(K_I, ks_nodes, free)
+            U_In, v, F_cond_flat, U_I = _condensed_solve(
+                F_I_nodes, g, fac=fac, dfac=dfac, _condense=_condense,
+                _backsub=_backsub, node1=node1, node2=node2)
+            U = jnp.concatenate([U_In.reshape(1, -1),
+                                 v.swapaxes(1, 2).reshape(1, -1)], axis=1)[0]
+            return U, K_I, F_cond_flat, U_I
+
+        # first-order solution (amplification baseline) + fixed point
+        U, K_I, F_cond_flat, U_I = solve_with(Kg)
+        disp1 = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+        for _ in range(n_iter):
+            F1, _ = internal_forces(K_local, T, U[dofs])
+            N = -F1[:, 0]
+            KGg = element_geometric_stiffness(coords_s, refined.conn, N,
+                                              W=W_rel)
+            U, K_I, F_cond_flat, U_I = solve_with(Kg - KGg)
+
+        # recovery (elastic member stiffness, reference conventions)
+        F1, F2 = internal_forces(K_local, T, U[dofs])
+        vm = von_mises_8pt(sec_s, refined.sect_id,
+                           F1[:, 0], F1[:, 1], F1[:, 2],
+                           F1[:, 3], F1[:, 4], F1[:, 5])
+        util = vm / case.fy
+        R = U_I @ K_I.T - F_cond_flat
+        reac = R[0, fixed].reshape(-1, 6)
+        disp2 = jnp.linalg.norm(U.reshape(-1, 6)[:, :3], axis=-1)
+        amp = jnp.max(jnp.where(disp1 > 0,
+                                disp2 / jnp.where(disp1 > 0, disp1, 1.0),
+                                1.0))
+        imax = jnp.argmax(disp2)
+        return AnalysisResults(
+            U=U, reactions=reac, F_applied=F,
+            F1_local=F1, F2_local=F2,
+            von_mises=vm, utilization=util, length_m=L_m,
+            morison=mor,
+            max_displacement_mm=disp2[imax], max_displacement_node=imax,
+            total_reaction=jnp.sum(reac, axis=0),
+            pdelta_amplification=amp,
+        )
+
+
 class EnvelopeResults(NamedTuple):
     """Design-envelope results over a case batch (leading axis = case)."""
 

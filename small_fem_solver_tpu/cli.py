@@ -643,18 +643,32 @@ def cmd_pdelta(args):
 
     import small_fem_solver_tpu as sf
 
-    model, wave, case = _setup(args)
     spring = getattr(args, "support_spring", None)
-    _spring_banner(spring)
     with _cpu_if_f64(args):
-        if spring:
+        model, wave, case = _setup(args)
+        _spring_banner(spring)
+        if args.refine > 1:
+            from .models.model import refine_model
+            refined = refine_model(model, args.refine)
+            print(f"condensed P-delta: {refined.n_dof} DOF (chain solver)")
+            lin = sf.analyze_condensed(model, refined, args.refine, wave,
+                                       case, support_stiffness=spring)
+            pd = sf.analyze_pdelta_condensed(
+                model, refined, args.refine, wave, case,
+                n_iter=args.n_iter, support_stiffness=spring)
+            model = refined   # the member table below is per refined element
+        elif spring:
             lin = sf.analyze_ssi(model, wave, case, spring,
                                  accel=args.accel)
+            pd = sf.analyze_pdelta(model, wave, case, n_iter=args.n_iter,
+                                   accel=args.accel,
+                                   support_stiffness=spring)
         else:
             lin = sf.analyze(model, wave, case, solver="chol",
                              accel=args.accel)
-        pd = sf.analyze_pdelta(model, wave, case, n_iter=args.n_iter,
-                               accel=args.accel, support_stiffness=spring)
+            pd = sf.analyze_pdelta(model, wave, case, n_iter=args.n_iter,
+                                   accel=args.accel,
+                                   support_stiffness=spring)
     amp = float(pd.pdelta_amplification)
     print(f"P-delta amplification (max nodal |U2|/|U1|): {amp:.4f}")
     print(f"  max displacement: {float(lin.max_displacement_mm):.2f} mm "
@@ -1454,6 +1468,9 @@ def main(argv=None):
     _add_common(pdp)
     pdp.add_argument("--n-iter", type=int, default=3,
                      help="fixed-point rounds on the axial-force state")
+    pdp.add_argument("--refine", type=int, default=1,
+                     help="subdivide members (>1 runs the condensed "
+                          "P-delta through the chain solver)")
     _add_spring_arg(pdp)
     pdp.set_defaults(fn=cmd_pdelta)
 

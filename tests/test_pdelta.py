@@ -69,3 +69,30 @@ def test_pdelta_jacket_storm_small_amplification():
     applied = np.asarray(pd.F_applied).reshape(-1, 6)[:, :3].sum(axis=0)
     np.testing.assert_allclose(np.asarray(pd.total_reaction[:3]), -applied,
                                rtol=1e-9)
+
+
+def test_pdelta_condensed_matches_dense():
+    """The condensed P-delta iterates the identical linearized system
+    through the chain solver: results match the dense path on the same
+    refined mesh (same fixed-point count) to solver precision."""
+    import small_fem_solver_tpu as sf
+
+    model = sf.default_3leg_jacket()
+    n_seg = 3
+    refined = sf.refine_model(model, n_seg)
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    dense = sf.analyze_pdelta(refined, wave, case, n_iter=3,
+                              accel="analytic")
+    cond = sf.analyze_pdelta_condensed(model, refined, n_seg, wave, case,
+                                       n_iter=3)
+    np.testing.assert_allclose(np.asarray(cond.U), np.asarray(dense.U),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(float(cond.pdelta_amplification),
+                               float(dense.pdelta_amplification), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(cond.utilization),
+                               np.asarray(dense.utilization),
+                               rtol=1e-8, atol=1e-12)
+    assert float(cond.pdelta_amplification) > 1.0
