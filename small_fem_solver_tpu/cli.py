@@ -890,12 +890,26 @@ def cmd_transient(args):
               f", {n_steps} steps ({args.periods:g} periods), damping "
               f"{100 * args.damping:.1f}%"
               + (", relative-velocity drag" if args.relative_drag else ""))
+        ground = None
+        gdir = {"x": (1.0, 0.0, 0.0), "y": (0.0, 1.0, 0.0),
+                "z": (0.0, 0.0, 1.0)}[args.ground_dir]
+        if args.accelerogram:
+            import numpy as _np
+            ground = _np.loadtxt(args.accelerogram)
+            if ground.ndim == 2:
+                ground = ground[:, -1]
+            if ground.shape[0] < n_steps:
+                ground = _np.pad(ground, (0, n_steps - ground.shape[0]))
+            ground = ground[:n_steps]
+            print(f"ground motion: {args.accelerogram} along "
+                  f"{args.ground_dir}, peak {abs(ground).max():.2f} m/s^2")
         res = transient_response_condensed(
             model, refined, args.refine, wave, case, dt, n_steps,
             damping_ratio=args.damping, topside_mass_t=args.topside_mass,
             n_chain_modes=args.chain_modes, support_stiffness=spring,
             ramp_periods=args.ramp, added_mass_Ca=args.added_mass,
-            relative_drag=args.relative_drag)
+            relative_drag=args.relative_drag,
+            ground_accel=ground, ground_dir=gdir)
     tip = np.asarray(res.tip_displacement_mm)
     util = np.asarray(res.utilization)
     i_peak = int(util.max(axis=1).argmax())
@@ -1444,6 +1458,11 @@ def main(argv=None):
                     help="peak period [s] (default: -T)")
     tr.add_argument("--components", type=int, default=48)
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--accelerogram", default=None,
+                    help="ground-acceleration time series file [m/s^2] "
+                         "(one value per dt step; seismic time history, "
+                         "relative-coordinate formulation)")
+    tr.add_argument("--ground-dir", default="x", choices=["x", "y", "z"])
     _add_spring_arg(tr)
     tr.set_defaults(fn=cmd_transient)
 

@@ -750,6 +750,8 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
                                  added_mass_Ca=None,
                                  relative_drag: bool = False,
                                  drag_iterations: int = 1,
+                                 ground_accel=None,
+                                 ground_dir=(1.0, 0.0, 0.0),
                                  newmark=(0.25, 0.5)) -> TransientResponse:
     """Transient (direct time-integration) response on the Craig-Bampton
     reduced basis — Newmark-beta, unconditionally stable average
@@ -783,6 +785,15 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
     new velocity).  With ``zero_loads=True`` it gives still-water
     free-decay damping (classical hyperbolic amplitude decay — the
     signature of quadratic damping, validated in tests/test_dynamics.py).
+
+    ``ground_accel`` ([n_steps] ground acceleration [m/s^2] along
+    ``ground_dir``) adds SEISMIC time-history excitation: the standard
+    relative-coordinate formulation with effective force
+    F_eff(t) = -M iota a_g(t), where iota is the consistent-mass rigid
+    influence vector projected to the reduced basis (same construction as
+    `ops.seismic`'s participation).  Returned displacements are RELATIVE
+    to the ground.  Combine with ``zero_loads=True`` for a pure
+    earthquake run, or with a wave for combined action.
     """
     from .morison import hydro_diameter_m, morison_phase_batch
     from .solve import factor_dense, solve_factored
@@ -852,6 +863,23 @@ def transient_response_condensed(coarse, refined, n_seg: int, wave, case,
             if ramp_periods > 0:
                 ramp_arr = jnp.minimum(ts / (ramp_periods * T_ramp), 1.0)
                 F_f = F_f * ramp_arr[:, None]
+
+        if ground_accel is not None:
+            ag = jnp.asarray(ground_accel, dtype)
+            if ag.shape[0] != n_steps:
+                raise ValueError(f"ground_accel has {ag.shape[0]} samples "
+                                 f"but n_steps = {n_steps}")
+            gd = np.asarray(ground_dir, np.float64)
+            gd = gd / np.linalg.norm(gd)
+            # consistent-mass rigid influence vector on the reduced basis
+            # (interface translations incl. the supports, zero generalized
+            # coords — see ops.seismic's participation construction)
+            iota = jnp.zeros((cb.n_red,), dtype)
+            for c in range(3):
+                iota = iota.at[c:6 * nc:6].set(jnp.asarray(gd[c], dtype))
+            b = (cb.M_red @ iota)[cb.free]            # [nf], tonnes
+            # F_eff = -M iota a_g; a in m/s^2 -> mm/s^2 so t*mm/s^2 = N
+            F_f = F_f - b[None, :] * (ag * 1e3)[:, None]
 
         C_ff = alpha * M_ff + beta_r * K_ff
         bN, gN = newmark

@@ -199,3 +199,48 @@ def test_cli_seismic(capsys, tmp_path):
           "--dir-rule", "100-40-40", "--combination", "srss"])
     out = capsys.readouterr().out
     assert "site-specific spectrum: 3 (T, Sa) points" in out
+
+
+def test_ground_motion_time_history_sdof_identity():
+    """Harmonic ground acceleration on the tip-mass column: the steady
+    relative displacement matches the SDOF transfer function
+    u = Gamma*phi * a0 / sqrt((w^2 - wg^2)^2 + (2 zeta w wg)^2)."""
+    from small_fem_solver_tpu.ops.dynamics import (
+        modal_analysis, transient_response_condensed)
+
+    model = _cantilever(n_el=6)
+    n_seg = 4
+    refined = sf.refine_model(model, n_seg)
+    topside = 400.0
+    modal = sf.modal_analysis(model, n_modes=2, topside_mass_t=topside)
+    w1 = float(modal.omega[0])
+    zeta = 0.03
+    r = 0.5                                    # drive at half resonance
+    wg = r * w1
+    a0 = 0.8                                   # m/s^2
+    dt = 2 * np.pi / wg / 96
+    n_steps = int(30 * 2 * np.pi / wg / dt)
+    ts = np.arange(n_steps) * dt
+    ag = a0 * np.sin(wg * ts)
+    case = sf.LoadCase(sw_mode="none")
+    res = transient_response_condensed(
+        model, refined, n_seg, None, case, dt, n_steps,
+        damping_ratio=zeta, topside_mass_t=topside, zero_loads=True,
+        ground_accel=ag, ground_dir=(1.0, 0.0, 0.0))
+    tip_x = 6 * model.node_index(model.node_names[-1])
+    hist = np.asarray(res.U_time[:, tip_x])
+    amp = 0.5 * (hist[n_steps // 2:].max() - hist[n_steps // 2:].min())
+    # modal participation of the x-bending pair at the tip
+    spec = sf.response_spectrum(model, 0.2, n_modes=2,
+                                topside_mass_t=topside,
+                                directions=((1.0, 0.0, 0.0),))
+    gp = float(sum(spec.participation[0, i] * spec.mode_shapes[i, tip_x]
+                   for i in range(2)))
+    expected = abs(gp) * a0 * 1e3 / np.sqrt(
+        (w1**2 - wg**2) ** 2 + (2 * zeta * w1 * wg) ** 2)
+    np.testing.assert_allclose(amp, expected, rtol=0.03)
+    # wrong sample count raises
+    with pytest.raises(ValueError, match="samples"):
+        transient_response_condensed(
+            model, refined, n_seg, None, case, dt, n_steps,
+            zero_loads=True, topside_mass_t=topside, ground_accel=ag[:-5])
