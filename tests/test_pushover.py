@@ -137,3 +137,26 @@ def test_pushover_rose_sharded_matches_host():
     _, rsr_h, fy_h, _ = pushover_rose(model, wave, case, headings, **kw)
     np.testing.assert_allclose(rsr_sh, rsr_h, rtol=1e-12)
     np.testing.assert_allclose(fy_sh, fy_h, rtol=1e-12)
+
+
+def test_pushover_f32_path():
+    """The TPU fast-path dtype: the f32 pushover stays finite and lands
+    on the f64 curve within f32 conditioning tolerance."""
+    import jax.numpy as jnp
+
+    model64 = sf.default_3leg_jacket()
+    model32 = sf.default_3leg_jacket(dtype=jnp.float32)
+    wave64 = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    wave32 = sf.airy_wave(17.038, 9.4, 50.0, 1.7, dtype=jnp.float32)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    kw = dict(lambda_max=12.0, n_lambda=7, n_iter=60)
+    r64 = pushover(model64, wave64, case, **kw)
+    r32 = pushover(model32, wave32, case, **kw)
+    assert np.asarray(r32.converged)[:5].all()
+    np.testing.assert_allclose(np.asarray(r32.max_displacement_mm)[:5],
+                               np.asarray(r64.max_displacement_mm)[:5],
+                               rtol=2e-3)
+    assert float(r32.first_yield_lambda) == pytest.approx(
+        float(r64.first_yield_lambda), abs=2.01)  # grid-resolution match

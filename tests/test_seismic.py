@@ -244,3 +244,19 @@ def test_ground_motion_time_history_sdof_identity():
         transient_response_condensed(
             model, refined, n_seg, None, case, dt, n_steps,
             zero_loads=True, topside_mass_t=topside, ground_accel=ag[:-5])
+
+
+def test_response_spectrum_f32_path():
+    """f32 (TPU fast-path) response spectrum tracks f64 within mixed-
+    precision eigensolve tolerance."""
+    model64 = sf.default_3leg_jacket()
+    model32 = sf.default_3leg_jacket(dtype=jnp.float32)
+    kw = dict(ground="B", zeta=0.05, n_modes=6, topside_mass_t=1100.0)
+    r64 = sf.response_spectrum(model64, 0.2, **kw)
+    r32 = sf.response_spectrum(model32, 0.2, **kw)
+    np.testing.assert_allclose(np.asarray(r32.periods_s),
+                               np.asarray(r64.periods_s), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(r32.base_shear_kN),
+                               np.asarray(r64.base_shear_kN), rtol=5e-3)
+    np.testing.assert_allclose(float(r32.max_displacement_mm),
+                               float(r64.max_displacement_mm), rtol=1e-2)
