@@ -134,3 +134,63 @@ def plot_phase_scan(scan, path: str):
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)
+
+
+def plot_mode(model: JacketModel, shape, path: str, scale: float = 5.0,
+              title: str | None = None):
+    """Deformed-shape overlay for a modal / buckling mode vector.
+
+    ``shape``: [n_dof] mode vector (mm / rad; e.g.
+    ``modal_analysis(...).mode_shapes[i]`` or a buckling mode).  The
+    translations are normalized to ``scale`` metres at the largest node
+    and drawn over the undeformed geometry.
+    """
+    coords = np.asarray(model.coords)
+    conn = np.asarray(model.conn)
+    u = np.asarray(shape).reshape(-1, 6)[:, :3]
+    umax = np.abs(u).max()
+    disp = coords + (u / umax * scale if umax > 0 else 0.0)
+    fig = plt.figure(figsize=(10, 9))
+    ax = fig.add_subplot(111, projection="3d")
+    _draw_structure(ax, model)
+    for e in range(model.n_members):
+        c1, c2 = disp[conn[e, 0]], disp[conn[e, 1]]
+        ax.plot([c1[0], c2[0]], [c1[1], c2[1]], [c1[2], c2[2]],
+                color="crimson", linewidth=1.8, alpha=0.9)
+    ax.set_title(title or f"Mode shape (x{scale:g} m normalized)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def plot_pushover(result, path: str, title: str | None = None):
+    """Pushover curve: lambda vs max displacement, with first yield and
+    the RSR marked (``result``: ops.pushover.PushoverResults)."""
+    lam = np.asarray(result.lambdas)
+    disp = np.asarray(result.max_displacement_mm)
+    conv = np.asarray(result.converged)
+    ny = np.asarray(result.n_yielded)
+    fig, ax = plt.subplots(figsize=(8, 5.5))
+    ax.plot(disp[conv], lam[conv], "-o", color="steelblue", ms=4,
+            label="converged states")
+    if (~conv).any():
+        ax.plot(disp[~conv], lam[~conv], "x", color="red",
+                label="not converged")
+    fy = float(result.first_yield_lambda)
+    if np.isfinite(fy):
+        ax.axhline(fy, color="orange", ls="--", alpha=0.7,
+                   label=f"first yield  $\\lambda$={fy:.2f}")
+    ax.axhline(float(result.rsr), color="crimson", ls="-", alpha=0.7,
+               label=f"RSR = {float(result.rsr):.2f}")
+    for i in range(0, len(lam), max(len(lam) // 8, 1)):
+        if conv[i] and ny[i]:
+            ax.annotate(f"{int(ny[i])}", (disp[i], lam[i]), fontsize=8,
+                        textcoords="offset points", xytext=(6, -2))
+    ax.set_xlabel("max nodal displacement [mm]")
+    ax.set_ylabel("environmental load factor $\\lambda$")
+    ax.set_title(title or "Pushover curve (yielded-member counts annotated)")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)

@@ -268,3 +268,25 @@ def test_cli_joint_check(capsys):
     out = capsys.readouterr().out
     assert "API RP 2A-WSD simple-joint checks (class=K" in out
     assert "beta" in out and ("all joints pass" in out or "WARNING" in out)
+
+
+def test_plot_mode_and_pushover(tmp_path):
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.ops.pushover import pushover
+    from small_fem_solver_tpu.utils.plotting import plot_mode, plot_pushover
+
+    model = sf.default_3leg_jacket()
+    modal = sf.modal_analysis(model, n_modes=1, topside_mass_t=1100.0)
+    p1 = tmp_path / "mode.png"
+    plot_mode(model, modal.mode_shapes[0], str(p1))
+    assert p1.exists() and p1.stat().st_size > 10_000
+
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    res = pushover(model, wave, case, lambda_max=14.0, n_lambda=8,
+                   n_iter=40)
+    p2 = tmp_path / "pushover.png"
+    plot_pushover(res, str(p2))
+    assert p2.exists() and p2.stat().st_size > 10_000
