@@ -19,6 +19,7 @@
 #include <cstring>
 #include <queue>
 #include <unordered_map>
+#include <cmath>
 #include <vector>
 #include <algorithm>
 
@@ -219,6 +220,62 @@ int64_t aggregate_nodes(const int32_t* edges, int64_t ne, int64_t n_nodes,
     }
     for (int64_t v = 0; v < n_nodes; ++v) out_agg[v] = agg[v];
     return next_agg;
+}
+
+
+// Batched ASTM E1049 rainflow Miner sums for fatigue screening.
+// y: [S, M] C-order float64 stress histories (column j = member j).
+// For each member: reduce to turning points, run the rainflow stack
+// (full cycles weight 1, the history-start and residual half cycles
+// weight 0.5), and accumulate out_sum[j] = sum w * range^m_slope and
+// out_n[j] = sum w.  One O(S) pass per member -- replaces a per-member
+// Python loop that dominates long-history screens.
+int rainflow_damage_sums(const double* y, int64_t S, int64_t M,
+                         double m_slope, double* out_sum, double* out_n) {
+    if (S < 2) {
+        for (int64_t j = 0; j < M; ++j) { out_sum[j] = 0.0; out_n[j] = 0.0; }
+        return 0;
+    }
+    std::vector<double> tp;
+    std::vector<double> stack;
+    for (int64_t j = 0; j < M; ++j) {
+        tp.clear();
+        tp.push_back(y[j]);
+        for (int64_t i = 1; i + 1 < S; ++i) {
+            const double a = y[(i - 1) * M + j];
+            const double b = y[i * M + j];
+            const double c = y[(i + 1) * M + j];
+            if ((b - a) * (c - b) < 0.0) tp.push_back(b);
+        }
+        tp.push_back(y[(S - 1) * M + j]);
+        stack.clear();
+        double sum = 0.0, n = 0.0;
+        for (double x : tp) {
+            stack.push_back(x);
+            while (stack.size() >= 3) {
+                const size_t k = stack.size();
+                const double X = std::fabs(stack[k - 2] - stack[k - 1]);
+                const double Y = std::fabs(stack[k - 3] - stack[k - 2]);
+                if (X < Y) break;
+                if (k == 3) {
+                    sum += 0.5 * std::pow(Y, m_slope);   // start half cycle
+                    n += 0.5;
+                    stack.erase(stack.begin());
+                } else {
+                    sum += std::pow(Y, m_slope);          // full cycle
+                    n += 1.0;
+                    stack.erase(stack.end() - 3, stack.end() - 1);
+                }
+            }
+        }
+        for (size_t i = 0; i + 1 < stack.size(); ++i) {   // residual halves
+            sum += 0.5 * std::pow(std::fabs(stack[i] - stack[i + 1]), m_slope);
+            n += 0.5;
+        }
+        out_sum[j] = sum;
+        out_n[j] = n;
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -361,14 +361,21 @@ def spectral_fatigue_screen(vm_history, dt: float, exposure_years: float,
              * gamma_fn(1.0 + m_slope / 2.0))
     d_ray = np.where(sigma > 1e-9, d_ray, 0.0)
 
-    d_rf = np.zeros(M)
     scale_t = exposure_s / T_real
-    for j in range(M):
-        if sigma[j] <= 1e-9:
-            continue
-        ranges, weight = _rainflow_ranges(vm[:, j])
-        if ranges.size:
-            d_rf[j] = np.sum(weight * ranges**m_slope) / Kbar * scale_t
+    from ..native import rainflow_damage_sums_native
+    sums = rainflow_damage_sums_native(vm, m_slope)
+    if sums is not None:
+        # native batched counter (one O(S) C++ pass per member; tested
+        # identical to the Python stack below)
+        d_rf = np.where(sigma > 1e-9, sums[0] / Kbar * scale_t, 0.0)
+    else:
+        d_rf = np.zeros(M)
+        for j in range(M):
+            if sigma[j] <= 1e-9:
+                continue
+            ranges, weight = _rainflow_ranges(vm[:, j])
+            if ranges.size:
+                d_rf[j] = np.sum(weight * ranges**m_slope) / Kbar * scale_t
 
     with np.errstate(divide="ignore"):
         life_ray = np.where(d_ray > 0, exposure_years / d_ray, np.inf)

@@ -103,3 +103,37 @@ def test_native_aggregation_matches_python():
         finally:
             native.aggregate_nodes_native = orig
         np.testing.assert_array_equal(got, want)
+
+
+def test_rainflow_native_matches_python():
+    """The C++ batched rainflow reproduces the Python ASTM stack exactly
+    (same turning-point reduction, same half/full weights), and is fast."""
+    import time
+
+    from small_fem_solver_tpu.native import rainflow_damage_sums_native
+    from small_fem_solver_tpu.ops.spectrum import _rainflow_ranges
+
+    rng = np.random.default_rng(5)
+    S, M = 1500, 40
+    # broadband + narrowband + constant + monotone columns
+    y = rng.standard_normal((S, M)).cumsum(axis=0)
+    y[:, 0] = 3.0                      # constant: zero damage
+    y[:, 1] = np.arange(S)             # monotone: one half cycle
+    y[:, 2] = 5 * np.sin(np.arange(S) * 0.3)
+    m_slope = 3.0
+    out = rainflow_damage_sums_native(y, m_slope)
+    if out is None:
+        pytest.skip("native library unavailable")
+    sums, counts = out
+    for j in range(M):
+        r, w = _rainflow_ranges(y[:, j])
+        ref = float(np.sum(w * r**m_slope)) if r.size else 0.0
+        np.testing.assert_allclose(sums[j], ref, rtol=1e-12, atol=1e-9)
+        np.testing.assert_allclose(counts[j], float(w.sum()) if r.size
+                                   else 0.0, rtol=1e-12, atol=1e-12)
+    assert sums[0] == 0.0
+    # speedup sanity (not asserted hard: environment-dependent)
+    t0 = time.perf_counter()
+    rainflow_damage_sums_native(y, m_slope)
+    t_native = time.perf_counter() - t0
+    assert t_native < 1.0
