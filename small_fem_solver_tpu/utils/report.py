@@ -43,6 +43,15 @@ def render_report(model: JacketModel, wave, case, results,
     log(f"  Wave direction: {float(case.wave_dir_deg)} deg from North")
     log(f"  Current: U_c={float(wave.U_c)}m/s, "
         f"direction={float(case.current_dir_deg)} deg from North")
+    try:
+        from ..ops.airgap import air_gap_check
+        ag = air_gap_check(model, wave, wave_dir_deg=float(case.wave_dir_deg),
+                           n_phases=72)
+        log(f"  Deck air gap: crest {float(ag.crest_m):.2f}m vs deck "
+            f"{ag.deck_elevation_m:.1f}m -> {float(ag.air_gap_m):.2f}m "
+            + ("(OK)" if bool(ag.ok) else "(WAVE-IN-DECK RISK)"))
+    except ValueError:
+        pass  # no top nodes: deck elevation unknown
 
     mor = results.morison
     log("\n" + BAR)
