@@ -1665,7 +1665,10 @@ def scatter_fatigue(prep: CondensedPrepared, case: LoadCase, states, d,
     """Fatigue over a SCATTER DIAGRAM of sea states (Miner accumulation).
 
     ``states``: sequence of (Hs [m], Tp [s], occurrence fraction) rows —
-    the long-term wave climate.  Each state is realized as an N-component
+    the long-term wave climate — optionally with a 4th column, the state's
+    wave HEADING [deg from North] (a directional scatter: the current
+    rotates with the wave, preserving their relative angle; 3-column rows
+    use the case's heading).  Each state is realized as an N-component
     random sea (seeded per state: reproducible), the FULL refined FEM
     response history is solved through the prepared condensed handle (one
     program per state), and per-member damage (narrow-band Rayleigh AND
@@ -1675,26 +1678,38 @@ def scatter_fatigue(prep: CondensedPrepared, case: LoadCase, states, d,
 
     Occurrences should sum to <= 1; a larger sum raises.
     """
+    import dataclasses
+
     from .ops.spectrum import make_random_sea, spectral_fatigue_screen
 
-    states = tuple((float(h), float(t), float(o)) for h, t, o in states)
+    states = tuple(tuple(float(v) for v in row) for row in states)
     if not states:
         raise ValueError("scatter_fatigue needs at least one "
                          "(Hs, Tp, occurrence) state")
-    total_occ = sum(o for _, _, o in states)
+    if any(len(r) not in (3, 4) for r in states):
+        raise ValueError("scatter rows must be (Hs, Tp, occurrence"
+                         "[, heading_deg])")
+    total_occ = sum(r[2] for r in states)
     if total_occ > 1.0 + 1e-9:
         raise ValueError(
             f"scatter-diagram occurrences sum to {total_occ:.3f} > 1")
+    rel_dir = case.current_dir_deg - case.wave_dir_deg
     d_rf = d_nb = None
     per_state = []
-    for i, (Hs, Tp, occ) in enumerate(states):
+    for i, row in enumerate(states):
+        Hs, Tp, occ = row[:3]
+        case_i = case
+        if len(row) == 4:
+            case_i = dataclasses.replace(case, wave_dir_deg=row[3],
+                                         current_dir_deg=row[3] + rel_dir)
         sea = make_random_sea(Hs, Tp, d, n_components=n_components,
                               seed=seed + i, spectrum=spectrum, U_c=U_c,
                               spreading_s=spreading_s,
                               dtype=prep.refined.coords.dtype)
         dt = Tp / 10.0
         ts = np.arange(n_steps) * dt
-        hist = sea_scan_prepared(prep, sea, case, ts, stretching=stretching,
+        hist = sea_scan_prepared(prep, sea, case_i, ts,
+                                 stretching=stretching,
                                  current_alpha=current_alpha)
         scr = spectral_fatigue_screen(np.asarray(hist.von_mises), dt,
                                       exposure_years=exposure_years,

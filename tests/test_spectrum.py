@@ -381,3 +381,30 @@ def test_directional_spreading():
     Rx = np.abs(np.asarray(hist.total_morison)[:, 0]).max()
     Ry = np.abs(np.asarray(hist.total_morison)[:, 1]).max()
     assert Rx > 0.02 * Ry
+
+
+def test_scatter_fatigue_directional():
+    """4-column scatter rows carry per-state headings; an identical state
+    at the case heading reproduces the 3-column damage, and validation
+    rejects malformed rows."""
+    model = sf.default_3leg_jacket()
+    refined = sf.refine_model(model, 2)
+    prep = sf.prepare_condensed(model, refined, 2)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    base = sf.scatter_fatigue(prep, case, [(5.0, 8.5, 0.4)], d=50.0,
+                              exposure_years=25.0, n_components=16,
+                              n_steps=128)
+    same = sf.scatter_fatigue(prep, case, [(5.0, 8.5, 0.4, 38.0)], d=50.0,
+                              exposure_years=25.0, n_components=16,
+                              n_steps=128)
+    np.testing.assert_allclose(np.asarray(same.damage_rainflow),
+                               np.asarray(base.damage_rainflow), rtol=1e-9)
+    other = sf.scatter_fatigue(prep, case, [(5.0, 8.5, 0.4, 128.0)], d=50.0,
+                               exposure_years=25.0, n_components=16,
+                               n_steps=128)
+    assert not np.allclose(np.asarray(other.damage_rainflow),
+                           np.asarray(base.damage_rainflow))
+    with pytest.raises(ValueError, match="scatter rows"):
+        sf.scatter_fatigue(prep, case, [(5.0, 8.5)], d=50.0,
+                           exposure_years=25.0)
