@@ -1374,8 +1374,10 @@ def main(argv=None):
                          "short-crested sea (larger = more long-crested)")
     fa.add_argument("--scatter", default=None,
                     help="scatter-diagram fatigue: JSON file (or literal) "
-                         "of [[Hs, Tp, occurrence], ...] rows; damage "
-                         "accumulates over the states (uses --refine, min 2)")
+                         "of [[Hs, Tp, occurrence[, heading_deg]], ...] "
+                         "rows (4th column = per-state wave heading); "
+                         "damage accumulates over the states (uses "
+                         "--refine, min 2)")
     fa.set_defaults(fn=cmd_fatigue)
 
     co = sub.add_parser("contour",
