@@ -53,6 +53,8 @@ def air_gap_check(model, wave, wave_dir_deg: float = 0.0,
     crest rides on.  ``margin_m`` is the required clearance (ISO 19902
     suggests >= 1.5 m).
     """
+    if n_phases < 1 or n_x < 1:
+        raise ValueError("air_gap_check needs n_phases >= 1 and n_x >= 1")
     coords = np.asarray(model.coords)
     if deck_elevation_m is None:
         top = np.where(np.asarray(model.top_mask))[0]

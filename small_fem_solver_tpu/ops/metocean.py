@@ -129,6 +129,8 @@ def fit_joint_hs_tp(hs, tp, occurrence=None, n_bins: int = 8,
          else np.asarray(occurrence, dtype=np.float64))
     if hs.shape != tp.shape or hs.shape != w.shape:
         raise ValueError("hs, tp and occurrence must have matching shapes")
+    if (hs <= 0).any() or (tp <= 0).any() or (w < 0).any():
+        raise ValueError("Hs/Tp must be positive and occurrences >= 0")
     # weighted Weibull fit via resampling-free trick: MLE equations with
     # weights reduce to the same sums
     x, lx = hs, np.log(hs)

@@ -212,6 +212,11 @@ def pushover(model, wave, case, lambda_max: float = 4.0, n_lambda: int = 33,
     ``collapse_ratio`` defines practical collapse on the curve (see module
     docstring).  Returns the full curve plus the RSR.
     """
+    if lambda_max <= 0 or n_lambda < 2:
+        raise ValueError("pushover needs lambda_max > 0 and n_lambda >= 2 "
+                         f"(got {lambda_max}, {n_lambda})")
+    if not 0.0 < residual <= 1.0:
+        raise ValueError(f"residual must be in (0, 1] (got {residual})")
     dtype = model.coords.dtype
     with jax.default_matmul_precision("highest"):
         curves, cap_c = _make_curves_fn(model, case, n_iter, k_factor,

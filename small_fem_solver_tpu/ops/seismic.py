@@ -71,6 +71,9 @@ def ec8_spectrum(T, pga_g: float, ground: str = "A", zeta: float = 0.05,
     if ground not in _EC8_TYPE1:
         raise ValueError(f"ground must be one of {sorted(_EC8_TYPE1)} "
                          f"(got {ground!r})")
+    if pga_g < 0 or zeta <= 0:
+        raise ValueError("ec8_spectrum needs pga_g >= 0 and zeta > 0 "
+                         f"(got pga_g={pga_g}, zeta={zeta})")
     if vertical:
         ratio, T_B, T_C, T_D = _EC8_VERTICAL
         S = 1.0
