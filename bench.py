@@ -383,6 +383,33 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 
+    # fail fast when the device is unreachable: the axon relay can wedge
+    # for hours (round-3 outage: a trivial matmul could not complete in
+    # 9.5 min), and a hung bench records nothing.  A daemon-thread probe
+    # with a hard deadline turns that into one honest JSON line instead.
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        import jax
+        import jax.numpy as jnp
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        _ = jax.devices()
+        probe_ok.set()
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=420.0)
+    if not probe_ok.is_set():
+        print(json.dumps({
+            "metric": "phase_scan_360_10kdof", "value": None, "unit": "ms",
+            "vs_baseline": None,
+            "error": "device unreachable: trivial matmul did not complete "
+                     "within 420 s (relay/tunnel outage — see "
+                     "docs/ROADMAP.md environment notes)"}))
+        sys.exit(0)
+
     # ordering matters: check_pallas_device and measure_large flip the
     # global jax_enable_x64 flag (needed for their f64 oracles) and MUST run
     # after the f32 flagship/assembly measurements so the primary metric's
