@@ -32,7 +32,7 @@ from .ops.dynamics import (HarmonicResponse, ModalResults,
                            TransientResponse, dynamic_response,
                            dynamic_response_condensed, modal_analysis,
                            modal_analysis_condensed,
-                           transient_response_condensed)
+                           mac, transient_response_condensed)
 from .ops.fatigue import FatigueScreen, fatigue_screen
 from .ops.dispersion import apparent_period, solve_dispersion
 from .ops.fenton import fenton_wave

@@ -1166,3 +1166,19 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
             rayleigh_alpha=jnp.asarray(alpha, dtype),
             rayleigh_beta=jnp.asarray(beta, dtype),
         )
+
+
+def mac(shapes_a, shapes_b) -> jnp.ndarray:
+    """Modal Assurance Criterion matrix between two mode-shape sets.
+
+    MAC_ij = (phi_a_i . phi_b_j)^2 / (|phi_a_i|^2 |phi_b_j|^2) in [0, 1] —
+    the standard mode-pairing/correlation diagnostic (1 = same shape up to
+    scale, ~0 = orthogonal).  ``shapes_*``: [n_modes, n_dof] on the SAME
+    DOF layout (e.g. dense vs Craig-Bampton-expanded modes of one refined
+    mesh, or as-designed vs as-damaged modes for model updating).
+    """
+    A = jnp.asarray(shapes_a)
+    B = jnp.asarray(shapes_b)
+    num = (A @ B.T) ** 2
+    den = jnp.sum(A * A, axis=1)[:, None] * jnp.sum(B * B, axis=1)[None, :]
+    return num / jnp.maximum(den, 1e-300)

@@ -389,3 +389,35 @@ def test_added_mass_dry_structure_noop_and_jacket_period():
                                   n_chain_modes=16)
     np.testing.assert_allclose(np.asarray(cb.frequencies_hz),
                                np.asarray(wet_r.frequencies_hz), rtol=2e-6)
+
+
+def test_mac_pairs_condensed_and_dense_modes():
+    """MAC identities (self-MAC diagonal = 1, scale invariance) and the
+    physical use case: Craig-Bampton modes pair 1:1 with dense modes of
+    the same refined mesh (diagonal ~1 after sign/degeneracy handling)."""
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.ops.dynamics import mac
+
+    model = sf.default_3leg_jacket()
+    n_seg = 2
+    refined = sf.refine_model(model, n_seg)
+    dense = sf.modal_analysis(refined, n_modes=5, topside_mass_t=1100.0)
+    cond = sf.modal_analysis_condensed(model, refined, n_seg, n_modes=5,
+                                       topside_mass_t=1100.0,
+                                       n_chain_modes=6 * (n_seg - 1))
+    M = np.asarray(mac(dense.mode_shapes, dense.mode_shapes))
+    np.testing.assert_allclose(np.diag(M), 1.0, rtol=1e-12)
+    # scale invariance
+    M2 = np.asarray(mac(2.5 * np.asarray(dense.mode_shapes),
+                        dense.mode_shapes))
+    np.testing.assert_allclose(M2, M, rtol=1e-9, atol=1e-12)
+    # condensed modes pair with dense modes: every dense mode has SOME
+    # reduced partner with MAC ~ 1 (degenerate pairs may swap/rotate, so
+    # check row maxima, not the diagonal)
+    X = np.asarray(mac(dense.mode_shapes, cond.mode_shapes))
+    # degenerate pairs can rotate arbitrarily: the MAC mass of each dense
+    # mode over the matching frequency CLUSTER must be ~1
+    f = np.asarray(dense.frequencies_hz)
+    for i in range(5):
+        cluster = np.where(np.abs(f - f[i]) < 1e-6 * max(f[i], 1))[0]
+        assert X[i, cluster].sum() > 0.999
