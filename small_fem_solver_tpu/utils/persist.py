@@ -22,15 +22,24 @@ SCHEMA = 1
 def _result_registry():
     from ..api import (AnalysisResults, CondensedScanResults,
                        EnvelopeResults, ScatterFatigue)
+    from ..ops.buckling import BucklingResults, EulerScreen
+    from ..ops.codecheck import CodeCheck
+    from ..ops.codecheck_iso import ISOCheck
     from ..ops.dynamics import (HarmonicResponse, ModalResults,
                                 TransientResponse)
     from ..ops.fatigue import FatigueScreen
     from ..ops.morison import MorisonLoads, MorisonPhaseBatch
+    from ..ops.pushover import PushoverResults
+    from ..ops.robustness import RemovalScreen
+    from ..ops.seismic import SpectrumResults
     from ..ops.spectrum import SpectralFatigue
+    from ..ops.viv import VIVScreen
     classes = [AnalysisResults, CondensedScanResults, EnvelopeResults,
                ModalResults, HarmonicResponse, MorisonLoads,
                MorisonPhaseBatch, TransientResponse, FatigueScreen,
-               SpectralFatigue, ScatterFatigue]
+               SpectralFatigue, ScatterFatigue, PushoverResults,
+               SpectrumResults, RemovalScreen, BucklingResults,
+               EulerScreen, CodeCheck, ISOCheck, VIVScreen]
     return {c.__name__: c for c in classes}
 
 # nested NamedTuple fields: (class name, field) -> nested class name

@@ -170,3 +170,36 @@ def test_round3_result_types_round_trip(tmp_path):
                                   np.asarray(sc.damage_rainflow))
     np.testing.assert_array_equal(np.asarray(back3.states),
                                   np.asarray(sc.states))
+
+
+def test_new_result_types_roundtrip(tmp_path):
+    """Every round-3 result pytree round-trips through save/load_results."""
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    res = sf.analyze(model, wave, case)
+    items = {
+        "spec": sf.response_spectrum(model, 0.2, n_modes=3,
+                                     topside_mass_t=1100.0),
+        "push": sf.pushover(model, wave, case, lambda_max=12.0, n_lambda=4,
+                            n_iter=25),
+        "rob": sf.member_removal_screen(model, wave, case),
+        "buck": sf.buckling_analysis(model, res, n_modes=2),
+        "viv": sf.viv_screen(model, U_c=1.7, d=50.0),
+    }
+    for name, r in items.items():
+        p = tmp_path / f"{name}.npz"
+        sf.save_results(p, r)
+        back = sf.load_results(p)
+        assert type(back).__name__ == type(r).__name__
+        for a, b in zip(r, back):
+            if a is None or isinstance(a, (str, tuple, list)):
+                continue
+            arr = np.asarray(a)
+            if np.issubdtype(arr.dtype, np.number) \
+                    or arr.dtype == np.bool_:
+                np.testing.assert_allclose(
+                    arr.astype(np.float64),
+                    np.asarray(b).astype(np.float64), rtol=1e-12)
