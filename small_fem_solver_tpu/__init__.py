@@ -15,7 +15,9 @@ from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   design_envelope, design_envelope_condensed,
                   analyze_prepared, phase_scan_condensed,
                   phase_scan_prepared, prepare_condensed,
-                  scatter_fatigue, sea_response_batch, sea_scan_prepared)
+                  scatter_fatigue, sea_response_batch, sea_scan_prepared,
+                  spectral_response_prepared, spectral_transfer_prepared,
+                  FreqTransfer)
 from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)
 from .models.model import (JacketModel, add_appurtenances, build_model,
@@ -42,6 +44,7 @@ from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
                            sea_kinematics, sea_surface,
                            spectral_fatigue_screen)
 from .ops.airgap import AirGapResult, air_gap_check
+from .ops.freqdomain import FreqDomainResponse
 from .ops.metocean import (JointHsTp, fit_joint_hs_tp, fit_weibull,
                            iform_contour, n_year_sea_states)
 from .ops.pushover import PushoverResults, pushover, pushover_rose

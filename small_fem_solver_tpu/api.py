@@ -1292,12 +1292,14 @@ def _condensed_scan_body(coarse, refined, wave, case, n_seg, n_steps,
                            total_morison)
 
 
-def _condensed_tail(coarse, refined, case, n_seg, ts, chain_solver,
-                    solve_dtype, refine_steps, ks_nodes, fixed,
-                    Kg, KT6, fac, dfac, K_I, F_I_nodes, g, total_morison):
-    """Condensed solve + recovery from chain-layout loads — shared by the
-    steady-wave phase scans and the irregular-sea time scans."""
-    n_steps = ts.shape[0]
+def _condensed_rows(coarse, n_seg, chain_solver, solve_dtype, refine_steps,
+                    ks_nodes, Kg, KT6, fac, dfac, K_I, F_I_nodes, g):
+    """Condensed multi-RHS solve + LINEAR recovery from chain-layout load
+    rows: full displacement vectors, member node-1 end forces and the
+    interface reaction rows.  The rows are time samples for the scans and
+    per-mode coefficient columns for the frequency-domain path — the
+    algebra is identical."""
+    n_steps = F_I_nodes.shape[0]
     node1 = coarse.conn[:, 0]
     node2 = coarse.conn[:, 1]
     _condense, _backsub = _chain_fns(chain_solver)[1:]
@@ -1331,14 +1333,26 @@ def _condensed_tail(coarse, refined, case, n_seg, ts, chain_solver,
     u_e = jnp.concatenate([vext[:, :-1], vext[:, 1:]], axis=-1)
     u_elem = u_e.swapaxes(1, 2).reshape(n_steps, -1, 12)   # member-major
     F1 = matvec12(KT6, u_elem)                             # [S, Mr, 6]
+
+    # ---- reactions from the condensed interface system (exact) ----
+    R = U_I @ K_I.T - F_cond_flat                          # [S, 6 nc]
+    return U, F1, R
+
+
+def _condensed_tail(coarse, refined, case, n_seg, ts, chain_solver,
+                    solve_dtype, refine_steps, ks_nodes, fixed,
+                    Kg, KT6, fac, dfac, K_I, F_I_nodes, g, total_morison):
+    """Condensed solve + recovery from chain-layout loads — shared by the
+    steady-wave phase scans and the irregular-sea time scans."""
+    n_steps = ts.shape[0]
+    U, F1, R = _condensed_rows(coarse, n_seg, chain_solver, solve_dtype,
+                               refine_steps, ks_nodes, Kg, KT6, fac, dfac,
+                               K_I, F_I_nodes, g)
     vm = von_mises_8pt(jax.tree.map(lambda x: x.astype(solve_dtype),
                                     refined.sections), refined.sect_id,
                        F1[..., 0], F1[..., 1], F1[..., 2],
                        F1[..., 3], F1[..., 4], F1[..., 5])
     util = vm / case.fy
-
-    # ---- reactions from the condensed interface system (exact) ----
-    R = U_I @ K_I.T - F_cond_flat                          # [S, 6 nc]
     reac = R[:, fixed].reshape(n_steps, -1, 6)
 
     crit = jnp.argmax(jnp.max(util, axis=1))
@@ -1643,6 +1657,146 @@ def _sea_scan_prepared_jit(prep, sea, case, ts, n_gauss, refine_steps,
                                -prep.KT[:, :6, :], prep.fac, prep.dfac,
                                prep.K_I, F_I_nodes.astype(solve_dtype),
                                g.astype(solve_dtype), mb.total_morison)
+
+
+def spectral_response_prepared(prep: CondensedPrepared, sea, case: LoadCase,
+                               T_storm_s: float = 3.0 * 3600.0,
+                               exposure_years: float = 1.0,
+                               curve: str = "D-sea-cp", scf=1.0,
+                               occurrence: float = 1.0, n_gauss: int = 15,
+                               refine_steps: int = 1, current_alpha=None):
+    """FREQUENCY-DOMAIN stochastic response of one sea state — closed-form
+    statistics instead of a time march.
+
+    Borgman-linearized Morison drag (see :mod:`.ops.freqdomain`) makes each
+    of the sea's N spectral components excite the structure LINEARLY, so
+    2N+1 condensed multi-RHS solves (mean + cos/sin per component — the
+    same device program as a (2N+1)-step :func:`phase_scan_prepared`)
+    characterize the full response process: per-member stress std devs and
+    spectral moments, mean-upcrossing rates, narrow-band + Wirsching-Light
+    fatigue damage, and most-probable-maximum storm extremes
+    (:class:`.ops.freqdomain.FreqDomainResponse`).
+
+    Complements :func:`sea_scan_prepared` (time domain): the frequency
+    domain is exact in the inertia-dominated limit and ~100x cheaper per
+    sea state (no realization length to converge), the time domain carries
+    the full drag nonlinearity and intermittent wetting.  Agreement between
+    the two is itself a model check (``tests/test_freqdomain.py``).
+
+    ``T_storm_s``: storm duration for the MPM extremes (default 3 h).
+    ``exposure_years`` x ``occurrence``: fatigue exposure, as in
+    :func:`.ops.spectrum.spectral_fatigue_screen`.  ``scf``: scalar or
+    per-refined-member [Mr] stress concentration factors.
+
+    Wind, topside loads, self-weight and buoyancy are STATIC and enter the
+    mean row only; the component rows carry pure wave loading.
+    """
+    from .ops.freqdomain import spectral_stats
+
+    tr = spectral_transfer_prepared(prep, sea, case, n_gauss=n_gauss,
+                                    refine_steps=refine_steps,
+                                    current_alpha=current_alpha)
+    solve_dtype = prep.K_I.dtype
+    return spectral_stats(
+        tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
+        tr.U_mean, tr.U_cos, tr.U_sin, tr.totals,
+        jnp.asarray(case.fy, solve_dtype),
+        jnp.asarray(T_storm_s, solve_dtype),
+        jnp.asarray(exposure_years, solve_dtype), curve=curve,
+        scf=jnp.asarray(scf, solve_dtype),
+        occurrence=jnp.asarray(occurrence, solve_dtype),
+        sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean)
+
+
+class FreqTransfer(NamedTuple):
+    """Per-spectral-component transfer rows of a prepared condensed model.
+
+    The raw output of the 2N+1 linearized solves: the response to
+    component i is ``X_cos[i] cos(w_i t) + X_sin[i] sin(w_i t)`` about
+    ``X_mean`` (which carries all static loading).  Feed to
+    :func:`.ops.freqdomain.spectral_stats` (what
+    :func:`spectral_response_prepared` does) or post-process directly —
+    e.g. response spectra S_r(w_i) = (X_cos^2 + X_sin^2) / (2 dw).
+    """
+
+    omega: jnp.ndarray        # [N] component frequencies (rad/s)
+    U_mean: jnp.ndarray       # [n_dof] chain-layout displacements (mm)
+    U_cos: jnp.ndarray        # [N, n_dof]
+    U_sin: jnp.ndarray        # [N, n_dof]
+    stress_mean: jnp.ndarray  # [Mr, 8] normal stress at the 8 points (MPa)
+    stress_cos: jnp.ndarray   # [N, Mr, 8]
+    stress_sin: jnp.ndarray   # [N, Mr, 8]
+    totals: jnp.ndarray       # [2N+1, 3] global hydro force rows (N)
+    sigma_v_max: jnp.ndarray  # linearization diagnostics
+    c_lin_mean: jnp.ndarray
+
+
+def spectral_transfer_prepared(prep: CondensedPrepared, sea,
+                               case: LoadCase, n_gauss: int = 15,
+                               refine_steps: int = 1,
+                               current_alpha=None) -> FreqTransfer:
+    """The 2N+1 Borgman-linearized transfer solves (see
+    :func:`spectral_response_prepared`), returning the raw per-component
+    response rows for custom post-processing."""
+    _check_no_slam(case, "spectral_transfer_prepared")
+    solve_dtype = prep.K_I.dtype
+    return _spectral_transfer_jit(prep, sea, case.cast(solve_dtype),
+                                  n_gauss, refine_steps, current_alpha)
+
+
+@partial(jax.jit, static_argnames=("n_gauss", "refine_steps",
+                                   "current_alpha"))
+def _spectral_transfer_jit(prep, sea, case, n_gauss, refine_steps,
+                           current_alpha):
+    from .ops.freqdomain import linearized_sea_loads
+    from .ops.sections import normal_stress_8pt
+
+    with jax.default_matmul_precision("highest"):
+        coarse, refined = prep.coarse, prep.refined
+        solve_dtype = prep.K_I.dtype
+        ldtype = refined.coords.dtype
+        case_l = case.cast(ldtype)
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            refined, case_l.marine_growth_mm, case_l.Cd, case_l.Cm)
+        lin = linearized_sea_loads(sea, refined.coords, conn_h, D_m,
+                                   case_l.wave_dir_deg,
+                                   case_l.current_dir_deg, Cd_h, Cm_h,
+                                   case_l.rho_water, n_gauss=n_gauss,
+                                   current_alpha=current_alpha)
+        L_m = prep.L_m.astype(ldtype)
+        # mean row: full case (statics + wind + linearized current drag)
+        F_I_m, g_m = _chain_layout_loads(coarse, refined, case_l,
+                                         lin.F1[:1], lin.F2[:1],
+                                         L_m, prep.n_seg)
+        # component rows: pure wave loading (statics stripped)
+        zero = jnp.zeros_like(case_l.F_axial_kN)
+        case_dyn = dataclasses.replace(
+            case_l, F_axial_kN=zero, F_shear_kN=zero, M_moment_kNm=zero,
+            M_torsion_kNm=zero, custom_sw_tonnes=zero, sw_mode="none",
+            buoyancy="none", wind_speed_ms=0.0)
+        F_I_d, g_d = _chain_layout_loads(coarse, refined, case_dyn,
+                                         lin.F1[1:], lin.F2[1:],
+                                         L_m, prep.n_seg)
+        F_I = jnp.concatenate([F_I_m, F_I_d]).astype(solve_dtype)
+        g = jnp.concatenate([g_m, g_d]).astype(solve_dtype)
+
+        U, F1e, _ = _condensed_rows(coarse, prep.n_seg, prep.chain_solver,
+                                    solve_dtype, refine_steps,
+                                    prep.ks_nodes, prep.Kg,
+                                    -prep.KT[:, :6, :], prep.fac,
+                                    prep.dfac, prep.K_I, F_I, g)
+
+        sec64 = jax.tree.map(lambda x: x.astype(solve_dtype),
+                             refined.sections)
+        s8 = normal_stress_8pt(sec64, refined.sect_id,
+                               F1e[..., 0], F1e[..., 4], F1e[..., 5])
+        N = sea.omega.shape[0]
+        return FreqTransfer(
+            omega=sea.omega.astype(solve_dtype), U_mean=U[0],
+            U_cos=U[1:1 + N], U_sin=U[1 + N:], stress_mean=s8[0],
+            stress_cos=s8[1:1 + N], stress_sin=s8[1 + N:],
+            totals=lin.totals.astype(solve_dtype),
+            sigma_v_max=lin.sigma_v_max, c_lin_mean=lin.c_lin_mean)
 
 
 class ScatterFatigue(NamedTuple):

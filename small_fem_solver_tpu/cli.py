@@ -584,6 +584,61 @@ def cmd_fatigue(args):
               "the exposure!")
 
 
+def cmd_spectral(args):
+    """Frequency-domain stochastic response: Borgman-linearized transfer
+    solves -> stress std devs, closed-form fatigue, MPM storm extremes."""
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+    from .ops.spectrum import make_random_sea
+
+    model, _wave, case = _setup(args)
+    hs = args.hs if args.hs is not None else args.H
+    tp = args.tp if args.tp is not None else args.T
+    sea = make_random_sea(hs, tp, args.d, n_components=args.components,
+                          seed=args.seed, spectrum=args.spectrum,
+                          U_c=args.Uc, spreading_s=args.spreading_s)
+    n_seg = max(args.refine, 2)
+    refined = sf.refine_model(model, n_seg)
+    with _cpu_if_f64(args):
+        prep = sf.prepare_condensed(model, refined, n_seg,
+                                    E=case.E, nu=case.nu)
+        res = sf.spectral_response_prepared(
+            prep, sea, case, T_storm_s=args.storm_hours * 3600.0,
+            exposure_years=args.years, curve=args.curve, scf=args.scf,
+            occurrence=args.occurrence)
+    sig = np.asarray(res.sigma_stress)
+    order = np.argsort(sig)[::-1][:10]
+    names = refined.member_names
+    print(f"frequency-domain response: {args.spectrum.upper()} Hs={hs} m "
+          f"Tp={tp} s, {args.components} components "
+          f"(Borgman-linearized drag; sigma_v max "
+          f"{float(res.sigma_v_max):.2f} m/s)")
+    print(f"  base shear: mean {float(res.mean_base_shear_N)/1e3:.0f} kN, "
+          f"sigma {float(res.sigma_base_shear_N)/1e3:.0f} kN")
+    print(f"  displacement: sigma {float(res.sigma_disp_mm):.1f} mm, "
+          f"{args.storm_hours:.0f}-h MPM {float(res.mpm_disp_mm):.1f} mm")
+    print(f"  {'Member':<24} {'sigma':>7} {'nu0 Hz':>7} {'alpha2':>6} "
+          f"{'MPM util':>8} {'D n-band':>10} {'D W-L':>10} {'Life [y]':>9}")
+    nu0 = np.asarray(res.nu0_hz)
+    a2 = np.asarray(res.bandwidth_alpha2)
+    mu = np.asarray(res.mpm_utilization)
+    dnb = np.asarray(res.damage_nb)
+    dwl = np.asarray(res.damage_wl)
+    life = np.asarray(res.life_years_wl)
+    for e in order:
+        lf = f"{life[e]:.0f}" if np.isfinite(life[e]) else "inf"
+        print(f"  {names[e]:<24} {sig[e]:>7.1f} {nu0[e]:>7.3f} "
+              f"{a2[e]:>6.2f} {mu[e]:>8.3f} {dnb[e]:>10.3e} "
+              f"{dwl[e]:>10.3e} {lf:>9}")
+    if dnb.max() > 1.0:
+        print("  WARNING: Miner damage > 1 — fatigue life shorter than "
+              "the exposure!")
+    if mu.max() > 1.0:
+        print("  WARNING: MPM utilization > 1 — extreme-response yield "
+              "check fails!")
+
+
 def cmd_buckling(args):
     """Member Euler screen + linearized global buckling factors."""
     import numpy as np
@@ -1379,6 +1434,31 @@ def main(argv=None):
                          "damage accumulates over the states (uses "
                          "--refine, min 2)")
     fa.set_defaults(fn=cmd_fatigue)
+
+    sp = sub.add_parser("spectral",
+                        help="frequency-domain stochastic response: "
+                             "linearized transfer, closed-form fatigue + "
+                             "MPM extremes (no time march)")
+    _add_common(sp)
+    sp.add_argument("--years", type=float, default=25.0)
+    sp.add_argument("--curve", default="D-sea-cp",
+                    help="S-N curve: D, D-sea-cp, F")
+    sp.add_argument("--scf", type=float, default=1.5)
+    sp.add_argument("--occurrence", type=float, default=1.0)
+    sp.add_argument("--refine", type=int, default=2,
+                    help="chain refinement (condensed solve; min 2)")
+    sp.add_argument("--spectrum", choices=["jonswap", "pm"],
+                    default="jonswap")
+    sp.add_argument("--hs", type=float, default=None,
+                    help="significant wave height [m] (default: -H)")
+    sp.add_argument("--tp", type=float, default=None,
+                    help="peak period [s] (default: -T)")
+    sp.add_argument("--components", type=int, default=48)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--spreading-s", type=float, default=None)
+    sp.add_argument("--storm-hours", type=float, default=3.0,
+                    help="storm duration for the MPM extremes")
+    sp.set_defaults(fn=cmd_spectral)
 
     co = sub.add_parser("contour",
                         help="N-year IFORM environmental contour from a "

@@ -401,18 +401,32 @@ def morison_phase_batch(
         Cd, Cm, rho_water, ts, n_gauss, current_alpha, stretching)
 
 
-def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
-                        wave_dir_deg, current_dir_deg, Cd, Cm, rho_water,
-                        ts, n_gauss, current_alpha, stretching,
-                        rel_dir_deg=None):
-    """Shared separable-matmul Morison engine over ARBITRARY mode sets.
+class _ModeCoeffs(NamedTuple):
+    """Spatial per-mode coefficient matrices + quadrature geometry, shared
+    by the separable time-batch engine (:func:`_morison_batch_core`) and
+    the frequency-domain linearized path (:mod:`.freqdomain`)."""
 
-    ``kv``/``wv``/``phiv``/``E``/``U`` are per-mode [N] wavenumbers,
-    angular frequencies, phase offsets, surface and velocity coefficients:
-    a steady wave passes harmonics of one fundamental (kv = j k, wv = j
-    omega, phiv = 0 — :func:`morison_phase_batch`), an irregular sea passes
-    independent spectral components (:func:`.spectrum.morison_sea_batch`).
-    Either way the phase axis is the same one [S, N] x [N, P] matmul.
+    Acat: jnp.ndarray   # [F, P, N] cos(w t) field rows
+    Bcat: jnp.ndarray   # [F, P, N] sin(w t) field rows
+    #   row order: eta, u_x, u_y, w, du_x, du_y, dw (+ 12 Wheeler rows)
+    x: jnp.ndarray      # [P] quadrature-point coordinates (m)
+    y: jnp.ndarray
+    z: jnp.ndarray
+    e: jnp.ndarray      # [M, 3] member unit vectors
+    L: jnp.ndarray      # [M] member lengths (m)
+    s: jnp.ndarray      # [Q] Gauss abscissae on [0, 1]
+    w: jnp.ndarray      # [Q] Gauss weights (sum 1)
+    cos_c: jnp.ndarray  # current heading factors
+    sin_c: jnp.ndarray
+    M: int
+    Q: int
+
+
+def _mode_spatial_coeffs(kv, wv, phiv, E, U, d, coords, conn,
+                         wave_dir_deg, current_dir_deg, n_gauss,
+                         stretching, rel_dir_deg) -> _ModeCoeffs:
+    """Per-mode spatial harmonic factors at every Gauss point — the
+    mode-set-independent half of the separable Morison engine.
 
     ``rel_dir_deg`` ([N], degrees) gives each mode its OWN heading relative
     to ``wave_dir_deg`` — short-crested (directionally spread) seas.  The
@@ -499,6 +513,31 @@ def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
 
     Acat = jnp.stack(As, axis=0)                           # [F, P, N]
     Bcat = jnp.stack(Bs, axis=0)
+    return _ModeCoeffs(Acat=Acat, Bcat=Bcat, x=x, y=y, z=z, e=e, L=L,
+                       s=s, w=w, cos_c=cos_c, sin_c=sin_c, M=M, Q=Q)
+
+
+def _morison_batch_core(kv, wv, phiv, E, U, d, U_c, coords, conn, D_m,
+                        wave_dir_deg, current_dir_deg, Cd, Cm, rho_water,
+                        ts, n_gauss, current_alpha, stretching,
+                        rel_dir_deg=None):
+    """Shared separable-matmul Morison engine over ARBITRARY mode sets.
+
+    ``kv``/``wv``/``phiv``/``E``/``U`` are per-mode [N] wavenumbers,
+    angular frequencies, phase offsets, surface and velocity coefficients:
+    a steady wave passes harmonics of one fundamental (kv = j k, wv = j
+    omega, phiv = 0 — :func:`morison_phase_batch`), an irregular sea passes
+    independent spectral components (:func:`.spectrum.morison_sea_batch`).
+    Either way the phase axis is the same one [S, N] x [N, P] matmul.
+    """
+    dtype = coords.dtype
+    mc = _mode_spatial_coeffs(kv, wv, phiv, E, U, d, coords, conn,
+                              wave_dir_deg, current_dir_deg, n_gauss,
+                              stretching, rel_dir_deg)
+    Acat, Bcat = mc.Acat, mc.Bcat
+    x, y, z, e, L, s, w = mc.x, mc.y, mc.z, mc.e, mc.L, mc.s, mc.w
+    cos_c, sin_c, M, Q = mc.cos_c, mc.sin_c, mc.M, mc.Q
+    jw = wv
 
     ct = jnp.cos(jw * ts[:, None].astype(dtype))           # [S, N]
     st = jnp.sin(jw * ts[:, None].astype(dtype))

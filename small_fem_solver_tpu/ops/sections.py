@@ -95,6 +95,26 @@ def stress_point_offsets(R_outer):
     return R * jnp.cos(ang), R * jnp.sin(ang)
 
 
+def normal_stress_8pt(sec: TubeSections, sect_id, Fx, My, Mz):
+    """Axial + bending NORMAL stress at the 8 circumferential points.
+
+    The linear-in-forces part of :func:`von_mises_8pt` (sigma = Fx/Ax +
+    My z/Iy + Mz y/Iz), kept separate because frequency-domain response
+    statistics need a LINEAR stress operator: the spectral moments of
+    sigma(point) follow exactly from per-mode force coefficients, whereas
+    the von Mises composition (sqrt of squares) does not superpose.  This
+    is also the hot-spot stress convention of tubular-joint fatigue (SCFs
+    multiply the nominal axial+bending stress, DNV RP-C203 practice);
+    shear/torsion are excluded by convention there.
+
+    Inputs ``[... , M]`` (N, N*mm); output ``[..., M, 8]`` in MPa.
+    """
+    y, z = stress_point_offsets(sec.R_outer[sect_id])
+    return ((Fx / sec.Ax[sect_id])[..., None]
+            + (My / sec.Iy[sect_id])[..., None] * z
+            + (Mz / sec.Iz[sect_id])[..., None] * y)
+
+
 def von_mises_8pt(sec: TubeSections, sect_id, Fx, Fy, Fz, Mx, My, Mz):
     """Max von Mises stress over the 8 circumferential points, batched.
 

@@ -1,0 +1,150 @@
+"""Frequency-domain (Borgman-linearized) stochastic response validation.
+
+Strategy: the linearization is EXACT when Cd = 0 (pure inertia loading is
+linear in the component amplitudes) and both paths share the same wetting
+convention on a fully submerged structure — there the frequency-domain
+reconstruction must match the time-domain solve at solver precision.  With
+drag on, the linearized statistics must bracket long time-domain
+realizations within the documented tolerance band.  Closed-form scalings
+(SCF ~ S^m, spreading reduces in-line variance, Wirsching-Light <=
+narrow-band) pin the statistics layer.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import small_fem_solver_tpu as sf
+
+DEPTH = 50.0
+
+
+def submerged_frame(dtype=jnp.float64):
+    """A fully submerged moment frame (every node below z = -20 m): the
+    mean-wetted-surface convention of the frequency domain coincides with
+    the time domain's instantaneous wetting, so Cd=0 comparisons are exact."""
+    nodes = {}
+    for i, (x, y) in enumerate([(-8, -8), (8, -8), (8, 8), (-8, 8)]):
+        nodes[f"B{i}"] = (float(x), float(y), -45.0)
+        nodes[f"T{i}"] = (float(x * 0.7), float(y * 0.7), -25.0)
+    members = []
+    for i in range(4):
+        members.append(dict(name=f"L{i}", node1=f"B{i}", node2=f"T{i}",
+                            type="leg"))
+        members.append(dict(name=f"H{i}", node1=f"T{i}",
+                            node2=f"T{(i + 1) % 4}", type="horizontal"))
+    return sf.build_model(nodes, members,
+                          fixed_nodes=[f"B{i}" for i in range(4)],
+                          top_nodes=[f"T{i}" for i in range(4)],
+                          dtype=dtype)
+
+
+@pytest.fixture(scope="module")
+def frame_prep():
+    model = submerged_frame()
+    refined = sf.refine_model(model, 4)
+    return sf.prepare_condensed(model, refined, 4)
+
+
+CASE_KW = dict(wave_dir_deg=20.0, current_dir_deg=20.0, F_axial_kN=800.0,
+               F_shear_kN=60.0, custom_sw_tonnes=40.0, sw_mode="custom")
+
+
+def test_cd0_reconstruction_exact(frame_prep):
+    """Cd=0: mean + sum of cos/sin transfer rows IS the time-domain solve."""
+    sea = sf.make_random_sea(4.0, 9.0, DEPTH, n_components=12, seed=3)
+    case = sf.LoadCase(Cd=0.0, **CASE_KW)
+    tr = sf.spectral_transfer_prepared(frame_prep, sea, case)
+    ts = jnp.asarray([0.0, 1.3, 4.7, 8.2])
+    td = sf.sea_scan_prepared(frame_prep, sea, case, ts)
+
+    ct = jnp.cos(sea.omega[None, :] * ts[:, None])         # [S, N]
+    st = jnp.sin(sea.omega[None, :] * ts[:, None])
+    U_fd = (tr.U_mean[None] + jnp.einsum("sn,nd->sd", ct, tr.U_cos)
+            + jnp.einsum("sn,nd->sd", st, tr.U_sin))
+    scale = jnp.max(jnp.abs(td.U))
+    assert scale > 0.1                                     # mm: real response
+    assert float(jnp.max(jnp.abs(U_fd - td.U)) / scale) < 1e-9
+
+
+def test_drag_statistics_bracket_time_domain(frame_prep):
+    """Cd on: linearized sigma of displacement + base shear within the
+    documented band of a long time-domain realization."""
+    sea = sf.make_random_sea(5.0, 8.0, DEPTH, n_components=16, seed=7)
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    tr = sf.spectral_transfer_prepared(frame_prep, sea, case)
+
+    Tp = 8.0
+    S = 1200
+    ts = jnp.linspace(0.0, 75.0 * Tp, S, endpoint=False)
+    td = sf.sea_scan_prepared(frame_prep, sea, case, ts)
+
+    # displacement std: compare the 10 largest-variance DOFs
+    sig_td = jnp.std(td.U, axis=0)
+    sig_fd = jnp.sqrt(0.5 * jnp.sum(tr.U_cos**2 + tr.U_sin**2, axis=0))
+    top = jnp.argsort(-sig_td)[:10]
+    ratio = sig_fd[top] / sig_td[top]
+    assert float(jnp.min(ratio)) > 0.75 and float(jnp.max(ratio)) < 1.3
+
+    # base shear std along the wave direction
+    N = sea.omega.shape[0]
+    tc, tsn = tr.totals[1:1 + N], tr.totals[1 + N:]
+    sig_fx_fd = jnp.sqrt(0.5 * jnp.sum(tc[:, 0]**2 + tsn[:, 0]**2))
+    sig_fx_td = jnp.std(td.total_morison[:, 0])
+    r = float(sig_fx_fd / sig_fx_td)
+    assert 0.75 < r < 1.3
+
+
+def test_scf_and_curve_scalings(frame_prep):
+    """Closed-form scalings of the statistics layer: damage ~ scf^m (m=3),
+    Wirsching-Light <= narrow-band, alpha2 in [0, 1]."""
+    sea = sf.make_random_sea(5.0, 8.0, DEPTH, n_components=12, seed=5)
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    r1 = sf.spectral_response_prepared(frame_prep, sea, case)
+    r2 = sf.spectral_response_prepared(frame_prep, sea, case, scf=2.0)
+    live = np.asarray(r1.damage_nb) > 0
+    assert live.any()
+    np.testing.assert_allclose(np.asarray(r2.damage_nb)[live],
+                               8.0 * np.asarray(r1.damage_nb)[live],
+                               rtol=1e-9)
+    assert np.all(np.asarray(r1.damage_wl) <= np.asarray(r1.damage_nb)
+                  * (1 + 1e-12))
+    a2 = np.asarray(r1.bandwidth_alpha2)
+    assert np.all((a2 >= 0) & (a2 <= 1.0 + 1e-12))
+    # MPM grows with storm duration
+    r3 = sf.spectral_response_prepared(frame_prep, sea, case,
+                                       T_storm_s=12 * 3600.0)
+    g = live & (np.asarray(r1.sigma_stress) > 1e-6)
+    assert np.all(np.asarray(r3.mpm_stress)[g]
+                  > np.asarray(r1.mpm_stress)[g])
+
+
+def test_spreading_reduces_inline_variance(frame_prep):
+    """A short-crested sea (cos^2s spreading) sheds in-line base-shear
+    variance relative to the unidirectional one."""
+    case = sf.LoadCase(Cd=0.9, wave_dir_deg=0.0, current_dir_deg=0.0,
+                       F_axial_kN=800.0, custom_sw_tonnes=40.0,
+                       sw_mode="custom")
+
+    def sig_fx(sea):
+        tr = sf.spectral_transfer_prepared(frame_prep, sea, case)
+        N = sea.omega.shape[0]
+        tc, tsn = tr.totals[1:1 + N], tr.totals[1 + N:]
+        return float(jnp.sqrt(0.5 * jnp.sum(tc[:, 1]**2 + tsn[:, 1]**2)))
+
+    # wave_dir 0 deg = from North: in-line horizontal axis is y
+    uni = sig_fx(sf.make_random_sea(5.0, 8.0, DEPTH, n_components=16,
+                                    seed=11))
+    spread = sig_fx(sf.make_random_sea(5.0, 8.0, DEPTH, n_components=16,
+                                       seed=11, spreading_s=2.0))
+    assert spread < uni
+
+
+def test_validation_errors(frame_prep):
+    sea = sf.make_random_sea(4.0, 9.0, DEPTH, n_components=8, seed=1)
+    with pytest.raises(ValueError, match="slam"):
+        sf.spectral_response_prepared(
+            frame_prep, sea, sf.LoadCase(slam_cs=3.14, **CASE_KW))
+    with pytest.raises(ValueError, match="S-N curve"):
+        sf.spectral_response_prepared(frame_prep, sea,
+                                      sf.LoadCase(**CASE_KW),
+                                      curve="nope")

@@ -220,6 +220,25 @@ def test_cli_spectral_fatigue_refined(capsys):
     assert "spectral fatigue screen: PM" in out
 
 
+def test_cli_spectral_response(capsys):
+    """'spectral' runs the frequency-domain (linearized) response and
+    prints extremes + both closed-form damage estimates."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "spectral", "--hs", "9.0", "--tp", "11.0",
+                    "--components", "16", "--refine", "2",
+                    "--storm-hours", "6"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "frequency-domain response: JONSWAP" in out
+    assert "MPM util" in out and "D W-L" in out
+    assert "base shear" in out
+
+
 def test_cli_scatter_fatigue(capsys):
     """'fatigue --scatter' accumulates damage over a JSON scatter diagram."""
     import sys
