@@ -17,6 +17,7 @@ from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   phase_scan_prepared, prepare_condensed,
                   scatter_fatigue, sea_response_batch, sea_scan_prepared,
                   spectral_response_prepared, spectral_transfer_prepared,
+                  spectral_response_dynamic, spectral_transfer_dynamic,
                   FreqTransfer)
 from .constants import (DEFAULT_E, DEFAULT_FY, DEFAULT_NU, DEFAULT_RHO_STEEL,
                         DEFAULT_RHO_WATER, G_GRAV)

@@ -148,3 +148,127 @@ def test_validation_errors(frame_prep):
         sf.spectral_response_prepared(frame_prep, sea,
                                       sf.LoadCase(**CASE_KW),
                                       curve="nope")
+
+
+# --------------------------------------------------------------- dynamic
+# spectral_transfer_dynamic: inertia + damping on the Craig-Bampton basis.
+
+
+def test_dynamic_quasistatic_limit(frame_prep):
+    """w -> 0 with ALL chain modes retained: the modal superposition is the
+    exact static solve of the same model, so the dynamic transfer must
+    recover the quasi-static one at solver precision."""
+    import dataclasses as dc
+    sea = sf.make_random_sea(4.0, 9.0, DEPTH, n_components=10, seed=3)
+    sea_lo = dc.replace(sea, omega=sea.omega * 1e-4)
+    case = sf.LoadCase(Cd=0.8, **CASE_KW)
+    tr_s = sf.spectral_transfer_prepared(frame_prep, sea_lo, case)
+    # n_seg=4 -> 18 interior DOFs per chain; 18 modes = exact CB reduction
+    tr_d = sf.spectral_transfer_dynamic(
+        frame_prep.coarse, frame_prep.refined, frame_prep.n_seg, sea_lo,
+        case, n_chain_modes=18)
+    for a, b in [(tr_s.U_mean, tr_d.U_mean), (tr_s.U_cos, tr_d.U_cos),
+                 (tr_s.U_sin, tr_d.U_sin)]:
+        scale = float(jnp.max(jnp.abs(a)))
+        assert scale > 0
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-6
+
+
+def test_dynamic_matches_complex_harmonic_solver():
+    """Regular wave, Cd=0, damping='rayleigh': the modal path must agree
+    with the complex harmonic solver (dynamic_response_condensed) — the
+    Rayleigh C diagonalizes exactly in the modal basis, so with all chain
+    modes retained the two solve the SAME reduced system."""
+    model = submerged_frame()
+    refined = sf.refine_model(model, 2)
+    H, T = 3.0, 7.0
+    wave = sf.airy_wave(H, T, DEPTH)
+    w0 = float(wave.omega)
+    sea1 = sf.make_random_sea(np.sqrt(2.0) * H, T, DEPTH, n_components=1,
+                              omega_range=(0.99 * w0, 1.01 * w0))
+    assert abs(float(sea1.omega[0]) - w0) < 1e-12
+    assert abs(float(sea1.a[0]) - H / 2.0) < 1e-12
+    case = sf.LoadCase(Cd=0.0, **CASE_KW)
+    zeta = 0.03
+    hr = sf.dynamic_response_condensed(model, refined, 2, wave, case,
+                                       damping_ratio=zeta, n_steps=64,
+                                       n_chain_modes=6)
+    tr = sf.spectral_transfer_dynamic(model, refined, 2, sea1, case,
+                                      damping="rayleigh",
+                                      damping_ratio=zeta, n_chain_modes=6)
+    sig_fd = jnp.sqrt(0.5 * (tr.U_cos[0] ** 2 + tr.U_sin[0] ** 2))
+    sig_td = jnp.std(hr.U_time, axis=0)
+    top = jnp.argsort(-sig_td)[:12]
+    np.testing.assert_allclose(np.asarray(sig_fd[top]),
+                               np.asarray(sig_td[top]), rtol=1e-6)
+
+
+def test_dynamic_resonance_amplification():
+    """A narrow sea band centered on the (mass-loaded) first natural
+    frequency: dynamic response must exceed quasi-static by a factor
+    approaching 1/(2 zeta); off-band it stays near 1."""
+    model = submerged_frame()
+    refined = sf.refine_model(model, 2)
+    case = sf.LoadCase(Cd=0.0, wave_dir_deg=20.0, current_dir_deg=20.0,
+                       F_axial_kN=800.0, custom_sw_tonnes=40000.0,
+                       sw_mode="custom")
+    modal = sf.modal_analysis_condensed(model, refined, 2,
+                                        topside_mass_t=40000.0,
+                                        n_chain_modes=6)
+    w1 = float(modal.omega[0])
+    assert 0.2 < w1 < 3.0  # inside the gravity-wave band by construction
+    Tp = 2.0 * np.pi / w1
+    sea = sf.make_random_sea(2.0, Tp, DEPTH, n_components=9,
+                             omega_range=(0.97 * w1, 1.03 * w1), seed=2)
+    prep = sf.prepare_condensed(model, refined, 2)
+    tr_s = sf.spectral_transfer_prepared(prep, sea, case)
+    zeta = 0.02
+    tr_d = sf.spectral_transfer_dynamic(model, refined, 2, sea, case,
+                                        damping_ratio=zeta,
+                                        n_chain_modes=6)
+
+    def sig(tr):
+        return float(jnp.max(jnp.sqrt(
+            0.5 * jnp.sum(tr.U_cos**2 + tr.U_sin**2, axis=0))))
+
+    amp = sig(tr_d) / sig(tr_s)
+    assert 3.0 < amp < 1.0 / (2.0 * zeta) * 1.1
+
+
+def test_dynamic_validation_errors():
+    model = submerged_frame()
+    refined = sf.refine_model(model, 2)
+    sea = sf.make_random_sea(4.0, 9.0, DEPTH, n_components=4, seed=1)
+    with pytest.raises(ValueError, match="damping must be"):
+        sf.spectral_transfer_dynamic(model, refined, 2, sea,
+                                     sf.LoadCase(**CASE_KW),
+                                     damping="viscous")
+    with pytest.raises(ValueError, match="damping_ratio"):
+        sf.spectral_transfer_dynamic(model, refined, 2, sea,
+                                     sf.LoadCase(**CASE_KW),
+                                     damping_ratio=1.5)
+
+
+def test_dynamic_response_statistics():
+    """spectral_response_dynamic: damage >= the quasi-static screen when
+    the sea band overlaps the first mode (resonant energy amplified)."""
+    model = submerged_frame()
+    refined = sf.refine_model(model, 2)
+    case = sf.LoadCase(Cd=0.6, wave_dir_deg=20.0, current_dir_deg=20.0,
+                       F_axial_kN=800.0, custom_sw_tonnes=40000.0,
+                       sw_mode="custom")
+    modal = sf.modal_analysis_condensed(model, refined, 2,
+                                        topside_mass_t=40000.0,
+                                        n_chain_modes=6)
+    w1 = float(modal.omega[0])
+    Tp = 2.0 * np.pi / w1
+    sea = sf.make_random_sea(3.0, Tp, DEPTH, n_components=12,
+                             omega_range=(0.8 * w1, 1.2 * w1), seed=4)
+    prep = sf.prepare_condensed(model, refined, 2)
+    r_s = sf.spectral_response_prepared(prep, sea, case)
+    r_d = sf.spectral_response_dynamic(model, refined, 2, sea, case,
+                                       n_chain_modes=6)
+    ds, dd = np.asarray(r_s.damage_nb), np.asarray(r_d.damage_nb)
+    live = ds > 1e-12
+    assert live.any()
+    assert np.median(dd[live] / ds[live]) > 2.0
