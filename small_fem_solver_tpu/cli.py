@@ -592,26 +592,40 @@ def cmd_spectral(args):
     import small_fem_solver_tpu as sf
     from .ops.spectrum import make_random_sea
 
-    model, _wave, case = _setup(args)
     hs = args.hs if args.hs is not None else args.H
     tp = args.tp if args.tp is not None else args.T
-    sea = make_random_sea(hs, tp, args.d, n_components=args.components,
-                          seed=args.seed, spectrum=args.spectrum,
-                          U_c=args.Uc, spreading_s=args.spreading_s)
-    n_seg = max(args.refine, 2)
-    refined = sf.refine_model(model, n_seg)
+    # enter the device context BEFORE building arrays: model/sea tensors
+    # created on the accelerator drag every host eigensolve op through
+    # per-op transfers (see cmd_modes)
     with _cpu_if_f64(args):
-        prep = sf.prepare_condensed(model, refined, n_seg,
-                                    E=case.E, nu=case.nu)
-        res = sf.spectral_response_prepared(
-            prep, sea, case, T_storm_s=args.storm_hours * 3600.0,
-            exposure_years=args.years, curve=args.curve, scf=args.scf,
-            occurrence=args.occurrence)
+        model, _wave, case = _setup(args)
+        sea = make_random_sea(hs, tp, args.d, n_components=args.components,
+                              seed=args.seed, spectrum=args.spectrum,
+                              U_c=args.Uc, spreading_s=args.spreading_s)
+        n_seg = max(args.refine, 2)
+        refined = sf.refine_model(model, n_seg)
+        if args.dynamic:
+            res = sf.spectral_response_dynamic(
+                model, refined, n_seg, sea, case,
+                damping_ratio=args.damping,
+                T_storm_s=args.storm_hours * 3600.0,
+                exposure_years=args.years, curve=args.curve, scf=args.scf,
+                occurrence=args.occurrence,
+                n_chain_modes=args.chain_modes)
+        else:
+            prep = sf.prepare_condensed(model, refined, n_seg,
+                                        E=case.E, nu=case.nu)
+            res = sf.spectral_response_prepared(
+                prep, sea, case, T_storm_s=args.storm_hours * 3600.0,
+                exposure_years=args.years, curve=args.curve, scf=args.scf,
+                occurrence=args.occurrence)
     sig = np.asarray(res.sigma_stress)
     order = np.argsort(sig)[::-1][:10]
     names = refined.member_names
+    kind = (f"dynamic CB transfer, zeta={args.damping}" if args.dynamic
+            else "quasi-static")
     print(f"frequency-domain response: {args.spectrum.upper()} Hs={hs} m "
-          f"Tp={tp} s, {args.components} components "
+          f"Tp={tp} s, {args.components} components, {kind} "
           f"(Borgman-linearized drag; sigma_v max "
           f"{float(res.sigma_v_max):.2f} m/s)")
     print(f"  base shear: mean {float(res.mean_base_shear_N)/1e3:.0f} kN, "
@@ -1458,6 +1472,15 @@ def main(argv=None):
     sp.add_argument("--spreading-s", type=float, default=None)
     sp.add_argument("--storm-hours", type=float, default=3.0,
                     help="storm duration for the MPM extremes")
+    sp.add_argument("--dynamic", action="store_true",
+                    help="dynamic transfer on the Craig-Bampton basis "
+                         "(inertia + damping; resonance-band energy "
+                         "amplified) instead of quasi-static solves")
+    sp.add_argument("--damping", type=float, default=0.02,
+                    help="modal damping ratio for --dynamic")
+    sp.add_argument("--chain-modes", type=int, default=12,
+                    help="retained fixed-interface modes per chain "
+                         "for --dynamic")
     sp.set_defaults(fn=cmd_spectral)
 
     co = sub.add_parser("contour",

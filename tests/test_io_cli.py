@@ -239,6 +239,23 @@ def test_cli_spectral_response(capsys):
     assert "base shear" in out
 
 
+def test_cli_spectral_response_dynamic(capsys):
+    """'spectral --dynamic' routes through the CB dynamic transfer."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "spectral", "--hs", "9.0", "--tp", "11.0",
+                    "--components", "12", "--refine", "2", "--dynamic",
+                    "--damping", "0.03"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "dynamic CB transfer, zeta=0.03" in out
+    assert "MPM util" in out and "base shear" in out
+
+
 def test_cli_scatter_fatigue(capsys):
     """'fatigue --scatter' accumulates damage over a JSON scatter diagram."""
     import sys
