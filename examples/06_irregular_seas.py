@@ -68,3 +68,31 @@ print(f"transient (Newmark, CB basis): omega_1 = {float(res.omega1):.2f} "
       f"rad/s; max tip displacement "
       f"{float(np.max(np.asarray(res.tip_displacement_mm))):.1f} mm over "
       f"{res.ts.shape[0]} steps")
+
+# -- frequency domain: the same answers with NO time march ---------------
+# 2N+1 Borgman-linearized transfer solves characterize the whole response
+# process; closed-form narrow-band / Wirsching-Light damage + MPM extremes.
+fd = sf.spectral_response_prepared(prep, sea, case, exposure_years=25.0,
+                                   curve="D-sea-cp", scf=2.0,
+                                   occurrence=0.05)
+gf = int(np.argmax(np.asarray(fd.damage_wl)))
+print(f"frequency domain (quasi-static): governing "
+      f"{refined.member_names[gf]}: sigma "
+      f"{float(fd.sigma_stress[gf]):.1f} MPa, damage W-L "
+      f"{float(fd.damage_wl[gf]):.2e}, 3-h MPM displacement "
+      f"{float(fd.mpm_disp_mm):.1f} mm")
+
+# -- and with DYNAMIC transfer on the Craig-Bampton basis ----------------
+# each component amplified by its own modal transfer (resonance-band
+# energy, mode-acceleration formulation); the default jacket is stiff
+# (T1 ~ 0.6 s << Tp) so the ratio stays ~1 — soft-structure cases
+# (natural periods inside the wave band) are where this matters.
+fdd = sf.spectral_response_dynamic(coarse, refined, n_seg, sea, case,
+                                   damping_ratio=0.02, exposure_years=25.0,
+                                   curve="D-sea-cp", scf=2.0,
+                                   occurrence=0.05)
+num = np.asarray(fdd.damage_wl)[gf]
+den = max(float(fd.damage_wl[gf]), 1e-300)
+print(f"frequency domain (dynamic CB transfer): damage ratio vs "
+      f"quasi-static at the governing member {num/den:.3f} "
+      f"(stiff structure: ~1 expected)")

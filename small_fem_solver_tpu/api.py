@@ -1811,7 +1811,8 @@ def spectral_response_dynamic(coarse, refined, n_seg: int, sea,
                               topside_mass_t: float | None = None,
                               support_stiffness=None,
                               added_mass_Ca=None,
-                              n_gauss: int = 15, current_alpha=None):
+                              n_gauss: int = 15, current_alpha=None,
+                              prep: "CondensedPrepared | None" = None):
     """DYNAMIC frequency-domain stochastic response: the quasi-static
     transfer of :func:`spectral_response_prepared` upgraded with inertia
     and damping on the Craig-Bampton reduced basis.
@@ -1834,7 +1835,7 @@ def spectral_response_dynamic(coarse, refined, n_seg: int, sea,
         damping=damping, n_chain_modes=n_chain_modes,
         topside_mass_t=topside_mass_t, support_stiffness=support_stiffness,
         added_mass_Ca=added_mass_Ca, n_gauss=n_gauss,
-        current_alpha=current_alpha)
+        current_alpha=current_alpha, prep=prep)
     solve_dtype = tr.U_mean.dtype
     return spectral_stats(
         tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
@@ -1856,25 +1857,36 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
                               support_stiffness=None,
                               added_mass_Ca=None,
                               n_gauss: int = 15,
-                              current_alpha=None) -> FreqTransfer:
-    """Per-component DYNAMIC transfer rows on the Craig-Bampton basis.
+                              current_alpha=None,
+                              prep: "CondensedPrepared | None" = None
+                              ) -> FreqTransfer:
+    """Per-component DYNAMIC transfer rows, mode-acceleration formulation.
 
     Mechanics (all REAL arithmetic — complex solves are unimplemented on
     this TPU backend, and none are needed):
 
-    1. Borgman-linearized per-mode load rows on the full refined mesh
+    1. The EXACT quasi-static transfer rows from the full condensed
+       system (:func:`spectral_transfer_prepared`; ``prep`` is built
+       internally when not supplied).
+    2. Borgman-linearized per-mode load rows on the full refined mesh
        (:func:`.ops.freqdomain.linearized_sea_loads`), projected to the
-       reduced space with the work-conjugate CB transformation — the same
-       projection as :func:`.ops.dynamics.transient_response_condensed`.
-    2. ONE full eigendecomposition of the reduced (K, M) (a few hundred
-       DOFs regardless of refinement). Keeping ALL reduced modes makes the
-       modal superposition EXACT for the reduced model — equivalent to the
-       2x2-real-block harmonic solve, at a fraction of the cost.
+       Craig-Bampton reduced space with the work-conjugate transformation —
+       the same projection as
+       :func:`.ops.dynamics.transient_response_condensed` — and ONE full
+       eigendecomposition of the reduced (K, M) (a few hundred DOFs
+       regardless of refinement).
     3. Closed-form modal amplification per (mode j, component i):
        with d = w_j^2 - w_i^2, c = c_j w_i, det = d^2 + c^2:
        q_cos = (d f_cos - c f_sin)/det, q_sin = (c f_cos + d f_sin)/det.
        At w_i = w_j this is the textbook 1/(2 zeta) resonance peak.
-    4. Expansion + stress recovery exactly as the quasi-static path.
+    4. MODE ACCELERATION: the dynamic rows are the exact static rows plus
+       the expanded modal CORRECTION q(w) - q(0).  CB truncation therefore
+       only touches the resonant correction, never the static content —
+       with pure mode displacement, 12 retained chain modes carry up to
+       ~2% mid-chain stress-sigma error under distributed wave loading at
+       n_seg=8 (measured on the default jacket; 42 modes = exact); with
+       the split that error is identically zero off resonance.
+    5. Stress recovery exactly as the quasi-static path.
 
     ``damping``: 'modal' (default) applies the SAME ratio to every reduced
     mode (c_j = 2 zeta w_j — the standard choice for spectral fatigue;
@@ -1884,9 +1896,10 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
     cross-validation.
 
     The w -> 0 limit recovers :func:`spectral_transfer_prepared` exactly
-    (with all chain modes retained); ``tests/test_freqdomain.py`` pins
-    both that limit and the regular-wave cross-check against the complex
-    harmonic solver.
+    (for ANY retained-mode count — the correction vanishes identically);
+    ``tests/test_freqdomain.py`` pins that limit, the regular-wave
+    cross-check against the complex harmonic solver, and the truncation
+    robustness off resonance.
     """
     from .ops.dynamics import _cb_expand, _cb_reduce
     from .ops.freqdomain import linearized_sea_loads
@@ -1903,6 +1916,13 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
     case = case.cast(dtype)
     if topside_mass_t is None:
         topside_mass_t = float(case.custom_sw_tonnes)
+    if prep is None:
+        prep = prepare_condensed(coarse, refined, n_seg, E=float(case.E),
+                                 nu=float(case.nu),
+                                 support_stiffness=support_stiffness)
+    # exact static transfer rows on the FULL condensed system
+    tr_s = spectral_transfer_prepared(prep, sea, case, n_gauss=n_gauss,
+                                      current_alpha=current_alpha)
     cb = _cb_reduce(coarse, refined, n_seg, float(case.E), float(case.nu),
                     topside_mass_t, n_chain_modes,
                     support_stiffness=support_stiffness,
@@ -1978,13 +1998,19 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
         det = d_**2 + cw**2
         qc = (d_ * fc - cw * fs) / det
         qs = (cw * fc + d_ * fs) / det
-        Xc = qc @ phi.T
-        Xs = qs @ phi.T
-        X_mean = jnp.linalg.solve(K_ff, F_f[0])        # statics: exact
+        # mode acceleration: subtract each mode's STATIC response, keep
+        # only the dynamic correction (vanishes identically at w -> 0);
+        # the static content comes exactly from the condensed solve above
+        w2s = jnp.maximum(w2n, jnp.asarray(1e-30, dtype))
+        Xc = (qc - fc / w2s) @ phi.T
+        Xs = (qs - fs / w2s) @ phi.T
 
-        X = jnp.concatenate([X_mean[None], Xc, Xs])
+        X = jnp.concatenate([jnp.zeros((1, Xc.shape[1]), dtype), Xc, Xs])
         U_red = jnp.zeros((R, cb.n_red), dtype).at[:, cb.free].set(X)
         U = _cb_expand(cb, U_red)                      # [R, n_dof_ref]
+        U_static = jnp.concatenate([tr_s.U_mean[None], tr_s.U_cos,
+                                    tr_s.U_sin]).astype(dtype)
+        U = U + U_static
 
         KT6 = -matmul12(cb.K_local, cb.T)[:, :6, :]
         edofs = jnp.concatenate(

@@ -27,7 +27,9 @@ def _result_registry():
     from ..ops.codecheck_iso import ISOCheck
     from ..ops.dynamics import (HarmonicResponse, ModalResults,
                                 TransientResponse)
+    from ..api import FreqTransfer
     from ..ops.fatigue import FatigueScreen
+    from ..ops.freqdomain import FreqDomainResponse
     from ..ops.morison import MorisonLoads, MorisonPhaseBatch
     from ..ops.pushover import PushoverResults
     from ..ops.robustness import RemovalScreen
@@ -39,7 +41,8 @@ def _result_registry():
                MorisonPhaseBatch, TransientResponse, FatigueScreen,
                SpectralFatigue, ScatterFatigue, PushoverResults,
                SpectrumResults, RemovalScreen, BucklingResults,
-               EulerScreen, CodeCheck, ISOCheck, VIVScreen]
+               EulerScreen, CodeCheck, ISOCheck, VIVScreen,
+               FreqTransfer, FreqDomainResponse]
     return {c.__name__: c for c in classes}
 
 # nested NamedTuple fields: (class name, field) -> nested class name

@@ -163,10 +163,10 @@ def test_dynamic_quasistatic_limit(frame_prep):
     sea_lo = dc.replace(sea, omega=sea.omega * 1e-4)
     case = sf.LoadCase(Cd=0.8, **CASE_KW)
     tr_s = sf.spectral_transfer_prepared(frame_prep, sea_lo, case)
-    # n_seg=4 -> 18 interior DOFs per chain; 18 modes = exact CB reduction
+    # mode acceleration: the limit is exact for ANY retained-mode count
     tr_d = sf.spectral_transfer_dynamic(
         frame_prep.coarse, frame_prep.refined, frame_prep.n_seg, sea_lo,
-        case, n_chain_modes=18)
+        case, n_chain_modes=4, prep=frame_prep)
     for a, b in [(tr_s.U_mean, tr_d.U_mean), (tr_s.U_cos, tr_d.U_cos),
                  (tr_s.U_sin, tr_d.U_sin)]:
         scale = float(jnp.max(jnp.abs(a)))
@@ -272,3 +272,31 @@ def test_dynamic_response_statistics():
     live = ds > 1e-12
     assert live.any()
     assert np.median(dd[live] / ds[live]) > 2.0
+
+
+def test_dynamic_truncation_robust_off_resonance():
+    """Mode acceleration keeps CB truncation out of the static content:
+    stiff default jacket, n_seg=8, DEFAULT 12 retained chain modes (of 42
+    interior DOFs per chain).  Pure mode displacement carries up to ~2%
+    mid-chain stress-sigma error here (measured); with the static-
+    correction split the dynamic transfer must sit ON the quasi-static
+    one off resonance."""
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 8)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    sea = sf.make_random_sea(9.0, 9.4, 50.0, n_components=16, seed=0)
+    prep = sf.prepare_condensed(coarse, refined, 8)
+    tr_s = sf.spectral_transfer_prepared(prep, sea, case)
+    tr_d = sf.spectral_transfer_dynamic(coarse, refined, 8, sea, case,
+                                        prep=prep)  # default 12 modes
+    sig_s = np.asarray(jnp.sqrt(0.5 * jnp.sum(
+        tr_s.stress_cos**2 + tr_s.stress_sin**2, axis=0)))
+    sig_d = np.asarray(jnp.sqrt(0.5 * jnp.sum(
+        tr_d.stress_cos**2 + tr_d.stress_sin**2, axis=0)))
+    live = sig_s.max(axis=-1) > 0.05 * sig_s.max()
+    r = sig_d.max(axis=-1)[live] / sig_s.max(axis=-1)[live]
+    # stiff structure (T1 ~ 0.61 s << Tz ~ 8 s): transfer ~ quasi-static
+    assert 0.98 < np.median(r) < 1.02
+    assert np.all(r > 0.93) and np.all(r < 1.07)

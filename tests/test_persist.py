@@ -203,3 +203,25 @@ def test_new_result_types_roundtrip(tmp_path):
                 np.testing.assert_allclose(
                     arr.astype(np.float64),
                     np.asarray(b).astype(np.float64), rtol=1e-12)
+
+
+def test_freqdomain_roundtrip(tmp_path):
+    """Frequency-domain pytrees (transfer rows + statistics) round-trip."""
+    model = sf.default_3leg_jacket()
+    refined = sf.refine_model(model, 2)
+    prep = sf.prepare_condensed(model, refined, 2)
+    sea = sf.make_random_sea(6.0, 9.0, 50.0, n_components=6, seed=2)
+    tr = sf.spectral_transfer_prepared(prep, sea, _case())
+    st = sf.spectral_response_dynamic(model, refined, 2, sea, _case(),
+                                      n_chain_modes=4)
+    for name, r in {"transfer": tr, "stats": st}.items():
+        p = tmp_path / f"{name}.npz"
+        sf.save_results(p, r)
+        back = sf.load_results(p)
+        assert type(back).__name__ == type(r).__name__
+        for a, b in zip(r, back):
+            if a is None or isinstance(a, (str, tuple, list)):
+                continue
+            np.testing.assert_allclose(np.asarray(a, dtype=np.float64),
+                                       np.asarray(b, dtype=np.float64),
+                                       rtol=1e-12)
