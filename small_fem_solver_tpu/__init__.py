@@ -15,7 +15,9 @@ from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   design_envelope, design_envelope_condensed,
                   analyze_prepared, phase_scan_condensed,
                   phase_scan_prepared, prepare_condensed,
-                  scatter_fatigue, sea_response_batch, sea_scan_prepared,
+                  scatter_fatigue, scatter_fatigue_spectral,
+                  ScatterFatigueSpectral,
+                  sea_response_batch, sea_scan_prepared,
                   spectral_response_prepared, spectral_transfer_prepared,
                   spectral_response_dynamic, spectral_transfer_dynamic,
                   FreqTransfer)

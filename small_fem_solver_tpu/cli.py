@@ -481,31 +481,52 @@ def cmd_fatigue(args):
         with _cpu_if_f64(args):
             prep = sf.prepare_condensed(model, refined_s, n_seg,
                                         E=case.E, nu=case.nu)
-            res = sf.scatter_fatigue(
-                prep, case, states, d=args.d,
-                exposure_years=args.years, curve=args.curve, scf=args.scf,
-                n_components=args.components, n_steps=args.sea_steps,
-                seed=args.seed, U_c=args.Uc,
-                spectrum=args.spectrum or "jonswap",
-                stretching=args.stretching)
-        d_rf = np.asarray(res.damage_rainflow)
-        d_nb = np.asarray(res.damage_rayleigh)
-        life = np.asarray(res.life_years_rainflow)
-        order = np.argsort(d_rf)[::-1][:10]
-        occ = sum(o for _, _, o in res.states)
-        print(f"scatter-diagram fatigue: {len(res.states)} sea states "
-              f"({occ:.0%} of the {args.years:.0f} y exposure), curve "
-              f"{args.curve}, SCF {args.scf}")
-        for Hs, Tp, o in res.states:
-            print(f"  state Hs={Hs} m Tp={Tp} s occurrence={o:.0%}")
-        print(f"  {'Member':<24} {'D rainflow':>11} {'D rayleigh':>11} "
-              f"{'Life [y]':>9}")
+            if args.freq_domain:
+                res = sf.scatter_fatigue_spectral(
+                    prep, case, states, d=args.d,
+                    exposure_years=args.years, curve=args.curve,
+                    scf=args.scf, n_components=args.components,
+                    seed=args.seed, U_c=args.Uc,
+                    spectrum=args.spectrum or "jonswap",
+                    dynamic=args.dynamic, damping_ratio=args.damping,
+                    n_chain_modes=args.chain_modes)
+                d_a = np.asarray(res.damage_wl)
+                d_b = np.asarray(res.damage_nb)
+                life = np.asarray(res.life_years_wl)
+                col_a, col_b = "D W-L", "D n-band"
+                kind = ("frequency-domain "
+                        + ("DYNAMIC (CB)" if args.dynamic
+                           else "quasi-static"))
+            else:
+                res = sf.scatter_fatigue(
+                    prep, case, states, d=args.d,
+                    exposure_years=args.years, curve=args.curve,
+                    scf=args.scf, n_components=args.components,
+                    n_steps=args.sea_steps, seed=args.seed, U_c=args.Uc,
+                    spectrum=args.spectrum or "jonswap",
+                    stretching=args.stretching)
+                d_a = np.asarray(res.damage_rainflow)
+                d_b = np.asarray(res.damage_rayleigh)
+                life = np.asarray(res.life_years_rainflow)
+                col_a, col_b = "D rainflow", "D rayleigh"
+                kind = "time-domain"
+        order = np.argsort(d_a)[::-1][:10]
+        occ = sum(r[2] for r in res.states)
+        print(f"scatter-diagram fatigue ({kind}): {len(res.states)} sea "
+              f"states ({occ:.0%} of the {args.years:.0f} y exposure), "
+              f"curve {args.curve}, SCF {args.scf}")
+        for r in res.states:
+            line = f"  state Hs={r[0]} m Tp={r[1]} s occurrence={r[2]:.0%}"
+            if len(r) == 4:
+                line += f" heading={r[3]:.0f} deg"
+            print(line)
+        print(f"  {'Member':<24} {col_a:>11} {col_b:>11} {'Life [y]':>9}")
         names = refined_s.member_names
         for e in order:
             lf = f"{life[e]:.0f}" if np.isfinite(life[e]) else "inf"
-            print(f"  {names[e]:<24} {d_rf[e]:>11.3e} {d_nb[e]:>11.3e} "
+            print(f"  {names[e]:<24} {d_a[e]:>11.3e} {d_b[e]:>11.3e} "
                   f"{lf:>9}")
-        if max(d_rf.max(), d_nb.max()) > 1.0:
+        if max(d_a.max(), d_b.max()) > 1.0:
             print("  WARNING: Miner damage > 1 — fatigue life shorter than "
                   "the exposure!")
         return
@@ -1447,6 +1468,18 @@ def main(argv=None):
                          "rows (4th column = per-state wave heading); "
                          "damage accumulates over the states (uses "
                          "--refine, min 2)")
+    fa.add_argument("--freq-domain", action="store_true",
+                    help="with --scatter: closed-form frequency-domain "
+                         "damage per state (Borgman-linearized transfer; "
+                         "no time march, deterministic)")
+    fa.add_argument("--dynamic", action="store_true",
+                    help="with --freq-domain: dynamic transfer on the "
+                         "Craig-Bampton basis (resonance-band energy)")
+    fa.add_argument("--damping", type=float, default=0.02,
+                    help="modal damping ratio for --dynamic")
+    fa.add_argument("--chain-modes", type=int, default=12,
+                    help="retained fixed-interface modes per chain "
+                         "for --dynamic")
     fa.set_defaults(fn=cmd_fatigue)
 
     sp = sub.add_parser("spectral",

@@ -300,3 +300,86 @@ def test_dynamic_truncation_robust_off_resonance():
     # stiff structure (T1 ~ 0.61 s << Tz ~ 8 s): transfer ~ quasi-static
     assert 0.98 < np.median(r) < 1.02
     assert np.all(r > 0.93) and np.all(r < 1.07)
+
+
+# ------------------------------------------------- scatter (long-term) FD
+
+
+def test_scatter_spectral_matches_single_state(frame_prep):
+    """One 3-col state == spectral_response_prepared at that occurrence;
+    Miner accumulation over two states is exactly linear."""
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    A, B = (4.0, 8.0, 0.3), (7.0, 10.0, 0.1)
+    rA = sf.scatter_fatigue_spectral(frame_prep, case, [A], DEPTH,
+                                     exposure_years=20.0, seed=0,
+                                     n_components=12)
+    seaA = sf.make_random_sea(A[0], A[1], DEPTH, n_components=12, seed=0)
+    ref = sf.spectral_response_prepared(frame_prep, seaA, case,
+                                        exposure_years=20.0,
+                                        occurrence=A[2])
+    np.testing.assert_allclose(np.asarray(rA.damage_wl),
+                               np.asarray(ref.damage_wl), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(rA.mpm_utilization),
+                               np.asarray(ref.mpm_utilization), rtol=1e-9)
+
+    rB = sf.scatter_fatigue_spectral(frame_prep, case, [B], DEPTH,
+                                     exposure_years=20.0, seed=1,
+                                     n_components=12)
+    rAB = sf.scatter_fatigue_spectral(frame_prep, case, [A, B], DEPTH,
+                                      exposure_years=20.0, seed=0,
+                                      n_components=12)
+    np.testing.assert_allclose(
+        np.asarray(rAB.damage_nb),
+        np.asarray(rA.damage_nb) + np.asarray(rB.damage_nb), rtol=1e-12)
+    assert rAB.per_state_wl.shape[0] == 2
+    # life is the exposure over the summed damage
+    live = np.asarray(rAB.damage_wl) > 0
+    np.testing.assert_allclose(
+        np.asarray(rAB.life_years_wl)[live],
+        20.0 / np.asarray(rAB.damage_wl)[live], rtol=1e-12)
+
+
+def test_scatter_spectral_dynamic_and_heading(frame_prep):
+    """dynamic=True routes through the CB transfer (== the single-state
+    dynamic response); a 4th heading column rotates the loading."""
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    st = (5.0, 8.0, 0.2)
+    r_d = sf.scatter_fatigue_spectral(frame_prep, case, [st], DEPTH,
+                                      exposure_years=10.0, seed=3,
+                                      n_components=10, dynamic=True,
+                                      n_chain_modes=6)
+    sea = sf.make_random_sea(st[0], st[1], DEPTH, n_components=10, seed=3)
+    ref = sf.spectral_response_dynamic(
+        frame_prep.coarse, frame_prep.refined, frame_prep.n_seg, sea, case,
+        exposure_years=10.0, occurrence=st[2], n_chain_modes=6,
+        prep=frame_prep)
+    np.testing.assert_allclose(np.asarray(r_d.damage_wl),
+                               np.asarray(ref.damage_wl), rtol=1e-9)
+
+    r0 = sf.scatter_fatigue_spectral(frame_prep, case, [st + (20.0,)],
+                                     DEPTH, exposure_years=10.0, seed=3,
+                                     n_components=10)
+    r90 = sf.scatter_fatigue_spectral(frame_prep, case, [st + (110.0,)],
+                                      DEPTH, exposure_years=10.0, seed=3,
+                                      n_components=10)
+    # heading == the case's own heading reproduces the 3-col row
+    r3 = sf.scatter_fatigue_spectral(frame_prep, case, [st], DEPTH,
+                                     exposure_years=10.0, seed=3,
+                                     n_components=10)
+    np.testing.assert_allclose(np.asarray(r0.damage_wl),
+                               np.asarray(r3.damage_wl), rtol=1e-9)
+    a, b = np.asarray(r0.damage_wl), np.asarray(r90.damage_wl)
+    live = (a > 1e-30) & (b > 1e-30)
+    assert live.any()
+    assert float(np.max(np.abs(np.log(b[live] / a[live])))) > 0.5
+
+
+def test_scatter_spectral_validation(frame_prep):
+    case = sf.LoadCase(**CASE_KW)
+    with pytest.raises(ValueError, match="occurrences sum"):
+        sf.scatter_fatigue_spectral(frame_prep, case,
+                                    [(4, 8, 0.7), (6, 9, 0.6)], DEPTH, 1.0)
+    with pytest.raises(ValueError, match="scatter rows"):
+        sf.scatter_fatigue_spectral(frame_prep, case, [(4, 8)], DEPTH, 1.0)
+    with pytest.raises(ValueError, match="at least one"):
+        sf.scatter_fatigue_spectral(frame_prep, case, [], DEPTH, 1.0)

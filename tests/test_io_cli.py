@@ -270,7 +270,7 @@ def test_cli_scatter_fatigue(capsys):
     finally:
         sys.argv = argv
     out = capsys.readouterr().out
-    assert "scatter-diagram fatigue: 2 sea states" in out
+    assert "scatter-diagram fatigue (time-domain): 2 sea states" in out
     assert "state Hs=4.0" in out and "state Hs=8.0" in out
     assert "D rainflow" in out
 
@@ -326,3 +326,24 @@ def test_plot_mode_and_pushover(tmp_path):
     p2 = tmp_path / "pushover.png"
     plot_pushover(res, str(p2))
     assert p2.exists() and p2.stat().st_size > 10_000
+
+
+def test_cli_scatter_fatigue_freq_domain(capsys):
+    """'fatigue --scatter --freq-domain' (closed-form, no time march);
+    a 4-column heading row prints its heading (regression: the summary
+    used to crash unpacking 4-tuples)."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "fatigue",
+                    "--scatter", '[[4.0, 8.0, 0.4], [7.0, 9.4, 0.1, 120.0]]',
+                    "--components", "10", "--refine", "2",
+                    "--freq-domain", "--dynamic"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "frequency-domain DYNAMIC (CB)" in out
+    assert "heading=120 deg" in out
+    assert "D W-L" in out
