@@ -2166,8 +2166,8 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
                              topside_mass_t: float | None = None,
                              added_mass_Ca=None,
                              support_stiffness=None,
-                             storm_hours: float = 3.0
-                             ) -> ScatterFatigueSpectral:
+                             storm_hours: float = 3.0,
+                             mesh=None) -> ScatterFatigueSpectral:
     """Long-term fatigue over an (Hs, Tp, occurrence[, heading]) scatter
     diagram in the FREQUENCY domain — the industry-standard spectral
     fatigue recipe, with no time marching at all.
@@ -2189,6 +2189,15 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
     case's heading; a 4th column sets the state's wave heading [deg from
     North] with the current rotating alongside.  Occurrences must sum
     to <= 1.
+
+    On the quasi-static route the whole diagram is ONE device program —
+    the states stream through ``lax.map`` (per-call dispatch paid once,
+    one-state memory footprint) — and with ``mesh`` (a 1-D device mesh,
+    axis 'cases', same convention as :func:`design_envelope`) the state
+    axis is partitioned over the mesh: replicated factor, zero-occurrence
+    padding to a device multiple, no cross-device communication (damage
+    accumulation is a host-side occurrence-weighted sum).  ``dynamic=True``
+    keeps the host loop (the CB reduction is cached across states).
     """
     from .ops.freqdomain import spectral_stats
 
@@ -2203,10 +2212,61 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
     if total_occ > 1.0 + 1e-9:
         raise ValueError(
             f"scatter-diagram occurrences sum to {total_occ:.3f} > 1")
+    _check_no_slam(case, "scatter_fatigue_spectral")
     from .ops.spectrum import make_random_sea
 
     rel_dir = case.current_dir_deg - case.wave_dir_deg
     solve_dtype = prep.K_I.dtype
+
+    if not dynamic:
+        # ---- batched route: the whole diagram is one device program ----
+        ldtype = prep.refined.coords.dtype
+        seas = [make_random_sea(r[0], r[1], d, n_components=n_components,
+                                seed=seed + i, spectrum=spectrum, U_c=U_c,
+                                spreading_s=spreading_s, dtype=ldtype)
+                for i, r in enumerate(states)]
+        heads = np.array([r[3] if len(r) == 4
+                          else float(np.asarray(case.wave_dir_deg))
+                          for r in states], np.float64)
+        occs = np.array([r[2] for r in states], np.float64)
+        B = len(states)
+        n_pad = 0
+        if mesh is not None:
+            n_pad = (-B) % mesh.size
+            seas += [seas[-1]] * n_pad
+            heads = np.concatenate([heads, np.repeat(heads[-1:], n_pad)])
+            occs = np.concatenate([occs, np.zeros(n_pad)])
+        sea_b = jax.tree.map(lambda *xs: jnp.stack(xs), *seas)
+        heads_j = jnp.asarray(heads, solve_dtype)
+        occs_j = jnp.asarray(occs, solve_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            cs = NamedSharding(mesh, P("cases"))
+            sea_b = jax.device_put(sea_b, cs)
+            heads_j = jax.device_put(heads_j, cs)
+            occs_j = jax.device_put(occs_j, cs)
+            nb, wl, mu = _scatter_spectral_sharded(
+                prep, case, sea_b, heads_j, occs_j, mesh, n_gauss,
+                current_alpha, curve, float(exposure_years),
+                float(storm_hours), scf)
+        else:
+            nb, wl, mu = _scatter_spectral_batched(
+                prep, case, sea_b, heads_j, occs_j, n_gauss,
+                current_alpha, curve, float(exposure_years),
+                float(storm_hours), scf)
+        nb = np.asarray(nb)[:B]
+        wl = np.asarray(wl)[:B]
+        mu = np.asarray(mu)[:B]
+        d_nb, d_wl = nb.sum(axis=0), wl.sum(axis=0)
+        with np.errstate(divide="ignore"):
+            life_nb = np.where(d_nb > 0, exposure_years / d_nb, np.inf)
+            life_wl = np.where(d_wl > 0, exposure_years / d_wl, np.inf)
+        return ScatterFatigueSpectral(
+            damage_nb=jnp.asarray(d_nb), damage_wl=jnp.asarray(d_wl),
+            life_years_nb=jnp.asarray(life_nb),
+            life_years_wl=jnp.asarray(life_wl), per_state_wl=wl,
+            mpm_utilization=jnp.asarray(mu.max(axis=0)), states=states)
+
     d_nb = d_wl = mpm_u = None
     per_state = []
     for i, row in enumerate(states):
@@ -2219,18 +2279,13 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
                               seed=seed + i, spectrum=spectrum, U_c=U_c,
                               spreading_s=spreading_s,
                               dtype=prep.refined.coords.dtype)
-        if dynamic:
-            tr = spectral_transfer_dynamic(
-                prep.coarse, prep.refined, prep.n_seg, sea, case_i,
-                damping_ratio=damping_ratio, damping=damping,
-                n_chain_modes=n_chain_modes, topside_mass_t=topside_mass_t,
-                support_stiffness=support_stiffness,
-                added_mass_Ca=added_mass_Ca, n_gauss=n_gauss,
-                current_alpha=current_alpha, prep=prep)
-        else:
-            tr = spectral_transfer_prepared(prep, sea, case_i,
-                                            n_gauss=n_gauss,
-                                            current_alpha=current_alpha)
+        tr = spectral_transfer_dynamic(
+            prep.coarse, prep.refined, prep.n_seg, sea, case_i,
+            damping_ratio=damping_ratio, damping=damping,
+            n_chain_modes=n_chain_modes, topside_mass_t=topside_mass_t,
+            support_stiffness=support_stiffness,
+            added_mass_Ca=added_mass_Ca, n_gauss=n_gauss,
+            current_alpha=current_alpha, prep=prep)
         st = spectral_stats(
             tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
             tr.U_mean, tr.U_cos, tr.U_sin, tr.totals,
@@ -2256,6 +2311,67 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
         life_years_wl=jnp.asarray(life_wl),
         per_state_wl=np.stack(per_state),
         mpm_utilization=jnp.asarray(mpm_u), states=states)
+
+
+def _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha, curve,
+                             exposure_years, storm_hours, scf):
+    """Per-state kernel shared by the batched and mesh-sharded scatter
+    routes: quasi-static transfer rows -> closed-form statistics."""
+    from .ops.freqdomain import spectral_stats
+
+    solve_dtype = prep.K_I.dtype
+    case_s = case.cast(solve_dtype)
+    rel = case_s.current_dir_deg - case_s.wave_dir_deg
+
+    def one(args):
+        sea, head, occ = args
+        case_i = dataclasses.replace(case_s, wave_dir_deg=head,
+                                     current_dir_deg=head + rel)
+        tr = _spectral_transfer_jit(prep, sea, case_i, n_gauss, 1,
+                                    current_alpha)
+        st = spectral_stats(
+            tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
+            tr.U_mean, tr.U_cos, tr.U_sin, tr.totals,
+            jnp.asarray(case_s.fy, solve_dtype),
+            jnp.asarray(storm_hours * 3600.0, solve_dtype),
+            jnp.asarray(exposure_years, solve_dtype), curve=curve,
+            scf=jnp.asarray(scf, solve_dtype), occurrence=occ,
+            sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean)
+        return st.damage_nb, st.damage_wl, st.mpm_utilization
+
+    return one
+
+
+@partial(jax.jit, static_argnames=("n_gauss", "current_alpha", "curve",
+                                   "exposure_years", "storm_hours"))
+def _scatter_spectral_batched(prep, case, sea_b, heads, occs, n_gauss,
+                              current_alpha, curve, exposure_years,
+                              storm_hours, scf):
+    """One device program for the whole scatter diagram: states stream
+    through ``lax.map`` (single-state memory, dispatch floor paid once)."""
+    one = _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha,
+                                   curve, exposure_years, storm_hours, scf)
+    with jax.default_matmul_precision("highest"):
+        return jax.lax.map(one, (sea_b, heads, occs))
+
+
+def _scatter_spectral_sharded(prep, case, sea_b, heads, occs, mesh, n_gauss,
+                              current_alpha, curve, exposure_years,
+                              storm_hours, scf):
+    """State axis partitioned over the 1-D device mesh (axis 'cases'):
+    replicated factor, each device streams its local block, no cross-
+    device communication (accumulation happens host-side)."""
+    from jax.sharding import PartitionSpec as P
+
+    one = _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha,
+                                   curve, exposure_years, storm_hours, scf)
+    with jax.default_matmul_precision("highest"):
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P("cases"),),
+                 out_specs=(P("cases"), P("cases"), P("cases")))
+        def local(batch):
+            return jax.lax.map(one, batch)
+
+        return local((sea_b, heads, occs))
 
 
 def sea_response_batch(model: JacketModel, sea, case: LoadCase, ts,

@@ -383,3 +383,23 @@ def test_scatter_spectral_validation(frame_prep):
         sf.scatter_fatigue_spectral(frame_prep, case, [(4, 8)], DEPTH, 1.0)
     with pytest.raises(ValueError, match="at least one"):
         sf.scatter_fatigue_spectral(frame_prep, case, [], DEPTH, 1.0)
+
+
+def test_scatter_spectral_sharded_matches_unsharded(frame_prep):
+    """mesh= partitions the state axis over the device mesh; padding to a
+    device multiple (zero occurrence) must not change any result."""
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()), ("cases",))
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    states = [(4.0, 8.0, 0.2), (6.5, 9.5, 0.1, 60.0), (8.0, 11.0, 0.05)]
+    r1 = sf.scatter_fatigue_spectral(frame_prep, case, states, DEPTH,
+                                     exposure_years=25.0, n_components=8)
+    r2 = sf.scatter_fatigue_spectral(frame_prep, case, states, DEPTH,
+                                     exposure_years=25.0, n_components=8,
+                                     mesh=mesh)
+    assert r2.per_state_wl.shape == r1.per_state_wl.shape  # padding stripped
+    for f in ("damage_nb", "damage_wl", "mpm_utilization"):
+        np.testing.assert_allclose(np.asarray(getattr(r2, f)),
+                                   np.asarray(getattr(r1, f)),
+                                   rtol=1e-12, atol=1e-300)
