@@ -832,6 +832,9 @@ class JacketGUI:
         ttk.Button(btns, text="Damage Screen",
                    command=self.show_damage_screen).pack(side=tk.LEFT,
                                                          padx=4)
+        ttk.Button(btns, text="Spectral Fatigue",
+                   command=self.show_spectral_fatigue).pack(side=tk.LEFT,
+                                                            padx=4)
         ttk.Button(btns, text="Export CSV...",
                    command=self.export_csv).pack(side=tk.LEFT, padx=4)
         self.results_text = tk.Text(f, font=("Consolas", 9))
@@ -896,6 +899,59 @@ class JacketGUI:
             flag = "  << CRITICAL" if crit[m] else ""
             self.results_text.insert(tk.END, (
                 f"{names[m]:<26}{state:>20}{names[int(gov[m])]:>22}{flag}\n"))
+
+    def show_spectral_fatigue(self):
+        """Frequency-domain fatigue screen of the sea state BEHIND the
+        design wave (beyond the reference: one deterministic wave is all
+        it can express).  The design wave height maps to Hs = H / 1.86
+        (the customary extreme-wave ratio), Tp = T; 25-year exposure on
+        the D-seawater-CP curve with SCF 1.5, closed-form Wirsching-Light
+        damage — no time march."""
+        if self.analysis_results is None:
+            messagebox.showwarning("Warning", "Run analysis first!")
+            return
+        from .api import (prepare_condensed, spectral_response_prepared)
+        from .models.model import refine_model
+        from .ops.spectrum import make_random_sea
+        self.results_text.delete("1.0", tk.END)
+        try:
+            model = self.analysis_model
+            wave, case = self.analysis_wave, self.analysis_case
+            Hs = float(np.asarray(wave.H)) / 1.86
+            Tp = float(np.asarray(wave.T))
+            sea = make_random_sea(Hs, Tp, float(np.asarray(wave.d)),
+                                  n_components=32,
+                                  U_c=float(np.asarray(wave.U_c)),
+                                  dtype=model.coords.dtype)
+            refined = refine_model(model, 2)
+            prep = prepare_condensed(model, refined, 2, E=float(case.E),
+                                     nu=float(case.nu))
+            res = spectral_response_prepared(prep, sea, case,
+                                             exposure_years=25.0,
+                                             curve="D-sea-cp", scf=1.5)
+        except Exception as e:
+            messagebox.showerror("Error", str(e))
+            return
+        sig = np.asarray(res.sigma_stress)
+        dwl = np.asarray(res.damage_wl)
+        life = np.asarray(res.life_years_wl)
+        names = refined.member_names
+        self.results_text.insert(tk.END, (
+            "FREQUENCY-DOMAIN SPECTRAL FATIGUE SCREEN\n"
+            f"JONSWAP Hs={Hs:.2f} m (design H/1.86), Tp={Tp:.1f} s, "
+            "32 components; 25 y exposure, curve D-sea-cp, SCF 1.5\n"
+            f"sigma displacement {float(res.sigma_disp_mm):.1f} mm, "
+            f"3-h MPM {float(res.mpm_disp_mm):.1f} mm\n\n"
+            f"{'Member':<26}{'sigma MPa':>10}{'D (W-L)':>12}"
+            f"{'Life [y]':>10}\n"))
+        for e in np.argsort(dwl)[::-1][:20]:
+            lf = f"{life[e]:.0f}" if np.isfinite(life[e]) else "inf"
+            self.results_text.insert(tk.END, (
+                f"{names[e]:<26}{sig[e]:>10.1f}{dwl[e]:>12.3e}{lf:>10}\n"))
+        if dwl.max() > 1.0:
+            self.results_text.insert(
+                tk.END, "\nWARNING: Miner damage > 1 under this sea state "
+                        "climate assumption!\n")
 
     def plot_results(self):
         if self.analysis_results is None:

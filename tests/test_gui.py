@@ -117,3 +117,41 @@ def test_update_3d_preview_headless_noop():
         update_3d_preview = gui.JacketGUI.update_3d_preview
 
     Stub().update_3d_preview()  # no _preview_canvas attr -> returns quietly
+
+
+def test_spectral_fatigue_handler_headless():
+    """The Results-tab spectral fatigue screen, driven without Tk."""
+    import small_fem_solver_tpu as sf
+    import small_fem_solver_tpu.gui as gui
+
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    res = sf.analyze(model, wave, case)
+
+    class FakeText:
+        def __init__(self):
+            self.buf = []
+
+        def delete(self, *a):
+            self.buf = []
+
+        def insert(self, where, txt):
+            self.buf.append(txt)
+
+    class Stub:
+        analysis_results = res
+        analysis_model = model
+        analysis_wave = wave
+        analysis_case = case
+        results_text = FakeText()
+        show_spectral_fatigue = gui.JacketGUI.show_spectral_fatigue
+
+    s = Stub()
+    s.show_spectral_fatigue()
+    out = "".join(s.results_text.buf)
+    assert "FREQUENCY-DOMAIN SPECTRAL FATIGUE SCREEN" in out
+    assert "Hs=9.16 m" in out          # 17.038 / 1.86
+    assert "Life" in out and "sigma" in out
