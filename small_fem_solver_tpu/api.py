@@ -2221,10 +2221,17 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
     if not dynamic:
         # ---- batched route: the whole diagram is one device program ----
         ldtype = prep.refined.coords.dtype
-        seas = [make_random_sea(r[0], r[1], d, n_components=n_components,
-                                seed=seed + i, spectrum=spectrum, U_c=U_c,
-                                spreading_s=spreading_s, dtype=ldtype)
-                for i, r in enumerate(states)]
+        # build the seas ON THE HOST CPU device: per-state eager dispersion
+        # solves would otherwise each ride the accelerator dispatch path
+        # (measured ~0.5 s/state through the TPU relay); one transfer of
+        # the stacked tree replaces ~4 dispatches per state
+        with jax.default_device(jax.devices("cpu")[0]):
+            seas = [make_random_sea(r[0], r[1], d,
+                                    n_components=n_components,
+                                    seed=seed + i, spectrum=spectrum,
+                                    U_c=U_c, spreading_s=spreading_s,
+                                    dtype=ldtype)
+                    for i, r in enumerate(states)]
         heads = np.array([r[3] if len(r) == 4
                           else float(np.asarray(case.wave_dir_deg))
                           for r in states], np.float64)
@@ -2236,7 +2243,8 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
             seas += [seas[-1]] * n_pad
             heads = np.concatenate([heads, np.repeat(heads[-1:], n_pad)])
             occs = np.concatenate([occs, np.zeros(n_pad)])
-        sea_b = jax.tree.map(lambda *xs: jnp.stack(xs), *seas)
+        with jax.default_device(jax.devices("cpu")[0]):
+            sea_b = jax.tree.map(lambda *xs: jnp.stack(xs), *seas)
         heads_j = jnp.asarray(heads, solve_dtype)
         occs_j = jnp.asarray(occs, solve_dtype)
         if mesh is not None:

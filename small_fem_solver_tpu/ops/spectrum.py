@@ -40,6 +40,8 @@ import numpy as np
 
 from ..constants import G_GRAV
 from .dispersion import solve_dispersion
+
+_dispersion_jit = jax.jit(solve_dispersion)
 from .morison import MorisonPhaseBatch, _morison_batch_core
 
 
@@ -160,7 +162,10 @@ def make_random_sea(Hs, Tp, d, n_components: int = 64, seed: int = 0,
         dir_deg = jnp.asarray(np.degrees(np.interp(u, cdf, th)), dtype=dtype)
 
     om_j = jnp.asarray(om, dtype=dtype)
-    k = jax.vmap(lambda w: solve_dispersion(w, jnp.asarray(d_f, dtype)))(om_j)
+    # module-level jit: a fresh eagerly-traced dispersion Newton costs
+    # ~200 ms PER make_random_sea call (it re-traces every time); the jit
+    # cache keys on (N, dtype) so scatter sweeps pay it once
+    k = _dispersion_jit(om_j, jnp.asarray(d_f, dtype))
     a_j = jnp.asarray(a, dtype=dtype)
     U = a_j * om_j / jnp.tanh(k * d_f)
     return SpectralSea(
