@@ -1932,10 +1932,6 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
     cross-check against the complex harmonic solver, and the truncation
     robustness off resonance.
     """
-    from .ops.dynamics import _cb_expand
-    from .ops.freqdomain import linearized_sea_loads
-    from .ops.sections import normal_stress_8pt
-
     _check_no_slam(case, "spectral_transfer_dynamic")
     if damping not in ("modal", "rayleigh"):
         raise ValueError("damping must be 'modal' or 'rayleigh', got "
@@ -1943,23 +1939,80 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
     if not 0.0 < float(damping_ratio) < 1.0:
         raise ValueError("damping_ratio must be in (0, 1), got "
                          f"{damping_ratio}")
-    dtype = refined.coords.dtype
-    case = case.cast(dtype)
+    case = case.cast(refined.coords.dtype)
     if topside_mass_t is None:
         topside_mass_t = float(case.custom_sw_tonnes)
     if prep is None:
         prep = prepare_condensed(coarse, refined, n_seg, E=float(case.E),
                                  nu=float(case.nu),
                                  support_stiffness=support_stiffness)
-    # exact static transfer rows on the FULL condensed system
-    tr_s = spectral_transfer_prepared(prep, sea, case, n_gauss=n_gauss,
-                                      current_alpha=current_alpha)
     cb = _cached_cb_reduce(coarse, refined, n_seg, float(case.E),
                            float(case.nu), topside_mass_t, n_chain_modes,
                            support_stiffness, added_mass_Ca,
                            float(case.rho_water))
-    nc, Mc = cb.nc, cb.Mc
+    w2n, phi, c_j = _cb_modal_basis(cb, damping, float(damping_ratio))
+    return _dynamic_transfer_jit(prep, cb, w2n, phi, c_j, sea, case,
+                                 n_gauss, current_alpha)
+
+
+_MODAL_CACHE: dict = {}
+
+
+def _cb_modal_basis(cb, damping: str, damping_ratio: float):
+    """Full mass-normalized modal basis of the reduced (K, M) + per-mode
+    damping coefficients — sea-state independent, memoized on the (cached)
+    reduction's identity."""
+    key = (id(cb), damping, damping_ratio)
+    hit = _MODAL_CACHE.get(key)
+    if hit is not None:
+        return hit[1:]
+    dtype = cb.K_red.dtype
+    with jax.default_matmul_precision("highest"):
+        K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
+        M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]
+        Lm = jnp.linalg.cholesky(M_ff)
+        Y = jax.scipy.linalg.solve_triangular(Lm, K_ff, lower=True)
+        Am = jax.scipy.linalg.solve_triangular(Lm, Y.T, lower=True)
+        Am = 0.5 * (Am + Am.T)
+        w2n, V = jnp.linalg.eigh(Am)
+        w2n = jnp.clip(w2n, 0.0)
+        wn = jnp.sqrt(w2n)
+        phi = jax.scipy.linalg.solve_triangular(Lm.T, V, lower=False)
+    if damping == "modal":
+        c_j = (2.0 * damping_ratio * wn).astype(dtype)
+    else:                                              # 'rayleigh'
+        wn_np = np.asarray(wn)
+        w1 = float(wn_np[0])
+        w2r = next((float(v) for v in wn_np[1:] if v > 1.01 * w1),
+                   3.0 * w1)
+        alpha = damping_ratio * 2.0 * w1 * w2r / (w1 + w2r)
+        beta = damping_ratio * 2.0 / (w1 + w2r)
+        c_j = (alpha + beta * w2n).astype(dtype)
+    if len(_MODAL_CACHE) >= 8:
+        _MODAL_CACHE.clear()
+    _MODAL_CACHE[key] = (cb, w2n, phi, c_j)   # strong ref pins the id key
+    return w2n, phi, c_j
+
+
+def _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea, case,
+                           n_gauss, current_alpha) -> FreqTransfer:
+    """Traceable per-sea dynamic transfer (mode acceleration): exact static
+    rows from the condensed solve + the expanded modal correction.
+    CBReduction carries its dimensions as STATIC pytree metadata, so
+    they build shapes under jit."""
+    from .ops.dynamics import _cb_expand
+    from .ops.freqdomain import linearized_sea_loads
+    from .ops.sections import normal_stress_8pt
+
+    coarse, refined, n_seg = prep.coarse, prep.refined, prep.n_seg
+    dtype = refined.coords.dtype
+    case = case.cast(dtype)
+    n_red, nc, Mc = cb.n_red, cb.nc, cb.Mc
     n_int = n_seg - 1
+
+    # exact static transfer rows on the FULL condensed system
+    tr_s = _spectral_transfer_jit(prep, sea, case.cast(prep.K_I.dtype),
+                                  n_gauss, 1, current_alpha)
 
     with jax.default_matmul_precision("highest"):
         conn_h, D_m, Cd_h, Cm_h = hydro_members(
@@ -1986,7 +2039,7 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
         R = F_I.shape[0]
 
         # work-conjugate projection to the reduced space
-        F_red = jnp.zeros((R, cb.n_red), dtype)
+        F_red = jnp.zeros((R, n_red), dtype)
         F_red = F_red.at[:, :6 * nc].set(F_I.reshape(R, 6 * nc))
         F_i = g.swapaxes(1, 2).reshape(R, Mc, n_int * 6)
         F_red = F_red.at[:, cb.bdof].add(
@@ -1994,30 +2047,6 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
         F_red = F_red.at[:, cb.qdof].add(
             jnp.einsum("mnq,smn->smq", cb.Phi, F_i))
         F_f = F_red[:, cb.free]
-
-        K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
-        M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]
-
-        # full mass-normalized modal basis of the reduced model
-        Lm = jnp.linalg.cholesky(M_ff)
-        Y = jax.scipy.linalg.solve_triangular(Lm, K_ff, lower=True)
-        Am = jax.scipy.linalg.solve_triangular(Lm, Y.T, lower=True)
-        Am = 0.5 * (Am + Am.T)
-        w2n, V = jnp.linalg.eigh(Am)
-        w2n = jnp.clip(w2n, 0.0)
-        wn = jnp.sqrt(w2n)
-        phi = jax.scipy.linalg.solve_triangular(Lm.T, V, lower=False)
-
-        if damping == "modal":
-            c_j = 2.0 * float(damping_ratio) * wn
-        else:                                          # 'rayleigh'
-            wn_np = np.asarray(wn)
-            w1 = float(wn_np[0])
-            w2r = next((float(v) for v in wn_np[1:] if v > 1.01 * w1),
-                       3.0 * w1)
-            alpha = float(damping_ratio) * 2.0 * w1 * w2r / (w1 + w2r)
-            beta = float(damping_ratio) * 2.0 / (w1 + w2r)
-            c_j = alpha + beta * w2n
 
         N = sea.omega.shape[0]
         w = sea.omega.astype(dtype)
@@ -2036,7 +2065,7 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
         Xs = (qs - fs / w2s) @ phi.T
 
         X = jnp.concatenate([jnp.zeros((1, Xc.shape[1]), dtype), Xc, Xs])
-        U_red = jnp.zeros((R, cb.n_red), dtype).at[:, cb.free].set(X)
+        U_red = jnp.zeros((R, n_red), dtype).at[:, cb.free].set(X)
         U = _cb_expand(cb, U_red)                      # [R, n_dof_ref]
         U_static = jnp.concatenate([tr_s.U_mean[None], tr_s.U_cos,
                                     tr_s.U_sin]).astype(dtype)
@@ -2054,6 +2083,10 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
             stress_mean=s8[0], stress_cos=s8[1:1 + N],
             stress_sin=s8[1 + N:], totals=lin.totals.astype(dtype),
             sigma_v_max=lin.sigma_v_max, c_lin_mean=lin.c_lin_mean)
+
+
+_dynamic_transfer_jit = partial(jax.jit, static_argnames=(
+    "n_gauss", "current_alpha"))(_dynamic_transfer_core)
 
 
 class ScatterFatigue(NamedTuple):
@@ -2190,14 +2223,15 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
     North] with the current rotating alongside.  Occurrences must sum
     to <= 1.
 
-    On the quasi-static route the whole diagram is ONE device program —
-    the states stream through ``lax.map`` (per-call dispatch paid once,
-    one-state memory footprint) — and with ``mesh`` (a 1-D device mesh,
-    axis 'cases', same convention as :func:`design_envelope`) the state
-    axis is partitioned over the mesh: replicated factor, zero-occurrence
-    padding to a device multiple, no cross-device communication (damage
-    accumulation is a host-side occurrence-weighted sum).  ``dynamic=True``
-    keeps the host loop (the CB reduction is cached across states).
+    The whole diagram is ONE device program on both routes — the states
+    stream through ``lax.map`` (per-call dispatch paid once, one-state
+    memory footprint; the dynamic route closes over the state-independent
+    cached CB reduction + modal basis) — and with ``mesh`` (a 1-D device
+    mesh, axis 'cases', same convention as :func:`design_envelope`) the
+    state axis is partitioned over the mesh: replicated factor,
+    zero-occurrence padding to a device multiple, no cross-device
+    communication (damage accumulation is a host-side occurrence-weighted
+    sum).
     """
     from .ops.freqdomain import spectral_stats
 
@@ -2215,116 +2249,86 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
     _check_no_slam(case, "scatter_fatigue_spectral")
     from .ops.spectrum import make_random_sea
 
-    rel_dir = case.current_dir_deg - case.wave_dir_deg
     solve_dtype = prep.K_I.dtype
+    ldtype = prep.refined.coords.dtype
+    case = case.cast(ldtype)
 
-    if not dynamic:
-        # ---- batched route: the whole diagram is one device program ----
-        ldtype = prep.refined.coords.dtype
-        # build the seas ON THE HOST CPU device: per-state eager dispersion
-        # solves would otherwise each ride the accelerator dispatch path
-        # (measured ~0.5 s/state through the TPU relay); one transfer of
-        # the stacked tree replaces ~4 dispatches per state
-        with jax.default_device(jax.devices("cpu")[0]):
-            seas = [make_random_sea(r[0], r[1], d,
-                                    n_components=n_components,
-                                    seed=seed + i, spectrum=spectrum,
-                                    U_c=U_c, spreading_s=spreading_s,
-                                    dtype=ldtype)
-                    for i, r in enumerate(states)]
-        heads = np.array([r[3] if len(r) == 4
-                          else float(np.asarray(case.wave_dir_deg))
-                          for r in states], np.float64)
-        occs = np.array([r[2] for r in states], np.float64)
-        B = len(states)
-        n_pad = 0
-        if mesh is not None:
-            n_pad = (-B) % mesh.size
-            seas += [seas[-1]] * n_pad
-            heads = np.concatenate([heads, np.repeat(heads[-1:], n_pad)])
-            occs = np.concatenate([occs, np.zeros(n_pad)])
-        with jax.default_device(jax.devices("cpu")[0]):
-            sea_b = jax.tree.map(lambda *xs: jnp.stack(xs), *seas)
-        heads_j = jnp.asarray(heads, solve_dtype)
-        occs_j = jnp.asarray(occs, solve_dtype)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            cs = NamedSharding(mesh, P("cases"))
-            sea_b = jax.device_put(sea_b, cs)
-            heads_j = jax.device_put(heads_j, cs)
-            occs_j = jax.device_put(occs_j, cs)
-            nb, wl, mu = _scatter_spectral_sharded(
-                prep, case, sea_b, heads_j, occs_j, mesh, n_gauss,
-                current_alpha, curve, float(exposure_years),
-                float(storm_hours), scf)
-        else:
-            nb, wl, mu = _scatter_spectral_batched(
-                prep, case, sea_b, heads_j, occs_j, n_gauss,
-                current_alpha, curve, float(exposure_years),
-                float(storm_hours), scf)
-        nb = np.asarray(nb)[:B]
-        wl = np.asarray(wl)[:B]
-        mu = np.asarray(mu)[:B]
-        d_nb, d_wl = nb.sum(axis=0), wl.sum(axis=0)
-        with np.errstate(divide="ignore"):
-            life_nb = np.where(d_nb > 0, exposure_years / d_nb, np.inf)
-            life_wl = np.where(d_wl > 0, exposure_years / d_wl, np.inf)
-        return ScatterFatigueSpectral(
-            damage_nb=jnp.asarray(d_nb), damage_wl=jnp.asarray(d_wl),
-            life_years_nb=jnp.asarray(life_nb),
-            life_years_wl=jnp.asarray(life_wl), per_state_wl=wl,
-            mpm_utilization=jnp.asarray(mu.max(axis=0)), states=states)
+    dyn = None
+    if dynamic:
+        if damping not in ("modal", "rayleigh"):
+            raise ValueError("damping must be 'modal' or 'rayleigh', got "
+                             f"{damping!r}")
+        if not 0.0 < float(damping_ratio) < 1.0:
+            raise ValueError("damping_ratio must be in (0, 1), got "
+                             f"{damping_ratio}")
+        if topside_mass_t is None:
+            topside_mass_t = float(case.custom_sw_tonnes)
+        cb = _cached_cb_reduce(prep.coarse, prep.refined, prep.n_seg,
+                               float(case.E), float(case.nu),
+                               topside_mass_t, n_chain_modes,
+                               support_stiffness, added_mass_Ca,
+                               float(case.rho_water))
+        dyn = (cb,) + _cb_modal_basis(cb, damping, float(damping_ratio))
 
-    d_nb = d_wl = mpm_u = None
-    per_state = []
-    for i, row in enumerate(states):
-        Hs, Tp, occ = row[:3]
-        case_i = case
-        if len(row) == 4:
-            case_i = dataclasses.replace(case, wave_dir_deg=row[3],
-                                         current_dir_deg=row[3] + rel_dir)
-        sea = make_random_sea(Hs, Tp, d, n_components=n_components,
-                              seed=seed + i, spectrum=spectrum, U_c=U_c,
-                              spreading_s=spreading_s,
-                              dtype=prep.refined.coords.dtype)
-        tr = spectral_transfer_dynamic(
-            prep.coarse, prep.refined, prep.n_seg, sea, case_i,
-            damping_ratio=damping_ratio, damping=damping,
-            n_chain_modes=n_chain_modes, topside_mass_t=topside_mass_t,
-            support_stiffness=support_stiffness,
-            added_mass_Ca=added_mass_Ca, n_gauss=n_gauss,
-            current_alpha=current_alpha, prep=prep)
-        st = spectral_stats(
-            tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
-            tr.U_mean, tr.U_cos, tr.U_sin, tr.totals,
-            jnp.asarray(case.fy, solve_dtype),
-            jnp.asarray(storm_hours * 3600.0, solve_dtype),
-            jnp.asarray(exposure_years, solve_dtype), curve=curve,
-            scf=jnp.asarray(scf, solve_dtype),
-            occurrence=jnp.asarray(occ, solve_dtype),
-            sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean)
-        nb = np.asarray(st.damage_nb)
-        wl = np.asarray(st.damage_wl)
-        mu = np.asarray(st.mpm_utilization)
-        per_state.append(wl)
-        d_nb = nb if d_nb is None else d_nb + nb
-        d_wl = wl if d_wl is None else d_wl + wl
-        mpm_u = mu if mpm_u is None else np.maximum(mpm_u, mu)
+    # ---- the whole diagram is one device program ----
+    # build the seas ON THE HOST CPU device: per-state eager dispersion
+    # solves would otherwise each ride the accelerator dispatch path
+    # (measured ~0.5 s/state through the TPU relay); one transfer of
+    # the stacked tree replaces ~4 dispatches per state
+    with jax.default_device(jax.devices("cpu")[0]):
+        seas = [make_random_sea(r[0], r[1], d, n_components=n_components,
+                                seed=seed + i, spectrum=spectrum,
+                                U_c=U_c, spreading_s=spreading_s,
+                                dtype=ldtype)
+                for i, r in enumerate(states)]
+    heads = np.array([r[3] if len(r) == 4
+                      else float(np.asarray(case.wave_dir_deg))
+                      for r in states], np.float64)
+    occs = np.array([r[2] for r in states], np.float64)
+    B = len(states)
+    if mesh is not None:
+        n_pad = (-B) % mesh.size
+        seas += [seas[-1]] * n_pad
+        heads = np.concatenate([heads, np.repeat(heads[-1:], n_pad)])
+        occs = np.concatenate([occs, np.zeros(n_pad)])
+    with jax.default_device(jax.devices("cpu")[0]):
+        sea_b = jax.tree.map(lambda *xs: jnp.stack(xs), *seas)
+    heads_j = jnp.asarray(heads, solve_dtype)
+    occs_j = jnp.asarray(occs, solve_dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cs = NamedSharding(mesh, P("cases"))
+        sea_b = jax.device_put(sea_b, cs)
+        heads_j = jax.device_put(heads_j, cs)
+        occs_j = jax.device_put(occs_j, cs)
+        nb, wl, mu = _scatter_spectral_sharded(
+            prep, case, sea_b, heads_j, occs_j, dyn, mesh, n_gauss,
+            current_alpha, curve, float(exposure_years),
+            float(storm_hours), scf)
+    else:
+        nb, wl, mu = _scatter_spectral_batched(
+            prep, case, sea_b, heads_j, occs_j, dyn, n_gauss,
+            current_alpha, curve, float(exposure_years),
+            float(storm_hours), scf)
+    nb = np.asarray(nb)[:B]
+    wl = np.asarray(wl)[:B]
+    mu = np.asarray(mu)[:B]
+    d_nb, d_wl = nb.sum(axis=0), wl.sum(axis=0)
     with np.errstate(divide="ignore"):
         life_nb = np.where(d_nb > 0, exposure_years / d_nb, np.inf)
         life_wl = np.where(d_wl > 0, exposure_years / d_wl, np.inf)
     return ScatterFatigueSpectral(
         damage_nb=jnp.asarray(d_nb), damage_wl=jnp.asarray(d_wl),
         life_years_nb=jnp.asarray(life_nb),
-        life_years_wl=jnp.asarray(life_wl),
-        per_state_wl=np.stack(per_state),
-        mpm_utilization=jnp.asarray(mpm_u), states=states)
+        life_years_wl=jnp.asarray(life_wl), per_state_wl=wl,
+        mpm_utilization=jnp.asarray(mu.max(axis=0)), states=states)
 
 
-def _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha, curve,
-                             exposure_years, storm_hours, scf):
+def _scatter_spectral_one_fn(prep, case, dyn, n_gauss, current_alpha,
+                             curve, exposure_years, storm_hours, scf):
     """Per-state kernel shared by the batched and mesh-sharded scatter
-    routes: quasi-static transfer rows -> closed-form statistics."""
+    routes: quasi-static (``dyn=None``) or Craig-Bampton dynamic transfer
+    rows -> closed-form statistics."""
     from .ops.freqdomain import spectral_stats
 
     solve_dtype = prep.K_I.dtype
@@ -2335,8 +2339,13 @@ def _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha, curve,
         sea, head, occ = args
         case_i = dataclasses.replace(case_s, wave_dir_deg=head,
                                      current_dir_deg=head + rel)
-        tr = _spectral_transfer_jit(prep, sea, case_i, n_gauss, 1,
-                                    current_alpha)
+        if dyn is None:
+            tr = _spectral_transfer_jit(prep, sea, case_i, n_gauss, 1,
+                                        current_alpha)
+        else:
+            cb, w2n, phi, c_j = dyn
+            tr = _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea,
+                                        case_i, n_gauss, current_alpha)
         st = spectral_stats(
             tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
             tr.U_mean, tr.U_cos, tr.U_sin, tr.totals,
@@ -2352,27 +2361,29 @@ def _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha, curve,
 
 @partial(jax.jit, static_argnames=("n_gauss", "current_alpha", "curve",
                                    "exposure_years", "storm_hours"))
-def _scatter_spectral_batched(prep, case, sea_b, heads, occs, n_gauss,
-                              current_alpha, curve, exposure_years,
+def _scatter_spectral_batched(prep, case, sea_b, heads, occs, dyn,
+                              n_gauss, current_alpha, curve, exposure_years,
                               storm_hours, scf):
     """One device program for the whole scatter diagram: states stream
     through ``lax.map`` (single-state memory, dispatch floor paid once)."""
-    one = _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha,
-                                   curve, exposure_years, storm_hours, scf)
+    one = _scatter_spectral_one_fn(prep, case, dyn, n_gauss,
+                                   current_alpha, curve, exposure_years,
+                                   storm_hours, scf)
     with jax.default_matmul_precision("highest"):
         return jax.lax.map(one, (sea_b, heads, occs))
 
 
-def _scatter_spectral_sharded(prep, case, sea_b, heads, occs, mesh, n_gauss,
-                              current_alpha, curve, exposure_years,
-                              storm_hours, scf):
+def _scatter_spectral_sharded(prep, case, sea_b, heads, occs, dyn,
+                              mesh, n_gauss, current_alpha, curve,
+                              exposure_years, storm_hours, scf):
     """State axis partitioned over the 1-D device mesh (axis 'cases'):
     replicated factor, each device streams its local block, no cross-
     device communication (accumulation happens host-side)."""
     from jax.sharding import PartitionSpec as P
 
-    one = _scatter_spectral_one_fn(prep, case, n_gauss, current_alpha,
-                                   curve, exposure_years, storm_hours, scf)
+    one = _scatter_spectral_one_fn(prep, case, dyn, n_gauss,
+                                   current_alpha, curve, exposure_years,
+                                   storm_hours, scf)
     with jax.default_matmul_precision("highest"):
         @partial(jax.shard_map, mesh=mesh, in_specs=(P("cases"),),
                  out_specs=(P("cases"), P("cases"), P("cases")))

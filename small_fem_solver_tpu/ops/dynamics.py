@@ -295,9 +295,18 @@ def _chain_dense(A, B, C, E, n_seg):
     return X_ii, X_ib, X_bb
 
 
-class CBReduction(NamedTuple):
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CBReduction:
     """Craig-Bampton reduction of a chain-refined jacket (see
-    :func:`modal_analysis_condensed`)."""
+    :func:`modal_analysis_condensed`).
+
+    A pytree with STATIC dimension metadata (n_red/nc/Mc/m), so the
+    reduction can flow through jit/shard_map and its dims still build
+    shapes (`_cb_expand` slices with them)."""
 
     K_red: jnp.ndarray      # [n_red, n_red]
     M_red: jnp.ndarray      # [n_red, n_red]
@@ -306,13 +315,14 @@ class CBReduction(NamedTuple):
     Phi: jnp.ndarray        # [Mc, N, m] fixed-interface modes
     bdof: jnp.ndarray       # [Mc, 12] interface DOF ids per member
     qdof: jnp.ndarray       # [Mc, m] generalized DOF ids per member
-    n_red: int
-    nc: int
-    Mc: int
-    m: int
     L_m: jnp.ndarray        # [Mr] refined member lengths
     K_local: jnp.ndarray    # [Mr, 12, 12] for stress recovery
     T: jnp.ndarray          # [Mr, 12, 12]
+    # static:
+    n_red: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    Mc: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
 
 
 def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,

@@ -403,3 +403,16 @@ def test_scatter_spectral_sharded_matches_unsharded(frame_prep):
         np.testing.assert_allclose(np.asarray(getattr(r2, f)),
                                    np.asarray(getattr(r1, f)),
                                    rtol=1e-12, atol=1e-300)
+
+    # the DYNAMIC route shards too (CB reduction + modal basis replicated
+    # via closure into the shard_map body)
+    d1 = sf.scatter_fatigue_spectral(frame_prep, case, states, DEPTH,
+                                     exposure_years=25.0, n_components=8,
+                                     dynamic=True, n_chain_modes=6)
+    d2 = sf.scatter_fatigue_spectral(frame_prep, case, states, DEPTH,
+                                     exposure_years=25.0, n_components=8,
+                                     dynamic=True, n_chain_modes=6,
+                                     mesh=mesh)
+    np.testing.assert_allclose(np.asarray(d2.damage_wl),
+                               np.asarray(d1.damage_wl),
+                               rtol=1e-12, atol=1e-300)
