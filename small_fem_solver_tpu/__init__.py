@@ -16,7 +16,8 @@ from .api import (AnalysisResults, CondensedPrepared, CondensedScanResults,
                   analyze_prepared, phase_scan_condensed,
                   phase_scan_prepared, prepare_condensed,
                   scatter_fatigue, scatter_fatigue_spectral,
-                  ScatterFatigueSpectral,
+                  ScatterFatigueSpectral, LongTermExtremes,
+                  long_term_extremes,
                   sea_response_batch, sea_scan_prepared,
                   spectral_response_prepared, spectral_transfer_prepared,
                   spectral_response_dynamic, spectral_transfer_dynamic,

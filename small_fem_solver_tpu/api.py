@@ -2183,6 +2183,9 @@ class ScatterFatigueSpectral(NamedTuple):
     per_state_wl: np.ndarray        # [n_states, M]
     mpm_utilization: jnp.ndarray    # [M] max over states (per-state storm)
     states: tuple                   # ((Hs, Tp, occurrence[, heading]), ...)
+    per_state_sigma: np.ndarray     # [n_states, M] stress std dev (MPa)
+    per_state_mean: np.ndarray      # [n_states, M] mean stress (MPa)
+    per_state_nu0: np.ndarray       # [n_states, M] upcrossing rate (Hz)
 
 
 def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
@@ -2301,12 +2304,12 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
         sea_b = jax.device_put(sea_b, cs)
         heads_j = jax.device_put(heads_j, cs)
         occs_j = jax.device_put(occs_j, cs)
-        nb, wl, mu = _scatter_spectral_sharded(
+        nb, wl, mu, sig, mean_s, nu0 = _scatter_spectral_sharded(
             prep, case, sea_b, heads_j, occs_j, dyn, mesh, n_gauss,
             current_alpha, curve, float(exposure_years),
             float(storm_hours), scf)
     else:
-        nb, wl, mu = _scatter_spectral_batched(
+        nb, wl, mu, sig, mean_s, nu0 = _scatter_spectral_batched(
             prep, case, sea_b, heads_j, occs_j, dyn, n_gauss,
             current_alpha, curve, float(exposure_years),
             float(storm_hours), scf)
@@ -2321,7 +2324,81 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
         damage_nb=jnp.asarray(d_nb), damage_wl=jnp.asarray(d_wl),
         life_years_nb=jnp.asarray(life_nb),
         life_years_wl=jnp.asarray(life_wl), per_state_wl=wl,
-        mpm_utilization=jnp.asarray(mu.max(axis=0)), states=states)
+        mpm_utilization=jnp.asarray(mu.max(axis=0)), states=states,
+        per_state_sigma=np.asarray(sig)[:B],
+        per_state_mean=np.asarray(mean_s)[:B],
+        per_state_nu0=np.asarray(nu0)[:B])
+
+
+class LongTermExtremes(NamedTuple):
+    """N-year return levels from the all-states upcrossing integral."""
+
+    return_years: np.ndarray        # [R]
+    stress_mpa: np.ndarray          # [R, M] return stress level
+    utilization: np.ndarray         # [R, M] level / fy
+    governing_state: np.ndarray     # [R, M] index of the dominant state
+
+
+def long_term_extremes(res: ScatterFatigueSpectral, return_years=(10., 100.),
+                       fy: float = 355.0) -> LongTermExtremes:
+    """Long-term (all sea states) extreme response levels.
+
+    The response within state i is Gaussian (mean m_i, std sigma_i,
+    mean-upcrossing rate nu_i) under the Borgman-linearized transfer, so
+    the LONG-TERM mean rate of upcrossings of level x is the
+    occurrence-weighted sum
+
+        nu(x) = sum_i occ_i nu_i exp(-(x - m_i)^2 / (2 sigma_i^2)),
+
+    and the N-year return level solves nu(x) T_N = 1 (the standard
+    all-sea-states method; the single-state occ=1 limit reduces EXACTLY
+    to the most-probable-maximum formula m + sigma sqrt(2 ln(nu0 T_N)),
+    which the tests pin).  Vectorized bisection over members; pure
+    post-processing of a :func:`scatter_fatigue_spectral` result.
+    """
+    from .ops.fatigue import SECONDS_PER_YEAR
+
+    occ = np.array([r[2] for r in res.states])[:, None]      # [B, 1]
+    m = np.asarray(res.per_state_mean)                        # [B, M]
+    sig = np.maximum(np.asarray(res.per_state_sigma), 0.0)
+    nu = np.maximum(np.asarray(res.per_state_nu0), 0.0)
+    live = (sig > 1e-12) & (occ * nu > 0)
+    sig_s = np.where(live, sig, 1.0)
+
+    def nu_of(x):                                             # x: [R, 1, M]
+        ex = np.exp(-0.5 * ((x - m[None]) / sig_s[None]) ** 2)
+        return np.sum(np.where(live[None], occ[None] * nu[None] * ex, 0.0),
+                      axis=1)                                 # [R, M]
+
+    R = len(return_years)
+    T = np.asarray(return_years, np.float64) * SECONDS_PER_YEAR
+    target = 1.0 / T[:, None]                                 # [R, 1]
+    lo = np.broadcast_to(m.max(axis=0)[None], (R, m.shape[1])).copy()
+    span = (sig * np.sqrt(2.0 * np.log(np.maximum(
+        nu * T.max(), np.e)))).max(axis=0) + 1e-9
+    hi = lo + 3.0 * span
+    # grow hi until nu(hi) < target everywhere (rates can stack)
+    for _ in range(8):
+        under = nu_of(hi[:, None, :]) > target
+        if not under.any():
+            break
+        hi = np.where(under, lo + 2.0 * (hi - lo), hi)
+    for _ in range(80):                                       # bisection
+        mid = 0.5 * (lo + hi)
+        high_side = nu_of(mid[:, None, :]) > target
+        lo = np.where(high_side, mid, lo)
+        hi = np.where(high_side, hi, mid)
+    x = 0.5 * (lo + hi)
+    # no wave-induced variance anywhere: the level is the largest mean
+    dead = ~live.any(axis=0)
+    x[:, dead] = m.max(axis=0)[dead]
+    # dominant state: largest crossing-rate contribution at the level
+    ex = np.exp(-0.5 * ((x[:, None, :] - m[None]) / sig_s[None]) ** 2)
+    contrib = np.where(live[None], occ[None] * nu[None] * ex, 0.0)
+    gov = np.argmax(contrib, axis=1)
+    return LongTermExtremes(
+        return_years=np.asarray(return_years, np.float64),
+        stress_mpa=x, utilization=x / float(fy), governing_state=gov)
 
 
 def _scatter_spectral_one_fn(prep, case, dyn, n_gauss, current_alpha,
@@ -2354,7 +2431,8 @@ def _scatter_spectral_one_fn(prep, case, dyn, n_gauss, current_alpha,
             jnp.asarray(exposure_years, solve_dtype), curve=curve,
             scf=jnp.asarray(scf, solve_dtype), occurrence=occ,
             sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean)
-        return st.damage_nb, st.damage_wl, st.mpm_utilization
+        return (st.damage_nb, st.damage_wl, st.mpm_utilization,
+                st.sigma_stress, st.mean_stress, st.nu0_hz)
 
     return one
 
@@ -2386,7 +2464,7 @@ def _scatter_spectral_sharded(prep, case, sea_b, heads, occs, dyn,
                                    storm_hours, scf)
     with jax.default_matmul_precision("highest"):
         @partial(jax.shard_map, mesh=mesh, in_specs=(P("cases"),),
-                 out_specs=(P("cases"), P("cases"), P("cases")))
+                 out_specs=tuple(P("cases") for _ in range(6)))
         def local(batch):
             return jax.lax.map(one, batch)
 

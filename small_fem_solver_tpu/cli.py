@@ -529,6 +529,21 @@ def cmd_fatigue(args):
         if max(d_a.max(), d_b.max()) > 1.0:
             print("  WARNING: Miner damage > 1 — fatigue life shorter than "
                   "the exposure!")
+        if args.freq_domain and args.return_years:
+            ry = tuple(float(v) for v in args.return_years.split(","))
+            lt = sf.long_term_extremes(res, return_years=ry,
+                                       fy=float(case.fy))
+            print("long-term extreme response (all-states upcrossing "
+                  "integral):")
+            for r_i, y in enumerate(ry):
+                u = lt.utilization[r_i]
+                e = int(np.argmax(u))
+                st = res.states[int(lt.governing_state[r_i][e])]
+                print(f"  {y:.0f}-year: max utilization {u[e]:.3f} at "
+                      f"{names[e]} (stress {lt.stress_mpa[r_i][e]:.1f} "
+                      f"MPa; governing state Hs={st[0]} m Tp={st[1]} s)")
+                if u[e] > 1.0:
+                    print(f"  WARNING: {y:.0f}-year extreme exceeds yield!")
         return
 
     if args.spectrum:
@@ -1480,6 +1495,10 @@ def main(argv=None):
     fa.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per chain "
                          "for --dynamic")
+    fa.add_argument("--return-years", default=None,
+                    help="with --freq-domain: comma-separated return "
+                         "periods for long-term extreme response levels "
+                         "(e.g. '10,100')")
     fa.set_defaults(fn=cmd_fatigue)
 
     sp = sub.add_parser("spectral",

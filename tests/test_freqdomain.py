@@ -447,3 +447,53 @@ def test_splash_zone_bias_bounded_default_jacket():
         fx = float(jnp.sqrt(0.5 * jnp.sum(tc[:, 0]**2 + tsn[:, 0]**2))
                    / jnp.std(td.total_morison[:, 0]))
         assert 0.97 < fx < 1.04
+
+
+# ------------------------------------------------ long-term extremes (ULS)
+
+
+def test_long_term_extremes_single_state_is_mpm(frame_prep):
+    """occ=1 single state: the all-states upcrossing level reduces EXACTLY
+    to the most-probable-maximum formula m + sigma sqrt(2 ln(nu0 T))."""
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    res = sf.scatter_fatigue_spectral(frame_prep, case, [(6.0, 9.0, 1.0)],
+                                      DEPTH, exposure_years=1.0,
+                                      n_components=12)
+    lt = sf.long_term_extremes(res, return_years=(10.0, 100.0))
+    from small_fem_solver_tpu.ops.fatigue import SECONDS_PER_YEAR
+    m = res.per_state_mean[0]
+    sig = res.per_state_sigma[0]
+    nu0 = res.per_state_nu0[0]
+    live = sig > 1e-9
+    for r_i, ry in enumerate((10.0, 100.0)):
+        exp = m + sig * np.sqrt(2.0 * np.log(
+            np.maximum(nu0 * ry * SECONDS_PER_YEAR, np.e)))
+        np.testing.assert_allclose(lt.stress_mpa[r_i][live], exp[live],
+                                   rtol=1e-8)
+    # monotonic in return period
+    assert np.all(lt.stress_mpa[1][live] > lt.stress_mpa[0][live])
+    assert np.all(lt.governing_state == 0)
+
+
+def test_long_term_extremes_states_stack(frame_prep):
+    """Adding a state adds crossings: the combined return level dominates
+    each single-state level; a mild state barely moves the severe one's."""
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    A, Bst = (3.0, 7.5, 0.5), (8.0, 10.0, 0.05)
+    rA = sf.scatter_fatigue_spectral(frame_prep, case, [A], DEPTH, 1.0,
+                                     seed=0, n_components=10)
+    rB = sf.scatter_fatigue_spectral(frame_prep, case, [Bst], DEPTH, 1.0,
+                                     seed=1, n_components=10)
+    rAB = sf.scatter_fatigue_spectral(frame_prep, case, [A, Bst], DEPTH,
+                                      1.0, seed=0, n_components=10)
+    ltA = sf.long_term_extremes(rA, (100.0,))
+    ltB = sf.long_term_extremes(rB, (100.0,))
+    ltAB = sf.long_term_extremes(rAB, (100.0,))
+    live = rB.per_state_sigma[0] > 1e-6
+    both = np.maximum(ltA.stress_mpa[0], ltB.stress_mpa[0])
+    assert np.all(ltAB.stress_mpa[0][live] >= both[live] - 1e-9)
+    # the severe state governs where it matters
+    g = int(np.argmax(rAB.per_state_sigma[1]))
+    assert ltAB.governing_state[0][g] == 1
+    # and the mild state adds <2% at that member
+    assert ltAB.stress_mpa[0][g] < 1.02 * ltB.stress_mpa[0][g]
