@@ -1843,7 +1843,8 @@ def spectral_response_dynamic(coarse, refined, n_seg: int, sea,
                               support_stiffness=None,
                               added_mass_Ca=None,
                               n_gauss: int = 15, current_alpha=None,
-                              prep: "CondensedPrepared | None" = None):
+                              prep: "CondensedPrepared | None" = None,
+                              hydro_damping: bool = False):
     """DYNAMIC frequency-domain stochastic response: the quasi-static
     transfer of :func:`spectral_response_prepared` upgraded with inertia
     and damping on the Craig-Bampton reduced basis.
@@ -1866,7 +1867,8 @@ def spectral_response_dynamic(coarse, refined, n_seg: int, sea,
         damping=damping, n_chain_modes=n_chain_modes,
         topside_mass_t=topside_mass_t, support_stiffness=support_stiffness,
         added_mass_Ca=added_mass_Ca, n_gauss=n_gauss,
-        current_alpha=current_alpha, prep=prep)
+        current_alpha=current_alpha, prep=prep,
+        hydro_damping=hydro_damping)
     solve_dtype = tr.U_mean.dtype
     return spectral_stats(
         tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
@@ -1889,8 +1891,8 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
                               added_mass_Ca=None,
                               n_gauss: int = 15,
                               current_alpha=None,
-                              prep: "CondensedPrepared | None" = None
-                              ) -> FreqTransfer:
+                              prep: "CondensedPrepared | None" = None,
+                              hydro_damping: bool = False) -> FreqTransfer:
     """Per-component DYNAMIC transfer rows, mode-acceleration formulation.
 
     Mechanics (all REAL arithmetic — complex solves are unimplemented on
@@ -1952,7 +1954,8 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
                            float(case.rho_water))
     w2n, phi, c_j = _cb_modal_basis(cb, damping, float(damping_ratio))
     return _dynamic_transfer_jit(prep, cb, w2n, phi, c_j, sea, case,
-                                 n_gauss, current_alpha)
+                                 n_gauss, current_alpha,
+                                 hydro_damping=hydro_damping)
 
 
 _MODAL_CACHE: dict = {}
@@ -1995,12 +1998,21 @@ def _cb_modal_basis(cb, damping: str, damping_ratio: float):
 
 
 def _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea, case,
-                           n_gauss, current_alpha) -> FreqTransfer:
+                           n_gauss, current_alpha,
+                           hydro_damping=False) -> FreqTransfer:
     """Traceable per-sea dynamic transfer (mode acceleration): exact static
     rows from the condensed solve + the expanded modal correction.
     CBReduction carries its dimensions as STATIC pytree metadata, so
-    they build shapes under jit."""
-    from .ops.dynamics import _cb_expand
+    they build shapes under jit.
+
+    ``hydro_damping=True`` adds the Borgman-linearized relative-velocity
+    drag damping (the c xdot term of F = c (u - xdot)): a consistent
+    transverse element damping matrix from the per-member wetted-average
+    coefficient, projected onto the modal diagonal (phi^T C phi — the
+    standard decoupling approximation).  Resonant response of compliant
+    structures is damping-limited, and this sea-state-dependent term
+    routinely exceeds the structural ratio there."""
+    from .ops.dynamics import _cb_expand, element_hydro_damping
     from .ops.freqdomain import linearized_sea_loads
     from .ops.sections import normal_stress_8pt
 
@@ -2048,6 +2060,24 @@ def _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea, case,
             jnp.einsum("mnq,smn->smq", cb.Phi, F_i))
         F_f = F_red[:, cb.free]
 
+        edofs = jnp.concatenate(
+            [6 * refined.conn[:, 0:1] + jnp.arange(6),
+             6 * refined.conn[:, 1:2] + jnp.arange(6)], axis=-1)
+
+        if hydro_damping:
+            # modal-diagonal projection of the linearized drag damping
+            # (structural members only; appurtenance damping neglected)
+            Mr = refined.conn.shape[0]
+            C_e = element_hydro_damping(refined.coords, refined.conn,
+                                        lin.c_damp[:Mr])
+            n_modes = phi.shape[1]
+            P_red = jnp.zeros((n_modes, cb.n_red), dtype)
+            P_red = P_red.at[:, cb.free].set(phi.T)
+            phi_full = _cb_expand(cb, P_red)           # [n_modes, n_dof]
+            pe = phi_full[:, edofs]                    # [n_modes, Mr, 12]
+            c_h = jnp.einsum("nmi,mij,nmj->n", pe, C_e, pe)
+            c_j = c_j + jnp.maximum(c_h, 0.0)
+
         N = sea.omega.shape[0]
         w = sea.omega.astype(dtype)
         fc = F_f[1:1 + N] @ phi                        # [N, n_f] modal loads
@@ -2072,9 +2102,6 @@ def _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea, case,
         U = U + U_static
 
         KT6 = -matmul12(cb.K_local, cb.T)[:, :6, :]
-        edofs = jnp.concatenate(
-            [6 * refined.conn[:, 0:1] + jnp.arange(6),
-             6 * refined.conn[:, 1:2] + jnp.arange(6)], axis=-1)
         F1e = matvec12(KT6, U[:, edofs])
         s8 = normal_stress_8pt(refined.sections, refined.sect_id,
                                F1e[..., 0], F1e[..., 4], F1e[..., 5])
@@ -2086,7 +2113,7 @@ def _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea, case,
 
 
 _dynamic_transfer_jit = partial(jax.jit, static_argnames=(
-    "n_gauss", "current_alpha"))(_dynamic_transfer_core)
+    "n_gauss", "current_alpha", "hydro_damping"))(_dynamic_transfer_core)
 
 
 class ScatterFatigue(NamedTuple):
@@ -2203,7 +2230,9 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
                              added_mass_Ca=None,
                              support_stiffness=None,
                              storm_hours: float = 3.0,
-                             mesh=None) -> ScatterFatigueSpectral:
+                             mesh=None,
+                             hydro_damping: bool = False
+                             ) -> ScatterFatigueSpectral:
     """Long-term fatigue over an (Hs, Tp, occurrence[, heading]) scatter
     diagram in the FREQUENCY domain — the industry-standard spectral
     fatigue recipe, with no time marching at all.
@@ -2307,12 +2336,12 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
         nb, wl, mu, sig, mean_s, nu0 = _scatter_spectral_sharded(
             prep, case, sea_b, heads_j, occs_j, dyn, mesh, n_gauss,
             current_alpha, curve, float(exposure_years),
-            float(storm_hours), scf)
+            float(storm_hours), scf, hydro_damping)
     else:
         nb, wl, mu, sig, mean_s, nu0 = _scatter_spectral_batched(
             prep, case, sea_b, heads_j, occs_j, dyn, n_gauss,
             current_alpha, curve, float(exposure_years),
-            float(storm_hours), scf)
+            float(storm_hours), scf, hydro_damping)
     nb = np.asarray(nb)[:B]
     wl = np.asarray(wl)[:B]
     mu = np.asarray(mu)[:B]
@@ -2402,7 +2431,8 @@ def long_term_extremes(res: ScatterFatigueSpectral, return_years=(10., 100.),
 
 
 def _scatter_spectral_one_fn(prep, case, dyn, n_gauss, current_alpha,
-                             curve, exposure_years, storm_hours, scf):
+                             curve, exposure_years, storm_hours, scf,
+                             hydro_damping=False):
     """Per-state kernel shared by the batched and mesh-sharded scatter
     routes: quasi-static (``dyn=None``) or Craig-Bampton dynamic transfer
     rows -> closed-form statistics."""
@@ -2422,7 +2452,8 @@ def _scatter_spectral_one_fn(prep, case, dyn, n_gauss, current_alpha,
         else:
             cb, w2n, phi, c_j = dyn
             tr = _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea,
-                                        case_i, n_gauss, current_alpha)
+                                        case_i, n_gauss, current_alpha,
+                                        hydro_damping=hydro_damping)
         st = spectral_stats(
             tr.omega, tr.stress_mean, tr.stress_cos, tr.stress_sin,
             tr.U_mean, tr.U_cos, tr.U_sin, tr.totals,
@@ -2438,22 +2469,24 @@ def _scatter_spectral_one_fn(prep, case, dyn, n_gauss, current_alpha,
 
 
 @partial(jax.jit, static_argnames=("n_gauss", "current_alpha", "curve",
-                                   "exposure_years", "storm_hours"))
+                                   "exposure_years", "storm_hours",
+                                   "hydro_damping"))
 def _scatter_spectral_batched(prep, case, sea_b, heads, occs, dyn,
                               n_gauss, current_alpha, curve, exposure_years,
-                              storm_hours, scf):
+                              storm_hours, scf, hydro_damping=False):
     """One device program for the whole scatter diagram: states stream
     through ``lax.map`` (single-state memory, dispatch floor paid once)."""
     one = _scatter_spectral_one_fn(prep, case, dyn, n_gauss,
                                    current_alpha, curve, exposure_years,
-                                   storm_hours, scf)
+                                   storm_hours, scf, hydro_damping)
     with jax.default_matmul_precision("highest"):
         return jax.lax.map(one, (sea_b, heads, occs))
 
 
 def _scatter_spectral_sharded(prep, case, sea_b, heads, occs, dyn,
                               mesh, n_gauss, current_alpha, curve,
-                              exposure_years, storm_hours, scf):
+                              exposure_years, storm_hours, scf,
+                              hydro_damping=False):
     """State axis partitioned over the 1-D device mesh (axis 'cases'):
     replicated factor, each device streams its local block, no cross-
     device communication (accumulation happens host-side)."""
@@ -2461,7 +2494,7 @@ def _scatter_spectral_sharded(prep, case, sea_b, heads, occs, dyn,
 
     one = _scatter_spectral_one_fn(prep, case, dyn, n_gauss,
                                    current_alpha, curve, exposure_years,
-                                   storm_hours, scf)
+                                   storm_hours, scf, hydro_damping)
     with jax.default_matmul_precision("highest"):
         @partial(jax.shard_map, mesh=mesh, in_specs=(P("cases"),),
                  out_specs=tuple(P("cases") for _ in range(6)))

@@ -489,7 +489,8 @@ def cmd_fatigue(args):
                     seed=args.seed, U_c=args.Uc,
                     spectrum=args.spectrum or "jonswap",
                     dynamic=args.dynamic, damping_ratio=args.damping,
-                    n_chain_modes=args.chain_modes)
+                    n_chain_modes=args.chain_modes,
+                    hydro_damping=args.hydro_damping)
                 d_a = np.asarray(res.damage_wl)
                 d_b = np.asarray(res.damage_nb)
                 life = np.asarray(res.life_years_wl)
@@ -644,6 +645,7 @@ def cmd_spectral(args):
             res = sf.spectral_response_dynamic(
                 model, refined, n_seg, sea, case,
                 damping_ratio=args.damping,
+                hydro_damping=args.hydro_damping,
                 T_storm_s=args.storm_hours * 3600.0,
                 exposure_years=args.years, curve=args.curve, scf=args.scf,
                 occurrence=args.occurrence,
@@ -1495,6 +1497,8 @@ def main(argv=None):
     fa.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per chain "
                          "for --dynamic")
+    fa.add_argument("--hydro-damping", action="store_true",
+                    help="with --dynamic: add linearized drag damping")
     fa.add_argument("--return-years", default=None,
                     help="with --freq-domain: comma-separated return "
                          "periods for long-term extreme response levels "
@@ -1533,6 +1537,10 @@ def main(argv=None):
     sp.add_argument("--chain-modes", type=int, default=12,
                     help="retained fixed-interface modes per chain "
                          "for --dynamic")
+    sp.add_argument("--hydro-damping", action="store_true",
+                    help="with --dynamic: add the Borgman-linearized "
+                         "relative-velocity drag damping (modal "
+                         "projection)")
     sp.set_defaults(fn=cmd_spectral)
 
     co = sub.add_parser("contour",

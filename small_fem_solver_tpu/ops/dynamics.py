@@ -136,6 +136,34 @@ def element_added_mass(coords, conn, D_m, rho_water=1025.0, Ca=1.0):
     return jnp.einsum("mji,mjk,mkl->mil", T, M_local, T)
 
 
+def element_hydro_damping(coords, conn, c_damp):
+    """Consistent transverse HYDRODYNAMIC DAMPING matrices [M, 12, 12].
+
+    ``c_damp``: per-member linearized drag-damping coefficient per unit
+    length [N s/m per m] (Borgman: 0.5 rho Cd D sqrt(8/pi) sigma_v,
+    wetted-masked and member-averaged — see
+    :func:`.freqdomain.linearized_sea_loads`).  Same transverse consistent
+    pattern as :func:`element_added_mass` (drag acts perpendicular to a
+    slender cylinder); units convert to the FEM's N, mm, s system
+    (velocity mm/s -> coefficient N s/mm per mm = SI x 1e-6)."""
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    dL = c2 - c1
+    L = jnp.linalg.norm(dL, axis=-1)              # m
+    L_mm = L * 1000.0
+    dtype = coords.dtype
+
+    cu = jnp.asarray(c_damp, dtype) * 1e-6        # N s/mm per mm
+    cL = cu * L_mm                                # N s/mm per element
+    coeffs = jnp.stack([cL, cL * L_mm, cL * L_mm**2], axis=-1)
+    pat = jnp.asarray(_MPAT_LAT, dtype=dtype)
+    C_local = (coeffs @ pat).reshape(-1, 12, 12)
+
+    R = local_axes(dL, L)
+    T = transformation_matrices(R)
+    return jnp.einsum("mji,mjk,mkl->mil", T, C_local, T)
+
+
 def element_mass(coords, conn, sec: TubeSections, sect_id):
     """Stacked global-frame consistent mass matrices [M, 12, 12] (tonnes)."""
     c1 = coords[conn[:, 0]]

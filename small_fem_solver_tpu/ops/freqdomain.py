@@ -69,6 +69,8 @@ class LinearizedSeaLoads(NamedTuple):
     totals: jnp.ndarray    # [R, 3] global force coefficient rows (N)
     sigma_v_max: jnp.ndarray   # [] peak perpendicular-velocity std (m/s)
     c_lin_mean: jnp.ndarray    # [] wetted-average Borgman factor (m/s)
+    c_damp: jnp.ndarray    # [M] member-average linearized drag damping
+    #   coefficient 0.5 rho Cd D sqrt(8/pi) sigma_v  [N s/m per m length]
 
 
 def linearized_sea_loads(sea, coords, conn, D_m, wave_dir_deg,
@@ -154,9 +156,14 @@ def linearized_sea_loads(sea, coords, conn, D_m, wave_dir_deg,
 
     wet = live[:, 0]
     c_mean = jnp.sum(c_lin * wet) / jnp.maximum(jnp.sum(wet), 1.0)
+    # member-average linearized drag-DAMPING coefficient per unit length
+    # (relative-velocity drag: F = c (u - xdot); the c xdot part is the
+    # hydrodynamic damping the dynamic transfer can fold into its modes)
+    cd_unit = (0.5 * rho_water * Cdp * Dp * c_lin).reshape(M, Q)
+    c_damp = jnp.einsum("q,mq->m", w, cd_unit)
     return LinearizedSeaLoads(F1=F1, F2=F2, totals=totals,
                               sigma_v_max=jnp.max(sigma_v),
-                              c_lin_mean=c_mean)
+                              c_lin_mean=c_mean, c_damp=c_damp)
 
 
 # ---------------------------------------------------------------------------

@@ -497,3 +497,80 @@ def test_long_term_extremes_states_stack(frame_prep):
     assert ltAB.governing_state[0][g] == 1
     # and the mild state adds <2% at that member
     assert ltAB.stress_mpa[0][g] < 1.02 * ltB.stress_mpa[0][g]
+
+
+# --------------------------------------------- hydrodynamic damping (FD)
+
+
+def near_surface_frame():
+    """Moment frame reaching to z = -2 m: real kinematics at the top, so
+    linearized drag damping is non-negligible at the (mass-loaded) first
+    mode."""
+    nodes = {}
+    for i, (x, y) in enumerate([(-8, -8), (8, -8), (8, 8), (-8, 8)]):
+        nodes[f"B{i}"] = (float(x), float(y), -30.0)
+        nodes[f"T{i}"] = (float(x * 0.7), float(y * 0.7), -2.0)
+    members = []
+    for i in range(4):
+        members.append(dict(name=f"L{i}", node1=f"B{i}", node2=f"T{i}",
+                            type="leg"))
+        members.append(dict(name=f"H{i}", node1=f"T{i}",
+                            node2=f"T{(i + 1) % 4}", type="horizontal"))
+    return sf.build_model(nodes, members,
+                          fixed_nodes=[f"B{i}" for i in range(4)],
+                          top_nodes=[f"T{i}" for i in range(4)])
+
+
+def test_hydro_damping_acts_as_modal_ratio():
+    """The Borgman drag damping must enter EXACTLY like a first-mode
+    damping ratio: at resonance under a single component, the implied
+    zeta_h = zeta_s (1 - r)/r is identical for different structural
+    ratios, and scales linearly with Hs (sigma_v)."""
+    model = near_surface_frame()
+    refined = sf.refine_model(model, 2)
+    case = sf.LoadCase(Cd=1.2, wave_dir_deg=20.0, current_dir_deg=20.0,
+                       F_axial_kN=800.0, custom_sw_tonnes=60000.0,
+                       sw_mode="custom")
+    modal = sf.modal_analysis_condensed(model, refined, 2,
+                                        topside_mass_t=60000.0,
+                                        n_chain_modes=6)
+    w1 = float(modal.omega[0])
+    prep = sf.prepare_condensed(model, refined, 2)
+
+    def sig(tr):
+        return float(jnp.max(jnp.sqrt(
+            0.5 * jnp.sum(tr.U_cos**2 + tr.U_sin**2, axis=0))))
+
+    def zh(Hs, zs):
+        sea1 = sf.make_random_sea(Hs, 2.0 * np.pi / w1, DEPTH,
+                                  n_components=1,
+                                  omega_range=(0.99 * w1, 1.01 * w1),
+                                  seed=2)
+        kw = dict(damping_ratio=zs, n_chain_modes=6, prep=prep)
+        t0 = sf.spectral_transfer_dynamic(model, refined, 2, sea1, case,
+                                          **kw)
+        t1 = sf.spectral_transfer_dynamic(model, refined, 2, sea1, case,
+                                          hydro_damping=True, **kw)
+        r = sig(t1) / sig(t0)
+        assert r < 0.99          # damping genuinely reduces resonance
+        return zs * (1.0 - r) / r
+
+    a, b = zh(4.0, 0.01), zh(4.0, 0.03)
+    np.testing.assert_allclose(a, b, rtol=1e-3)   # a RATIO, not a quirk
+    c = zh(8.0, 0.01)
+    np.testing.assert_allclose(c, 2.0 * a, rtol=0.02)  # ~ sigma_v ~ Hs
+
+
+def test_hydro_damping_static_limit_untouched(frame_prep):
+    """Damping is irrelevant at w -> 0: the mode-acceleration static rows
+    stay exact with hydro_damping on."""
+    import dataclasses as dc
+    sea = sf.make_random_sea(4.0, 9.0, DEPTH, n_components=8, seed=3)
+    sea_lo = dc.replace(sea, omega=sea.omega * 1e-4)
+    case = sf.LoadCase(Cd=0.8, **CASE_KW)
+    tr_s = sf.spectral_transfer_prepared(frame_prep, sea_lo, case)
+    tr_d = sf.spectral_transfer_dynamic(
+        frame_prep.coarse, frame_prep.refined, frame_prep.n_seg, sea_lo,
+        case, n_chain_modes=4, prep=frame_prep, hydro_damping=True)
+    scale = float(jnp.max(jnp.abs(tr_s.U_cos)))
+    assert float(jnp.max(jnp.abs(tr_s.U_cos - tr_d.U_cos))) / scale < 1e-4
