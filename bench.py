@@ -201,6 +201,45 @@ def measure_flagship(repeats: int = 5):
         }
 
 
+def measure_scatter():
+    """Frequency-domain scatter fatigue: the long-term production path
+    (whole climate = one lax.map program against the prepared factor).
+    Reported as ms per sea state (each state = 65 linearized transfer
+    solves + closed-form statistics)."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import small_fem_solver_tpu as sf
+
+    coarse = sf.default_3leg_jacket(dtype=jnp.float32)
+    refined = sf.refine_model(coarse, 8)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    prep = sf.prepare_condensed(coarse, refined, 8, solve_dtype=jnp.float32)
+    states = [(2.5 + 0.5 * i, 7.0 + 0.3 * i, 0.05, 36.0 * i)
+              for i in range(10)]
+
+    def run():
+        return sf.scatter_fatigue_spectral(prep, case, states, 50.0, 25.0,
+                                           n_components=32)
+
+    run()                                   # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        r = run()
+        best = min(best, time.time() - t0)
+    per = best / len(states) * 1e3
+    print(f"[bench] spectral scatter fatigue: {len(states)} states x 65 "
+          f"transfer solves @ {refined.n_dof} DOF = {per:.2f} ms/state "
+          f"(max 25-y W-L damage {float(np.max(np.asarray(r.damage_wl))):.2e})",
+          file=sys.stderr)
+    return {"scatter_fd_ms_per_state": round(per, 2)}
+
+
 def check_pallas_device():
     """Device-mode (non-interpret) correctness check of the fused Morison
     kernel vs the XLA path, on the bench mesh.  Runs on the real TPU as part
@@ -419,6 +458,7 @@ def main():
     ms, ndof, sec = measure_flagship(args.repeats)
     secondary.update(sec)
     secondary.update(measure_assembly())
+    secondary.update(measure_scatter())
     secondary.update(check_pallas_device())
 
     if args.large:

@@ -85,3 +85,13 @@ for e in order:
     life = float(lt.life_years_wl[e])
     print(f"  {refined.member_names[e]:<22} D={float(lt.damage_wl[e]):.3e} "
           f"life={'inf' if np.isinf(life) else f'{life:.0f} y'}")
+
+# -- N-year extreme response from the same transfer rows ------------------
+ext = sf.long_term_extremes(lt, return_years=(10.0, 100.0),
+                            fy=float(case.fy))
+for r_i, y in enumerate((10, 100)):
+    u = np.asarray(ext.utilization[r_i])
+    e = int(np.argmax(u))
+    print(f"{y}-year extreme: max utilization {u[e]:.3f} at "
+          f"{refined.member_names[e]} "
+          f"(governing state {ext.governing_state[r_i][e] + 1})")

@@ -27,7 +27,8 @@ def _result_registry():
     from ..ops.codecheck_iso import ISOCheck
     from ..ops.dynamics import (HarmonicResponse, ModalResults,
                                 TransientResponse)
-    from ..api import FreqTransfer, ScatterFatigueSpectral
+    from ..api import (FreqTransfer, LongTermExtremes,
+                       ScatterFatigueSpectral)
     from ..ops.fatigue import FatigueScreen
     from ..ops.freqdomain import FreqDomainResponse
     from ..ops.morison import MorisonLoads, MorisonPhaseBatch
@@ -42,7 +43,8 @@ def _result_registry():
                SpectralFatigue, ScatterFatigue, PushoverResults,
                SpectrumResults, RemovalScreen, BucklingResults,
                EulerScreen, CodeCheck, ISOCheck, VIVScreen,
-               FreqTransfer, FreqDomainResponse, ScatterFatigueSpectral]
+               FreqTransfer, FreqDomainResponse, ScatterFatigueSpectral,
+               LongTermExtremes]
     return {c.__name__: c for c in classes}
 
 # nested NamedTuple fields: (class name, field) -> nested class name

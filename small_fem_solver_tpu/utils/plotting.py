@@ -194,3 +194,59 @@ def plot_pushover(result, path: str, title: str | None = None):
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)
+
+
+def plot_transfer(tr, sea, path: str, member_names=None, top: int = 5,
+                  title: str | None = None):
+    """Stress transfer functions + response spectra from FD transfer rows.
+
+    Left panel: |H_sigma(omega)| per unit amplitude for the ``top``
+    largest-variance members (amplitude of the stress response to a unit-
+    amplitude component at each frequency, at the governing of the 8
+    circumferential points).  Right panel: the wave spectrum S_eta and
+    the resulting stress response spectra
+    S_sigma = |H|^2 S_eta on a twin axis.
+
+    ``tr``: a :class:`..api.FreqTransfer` (quasi-static or dynamic);
+    ``sea``: the :class:`..ops.spectrum.SpectralSea` it was built from.
+    """
+    om = np.asarray(tr.omega)
+    a = np.asarray(sea.a)
+    # per-mode stress amplitude at the governing point per member
+    amp2 = 0.5 * (np.asarray(tr.stress_cos) ** 2
+                  + np.asarray(tr.stress_sin) ** 2)      # [N, M, 8]
+    m0 = amp2.sum(axis=0)                                # [M, 8]
+    pt = np.argmax(m0, axis=-1)                          # governing point
+    Mn = amp2.shape[1]
+    amp = np.sqrt(np.asarray(tr.stress_cos) ** 2
+                  + np.asarray(tr.stress_sin) ** 2)[
+        :, np.arange(Mn), pt]                            # [N, M]
+    H = amp / np.maximum(a[:, None], 1e-30)              # per unit amplitude
+    sig2 = m0[np.arange(Mn), pt]
+    order = np.argsort(sig2)[::-1][:top]
+
+    # spectra on the component grid: S dw = a^2/2 -> S = a^2/(2 dw)
+    dw = np.gradient(om)
+    S_eta = a**2 / (2.0 * np.maximum(dw, 1e-30))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 5))
+    for e in order:
+        name = member_names[e] if member_names is not None else f"m{e}"
+        ax1.plot(om, H[:, e], marker="o", ms=3, label=name)
+        ax2.plot(om, H[:, e] ** 2 * S_eta, marker="o", ms=3, label=name)
+    ax1.set_xlabel("omega [rad/s]")
+    ax1.set_ylabel("|H_sigma| [MPa per m amplitude]")
+    ax1.set_title(title or "stress transfer functions")
+    ax1.grid(alpha=0.3)
+    ax1.legend(fontsize=8)
+    axw = ax2.twinx()
+    axw.fill_between(om, np.zeros_like(S_eta), S_eta, alpha=0.15,
+                     color="gray")
+    axw.set_ylabel("S_eta [m^2 s/rad]", color="gray")
+    ax2.set_xlabel("omega [rad/s]")
+    ax2.set_ylabel("S_sigma [MPa^2 s/rad]")
+    ax2.set_title("stress response spectra (wave spectrum shaded)")
+    ax2.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)

@@ -114,7 +114,15 @@ def test_plotting(tmp_path):
     scan = sf.phase_scan(wave, model.coords, model.conn, D_m, 38.0, 38.0,
                          0.7, 2.0, 1025.0, n_steps=12)
     plot_phase_scan(scan, tmp_path / "p.png")
-    for f in ("s.png", "u.png", "p.png"):
+    # frequency-domain transfer functions + response spectra
+    from small_fem_solver_tpu.utils.plotting import plot_transfer
+    refined = sf.refine_model(model, 2)
+    prep = sf.prepare_condensed(model, refined, 2)
+    sea = sf.make_random_sea(6.0, 9.0, 50.0, n_components=12, seed=1)
+    tr = sf.spectral_transfer_prepared(prep, sea, case)
+    plot_transfer(tr, sea, tmp_path / "h.png",
+                  member_names=refined.member_names)
+    for f in ("s.png", "u.png", "p.png", "h.png"):
         assert (tmp_path / f).stat().st_size > 10000
 
 
