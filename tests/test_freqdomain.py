@@ -574,3 +574,31 @@ def test_hydro_damping_static_limit_untouched(frame_prep):
         case, n_chain_modes=4, prep=frame_prep, hydro_damping=True)
     scale = float(jnp.max(jnp.abs(tr_s.U_cos)))
     assert float(jnp.max(jnp.abs(tr_s.U_cos - tr_d.U_cos))) / scale < 1e-4
+
+
+def test_fd_vs_td_long_term_damage_agree():
+    """The two long-term fatigue paths — FD Wirsching-Light closed form vs
+    TD rainflow on a 4096-sample realization of the SAME sea state — must
+    agree where they measure comparable stress: median ratio ~1 over the
+    top damage members.  (Member-level outliers are expected: the FD screen
+    uses the signed normal stress at the governing circumferential point,
+    the TD screen the von Mises history.)"""
+    coarse = sf.default_3leg_jacket()
+    refined = sf.refine_model(coarse, 4)
+    prep = sf.prepare_condensed(coarse, refined, 4)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    st = (6.0, 9.0, 1.0)
+    fd = sf.scatter_fatigue_spectral(prep, case, [st], DEPTH,
+                                     exposure_years=25.0, n_components=32,
+                                     seed=0, scf=1.5)
+    td = sf.scatter_fatigue(prep, case, [st], DEPTH, exposure_years=25.0,
+                            n_components=32, n_steps=4096, seed=0, scf=1.5,
+                            stretching="none")
+    a = np.asarray(fd.damage_wl)
+    b = np.asarray(td.damage_rainflow)
+    top = np.argsort(b)[::-1][:15]
+    r = a[top] / b[top]
+    assert 0.7 < np.median(r) < 1.4
+    assert np.mean((r > 0.3) & (r < 3.0)) >= 0.8
