@@ -1736,7 +1736,8 @@ def spectral_response_prepared(prep: CondensedPrepared, sea, case: LoadCase,
         jnp.asarray(exposure_years, solve_dtype), curve=curve,
         scf=jnp.asarray(scf, solve_dtype),
         occurrence=jnp.asarray(occurrence, solve_dtype),
-        sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean)
+        sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean,
+        totals_moment=tr.totals_moment)
 
 
 class FreqTransfer(NamedTuple):
@@ -1760,6 +1761,8 @@ class FreqTransfer(NamedTuple):
     totals: jnp.ndarray       # [2N+1, 3] global hydro force rows (N)
     sigma_v_max: jnp.ndarray  # linearization diagnostics
     c_lin_mean: jnp.ndarray
+    totals_moment: jnp.ndarray  # [2N+1, 3] global moment rows about the
+    #   mudline origin (N m): x/y = overturning, z = torsion
 
 
 def spectral_transfer_prepared(prep: CondensedPrepared, sea,
@@ -1827,7 +1830,8 @@ def _spectral_transfer_jit(prep, sea, case, n_gauss, refine_steps,
             U_cos=U[1:1 + N], U_sin=U[1 + N:], stress_mean=s8[0],
             stress_cos=s8[1:1 + N], stress_sin=s8[1 + N:],
             totals=lin.totals.astype(solve_dtype),
-            sigma_v_max=lin.sigma_v_max, c_lin_mean=lin.c_lin_mean)
+            sigma_v_max=lin.sigma_v_max, c_lin_mean=lin.c_lin_mean,
+            totals_moment=lin.totals_moment.astype(solve_dtype))
 
 
 def spectral_response_dynamic(coarse, refined, n_seg: int, sea,
@@ -1878,7 +1882,8 @@ def spectral_response_dynamic(coarse, refined, n_seg: int, sea,
         jnp.asarray(exposure_years, solve_dtype), curve=curve,
         scf=jnp.asarray(scf, solve_dtype),
         occurrence=jnp.asarray(occurrence, solve_dtype),
-        sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean)
+        sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean,
+        totals_moment=tr.totals_moment)
 
 
 def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
@@ -2109,7 +2114,8 @@ def _dynamic_transfer_core(prep, cb, w2n, phi, c_j, sea, case,
             omega=w, U_mean=U[0], U_cos=U[1:1 + N], U_sin=U[1 + N:],
             stress_mean=s8[0], stress_cos=s8[1:1 + N],
             stress_sin=s8[1 + N:], totals=lin.totals.astype(dtype),
-            sigma_v_max=lin.sigma_v_max, c_lin_mean=lin.c_lin_mean)
+            sigma_v_max=lin.sigma_v_max, c_lin_mean=lin.c_lin_mean,
+            totals_moment=lin.totals_moment.astype(dtype))
 
 
 _dynamic_transfer_jit = partial(jax.jit, static_argnames=(
@@ -2461,7 +2467,8 @@ def _scatter_spectral_one_fn(prep, case, dyn, n_gauss, current_alpha,
             jnp.asarray(storm_hours * 3600.0, solve_dtype),
             jnp.asarray(exposure_years, solve_dtype), curve=curve,
             scf=jnp.asarray(scf, solve_dtype), occurrence=occ,
-            sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean)
+            sigma_v_max=tr.sigma_v_max, c_lin_mean=tr.c_lin_mean,
+            totals_moment=tr.totals_moment)
         return (st.damage_nb, st.damage_wl, st.mpm_utilization,
                 st.sigma_stress, st.mean_stress, st.nu0_hz)
 

@@ -668,6 +668,11 @@ def cmd_spectral(args):
           f"{float(res.sigma_v_max):.2f} m/s)")
     print(f"  base shear: mean {float(res.mean_base_shear_N)/1e3:.0f} kN, "
           f"sigma {float(res.sigma_base_shear_N)/1e3:.0f} kN")
+    print(f"  overturning moment: mean "
+          f"{float(res.mean_otm_Nm)/1e6:.1f} MN m, sigma "
+          f"{float(res.sigma_otm_Nm)/1e6:.1f} MN m, "
+          f"{args.storm_hours:.0f}-h MPM {float(res.mpm_otm_Nm)/1e6:.1f} "
+          f"MN m")
     print(f"  displacement: sigma {float(res.sigma_disp_mm):.1f} mm, "
           f"{args.storm_hours:.0f}-h MPM {float(res.mpm_disp_mm):.1f} mm")
     print(f"  {'Member':<24} {'sigma':>7} {'nu0 Hz':>7} {'alpha2':>6} "

@@ -71,6 +71,8 @@ class LinearizedSeaLoads(NamedTuple):
     c_lin_mean: jnp.ndarray    # [] wetted-average Borgman factor (m/s)
     c_damp: jnp.ndarray    # [M] member-average linearized drag damping
     #   coefficient 0.5 rho Cd D sqrt(8/pi) sigma_v  [N s/m per m length]
+    totals_moment: jnp.ndarray  # [R, 3] global moment rows about the
+    #   mudline origin (0, 0, -d)  [N m]
 
 
 def linearized_sea_loads(sea, coords, conn, D_m, wave_dir_deg,
@@ -154,6 +156,15 @@ def linearized_sea_loads(sea, coords, conn, D_m, wave_dir_deg,
     F2 = jnp.einsum("q,rmqc->rmc", s, f)
     totals = jnp.sum(f, axis=(1, 2))
 
+    # global moment rows about the mudline origin (overturning + torsion):
+    # same linear rows, so the OTM process statistics are exact too
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    p = c1[:, None, :] + s[None, :, None] * (c2 - c1)[:, None, :]  # [M,Q,3]
+    r_arm = p - jnp.asarray([0.0, 0.0, -1.0], dtype) * sea.d       # m
+    totals_moment = jnp.sum(jnp.cross(r_arm[None], f.reshape(R, M, Q, 3)),
+                            axis=(1, 2))                           # [R, 3]
+
     wet = live[:, 0]
     c_mean = jnp.sum(c_lin * wet) / jnp.maximum(jnp.sum(wet), 1.0)
     # member-average linearized drag-DAMPING coefficient per unit length
@@ -163,7 +174,8 @@ def linearized_sea_loads(sea, coords, conn, D_m, wave_dir_deg,
     c_damp = jnp.einsum("q,mq->m", w, cd_unit)
     return LinearizedSeaLoads(F1=F1, F2=F2, totals=totals,
                               sigma_v_max=jnp.max(sigma_v),
-                              c_lin_mean=c_mean, c_damp=c_damp)
+                              c_lin_mean=c_mean, c_damp=c_damp,
+                              totals_moment=totals_moment)
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +206,9 @@ class FreqDomainResponse(NamedTuple):
     mpm_disp_mm: jnp.ndarray       # [] MPM of that translation
     sigma_base_shear_N: jnp.ndarray   # [] std of total horizontal force
     mean_base_shear_N: jnp.ndarray
+    sigma_otm_Nm: jnp.ndarray         # [] std of the resultant overturning
+    mean_otm_Nm: jnp.ndarray          #    moment about the mudline
+    mpm_otm_Nm: jnp.ndarray           # [] MPM of the OTM over the storm
     sigma_v_max: jnp.ndarray       # linearization diagnostics
     c_lin_mean: jnp.ndarray
 
@@ -209,7 +224,8 @@ def spectral_stats(omega, stress_mean, stress_cos, stress_sin,
                    T_storm_s: float, exposure_years: float,
                    curve: str = "D-sea-cp", scf=1.0,
                    occurrence: float = 1.0,
-                   sigma_v_max=0.0, c_lin_mean=0.0) -> FreqDomainResponse:
+                   sigma_v_max=0.0, c_lin_mean=0.0,
+                   totals_moment=None) -> FreqDomainResponse:
     """Spectral moments -> fatigue + extremes, from per-mode transfer rows.
 
     ``stress_*``: normal stress at the 8 points, mean ``[M, 8]`` and
@@ -303,11 +319,26 @@ def spectral_stats(omega, stress_mean, stress_cos, stress_sin,
     sig_bs = jnp.sqrt(jnp.sum(fx2 + fy2))
     mean_bs = jnp.sqrt(totals[0, 0]**2 + totals[0, 1]**2)
 
+    # overturning moment about the mudline (resultant of Mx, My): the
+    # moment rows are linear in the components too, so sigma is exact
+    if totals_moment is None:
+        totals_moment = jnp.zeros_like(totals)
+    mc_, ms_ = totals_moment[1:1 + N], totals_moment[1 + N:]
+    m2_rows = 0.5 * (mc_[:, 0]**2 + ms_[:, 0]**2
+                     + mc_[:, 1]**2 + ms_[:, 1]**2)
+    sig_otm = jnp.sqrt(jnp.sum(m2_rows))
+    mean_otm = jnp.sqrt(totals_moment[0, 0]**2 + totals_moment[0, 1]**2)
+    nu0_otm = jnp.sqrt(jnp.sum(m2_rows * omega**2)
+                       / jnp.maximum(jnp.sum(m2_rows), eps_num)) \
+        / (2.0 * jnp.pi)
+    mpm_otm = mean_otm + sig_otm * _mpm_factor(nu0_otm, T_storm_s)
+
     return FreqDomainResponse(
         omega=omega, sigma_stress=sigma, mean_stress=mean_g, nu0_hz=nu0,
         bandwidth_alpha2=alpha2, mpm_stress=mpm, mpm_utilization=util,
         damage_nb=d_nb, damage_wl=d_wl, life_years_nb=life_nb,
         life_years_wl=life_wl, sigma_disp_mm=sig_d, mpm_disp_mm=mpm_d,
         sigma_base_shear_N=sig_bs, mean_base_shear_N=mean_bs,
+        sigma_otm_Nm=sig_otm, mean_otm_Nm=mean_otm, mpm_otm_Nm=mpm_otm,
         sigma_v_max=jnp.asarray(sigma_v_max),
         c_lin_mean=jnp.asarray(c_lin_mean))

@@ -602,3 +602,26 @@ def test_fd_vs_td_long_term_damage_agree():
     r = a[top] / b[top]
     assert 0.7 < np.median(r) < 1.4
     assert np.mean((r > 0.3) & (r < 3.0)) >= 0.8
+
+
+def test_overturning_moment_statistics(frame_prep):
+    """OTM rows about the mudline: the effective lever arm
+    sigma_OTM / sigma_BS must sit inside the structure's wetted span
+    (frame members live between z = -45 and -25 m in d = 50 m water:
+    lever in [5, 25] m), the MPM exceeds the mean, and a single-component
+    regular check reproduces sigma_OTM = |M_row|/sqrt(2) exactly."""
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    sea = sf.make_random_sea(5.0, 8.0, DEPTH, n_components=12, seed=7)
+    r = sf.spectral_response_prepared(frame_prep, sea, case)
+    lever = float(r.sigma_otm_Nm / r.sigma_base_shear_N)
+    assert 5.0 < lever < 25.0
+    assert float(r.mpm_otm_Nm) > float(r.mean_otm_Nm) >= 0.0
+
+    # single component: sigma must equal the closed form from the raw rows
+    sea1 = sf.make_random_sea(4.0, 8.0, DEPTH, n_components=1,
+                              omega_range=(0.7, 0.9))
+    tr = sf.spectral_transfer_prepared(frame_prep, sea1, case)
+    mc, ms = np.asarray(tr.totals_moment[1]), np.asarray(tr.totals_moment[2])
+    expect = np.sqrt(0.5 * (mc[0]**2 + ms[0]**2 + mc[1]**2 + ms[1]**2))
+    r1 = sf.spectral_response_prepared(frame_prep, sea1, case)
+    np.testing.assert_allclose(float(r1.sigma_otm_Nm), expect, rtol=1e-12)
