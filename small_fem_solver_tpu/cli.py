@@ -889,6 +889,37 @@ def cmd_contour(args):
         print(f"contour response envelope: governing state Hs "
               f"{hs_c[g]:.2f} m / Tp {tp[g]:.2f} s, max utilization "
               f"{float(env.max_util_per_case.max()):.4f}")
+    if args.spectral:
+        # response-based check: every contour state through the FD
+        # transfer as ONE device program; the MPM utilization over the
+        # state-duration storm is the N-year short-term extreme estimate
+        import small_fem_solver_tpu as sf
+        with _cpu_if_f64(args):
+            model, _, case = _setup(args)
+            n_seg = max(args.refine, 2)
+            refined = sf.refine_model(model, n_seg)
+            prep = sf.prepare_condensed(model, refined, n_seg,
+                                        E=case.E, nu=case.nu)
+            hs_c = np.clip(hs, 0.05, 0.78 * args.d)
+            states = [(float(h), float(t), 1.0 / len(hs_c))
+                      for h, t in zip(hs_c, tp)]
+            res = sf.scatter_fatigue_spectral(
+                prep, case, states, d=args.d, exposure_years=1.0,
+                n_components=args.components, seed=args.seed, U_c=args.Uc,
+                storm_hours=args.state_hours,
+                dynamic=args.dynamic, damping_ratio=args.damping)
+        mu = np.asarray(res.mpm_utilization)
+        e = int(np.argmax(mu))
+        per_state_peak = np.asarray(res.per_state_sigma).max(axis=1)
+        gs = int(np.argmax(per_state_peak))
+        kind = "dynamic CB" if args.dynamic else "quasi-static"
+        print(f"contour spectral screen ({kind}, {len(states)} states x "
+              f"{args.components} components, {args.state_hours:g}-h MPM): "
+              f"max utilization {mu[e]:.4f} at "
+              f"{refined.member_names[e]} (peak-sigma state Hs "
+              f"{states[gs][0]:.2f} m / Tp {states[gs][1]:.2f} s)")
+        if mu[e] > 1.0:
+            print("  WARNING: N-year MPM extreme exceeds yield!")
 
 
 def cmd_robustness(args):
@@ -1562,6 +1593,17 @@ def main(argv=None):
     co.add_argument("--envelope", action="store_true",
                     help="run the contour states through design_envelope")
     co.add_argument("--phase-steps", type=int, default=12)
+    co.add_argument("--spectral", action="store_true",
+                    help="response-based check: every contour state "
+                         "through the frequency-domain transfer (one "
+                         "device program, no time march); MPM "
+                         "utilizations over the state duration")
+    co.add_argument("--refine", type=int, default=2)
+    co.add_argument("--components", type=int, default=32)
+    co.add_argument("--seed", type=int, default=0)
+    co.add_argument("--dynamic", action="store_true",
+                    help="with --spectral: CB dynamic transfer")
+    co.add_argument("--damping", type=float, default=0.02)
     co.set_defaults(fn=cmd_contour)
 
     rb = sub.add_parser("robustness",

@@ -355,3 +355,29 @@ def test_cli_scatter_fatigue_freq_domain(capsys):
     assert "frequency-domain DYNAMIC (CB)" in out
     assert "heading=120 deg" in out
     assert "D W-L" in out
+
+
+def test_cli_contour_spectral(capsys, tmp_path):
+    """'contour --spectral': IFORM states through the FD transfer (one
+    device program), MPM utilizations as the response-based check."""
+    import sys
+    import numpy as np
+    from small_fem_solver_tpu.cli import main
+    rng = np.random.default_rng(0)
+    hs = rng.weibull(1.5, 300) * 3.0 + 0.3
+    tp = 5.0 + 1.9 * np.sqrt(hs) + rng.normal(0, 0.5, 300)
+    p = tmp_path / "climate.json"
+    p.write_text(json.dumps([[float(h), float(t)]
+                             for h, t in zip(hs, tp)]))
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "contour", "--scatter", str(p),
+                    "--return-years", "50", "--points", "6",
+                    "--spectral", "--components", "10", "--refine", "2"]
+        main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "IFORM contour" in out
+    assert "contour spectral screen (quasi-static, 6 states" in out
+    assert "max utilization" in out
