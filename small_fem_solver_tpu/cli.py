@@ -130,6 +130,9 @@ def _add_common(ap: argparse.ArgumentParser):
     o.add_argument("--json-out", help="dump full results JSON")
     o.add_argument("--plot", help="save 3D utilization plot PNG")
     o.add_argument("--save-model", help="write the (possibly default) model JSON")
+    o.add_argument("--save-results",
+                   help="persist the full result pytree as .npz "
+                        "(reload with sf.load_results)")
 
 
 def _add_spring_arg(ap: argparse.ArgumentParser):
@@ -275,6 +278,10 @@ def cmd_run(args):
 
 
 def _outputs(args, model, res):
+    if getattr(args, "save_results", None):
+        from .utils.persist import save_results
+        save_results(args.save_results, res)
+        print(f"wrote {args.save_results}", file=sys.stderr)
     if args.csv:
         from .utils.io import export_csv
         export_csv(args.csv, model, res)
@@ -530,6 +537,10 @@ def cmd_fatigue(args):
         if max(d_a.max(), d_b.max()) > 1.0:
             print("  WARNING: Miner damage > 1 — fatigue life shorter than "
                   "the exposure!")
+        if getattr(args, "save_results", None):
+            from .utils.persist import save_results
+            save_results(args.save_results, res)
+            print(f"wrote {args.save_results}", file=sys.stderr)
         if args.freq_domain and args.return_years:
             ry = tuple(float(v) for v in args.return_years.split(","))
             lt = sf.long_term_extremes(res, return_years=ry,
@@ -694,6 +705,10 @@ def cmd_spectral(args):
     if mu.max() > 1.0:
         print("  WARNING: MPM utilization > 1 — extreme-response yield "
               "check fails!")
+    if getattr(args, "save_results", None):
+        from .utils.persist import save_results
+        save_results(args.save_results, res)
+        print(f"wrote {args.save_results}", file=sys.stderr)
 
 
 def cmd_buckling(args):

@@ -381,3 +381,29 @@ def test_cli_contour_spectral(capsys, tmp_path):
     assert "IFORM contour" in out
     assert "contour spectral screen (quasi-static, 6 states" in out
     assert "max utilization" in out
+
+
+def test_cli_save_results_roundtrip(tmp_path, capsys):
+    """--save-results persists the full result pytree as npz on the run
+    and spectral commands; sf.load_results rebuilds it."""
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+    p1, p2 = tmp_path / "run.npz", tmp_path / "fd.npz"
+    try:
+        sys.argv = ["cli", "run", "--wave-model", "airy",
+                    "--save-results", str(p1)]
+        main()
+        sys.argv = ["cli", "spectral", "--refine", "2", "--components",
+                    "8", "--hs", "6", "--tp", "9",
+                    "--save-results", str(p2)]
+        main()
+    finally:
+        sys.argv = argv
+    capsys.readouterr()
+    r1 = sf.load_results(p1)
+    assert type(r1).__name__ == "AnalysisResults"
+    assert float(np.asarray(r1.utilization).max()) > 0.1
+    r2 = sf.load_results(p2)
+    assert type(r2).__name__ == "FreqDomainResponse"
+    assert np.isfinite(np.asarray(r2.damage_wl)).all()
