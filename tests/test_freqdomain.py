@@ -625,3 +625,27 @@ def test_overturning_moment_statistics(frame_prep):
     expect = np.sqrt(0.5 * (mc[0]**2 + ms[0]**2 + mc[1]**2 + ms[1]**2))
     r1 = sf.spectral_response_prepared(frame_prep, sea1, case)
     np.testing.assert_allclose(float(r1.sigma_otm_Nm), expect, rtol=1e-12)
+
+
+def test_dynamic_transfer_spring_clamp_limit(frame_prep):
+    """Very stiff foundation springs recover the clamped dynamic transfer
+    (support_stiffness threads through BOTH the condensed static rows and
+    the CB reduction)."""
+    model, refined = frame_prep.coarse, frame_prep.refined
+    sea = sf.make_random_sea(5.0, 8.0, DEPTH, n_components=8, seed=4)
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    t_clamp = sf.spectral_transfer_dynamic(model, refined, 4, sea, case,
+                                           n_chain_modes=6,
+                                           prep=frame_prep)
+    stiff = [1e13] * 3 + [1e16] * 3
+    prep_s = sf.prepare_condensed(model, refined, 4,
+                                  support_stiffness=stiff)
+    t_spring = sf.spectral_transfer_dynamic(model, refined, 4, sea, case,
+                                            n_chain_modes=6, prep=prep_s,
+                                            support_stiffness=stiff)
+    scale = float(jnp.max(jnp.abs(t_clamp.U_cos)))
+    assert float(jnp.max(jnp.abs(t_clamp.U_cos - t_spring.U_cos))) \
+        / scale < 1e-3
+    s_scale = float(jnp.max(jnp.abs(t_clamp.stress_cos)))
+    assert float(jnp.max(jnp.abs(t_clamp.stress_cos
+                                 - t_spring.stress_cos))) / s_scale < 1e-3
