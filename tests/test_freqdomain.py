@@ -649,3 +649,36 @@ def test_dynamic_transfer_spring_clamp_limit(frame_prep):
     s_scale = float(jnp.max(jnp.abs(t_clamp.stress_cos)))
     assert float(jnp.max(jnp.abs(t_clamp.stress_cos
                                  - t_spring.stress_cos))) / s_scale < 1e-3
+
+
+def test_mean_row_is_statics(frame_prep):
+    """With zero current the FD mean row carries EXACTLY the static
+    solution (the wave components are zero-mean), matching the prepared
+    single-phase analysis under a negligible wave."""
+    sea = sf.make_random_sea(5.0, 8.0, DEPTH, n_components=8, seed=5,
+                             U_c=0.0)
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    tr = sf.spectral_transfer_prepared(frame_prep, sea, case)
+    tiny = sf.airy_wave(1e-9, 8.0, DEPTH)
+    res = sf.analyze_prepared(frame_prep, tiny, case)
+    scale = float(jnp.max(jnp.abs(res.U)))
+    assert scale > 0.01
+    assert float(jnp.max(jnp.abs(tr.U_mean - res.U))) / scale < 1e-8
+
+
+def test_scatter_hydro_damping_matches_single_state(frame_prep):
+    """scatter(dynamic, hydro_damping) == the single-state dynamic
+    response with hydro damping."""
+    case = sf.LoadCase(Cd=0.9, **CASE_KW)
+    st = (5.0, 8.0, 0.2)
+    r = sf.scatter_fatigue_spectral(frame_prep, case, [st], DEPTH,
+                                    exposure_years=10.0, seed=3,
+                                    n_components=8, dynamic=True,
+                                    n_chain_modes=6, hydro_damping=True)
+    sea = sf.make_random_sea(st[0], st[1], DEPTH, n_components=8, seed=3)
+    ref = sf.spectral_response_dynamic(
+        frame_prep.coarse, frame_prep.refined, frame_prep.n_seg, sea, case,
+        exposure_years=10.0, occurrence=st[2], n_chain_modes=6,
+        prep=frame_prep, hydro_damping=True)
+    np.testing.assert_allclose(np.asarray(r.damage_wl),
+                               np.asarray(ref.damage_wl), rtol=1e-9)
