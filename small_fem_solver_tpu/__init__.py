@@ -50,7 +50,12 @@ from .ops.spectrum import (SpectralSea, make_random_sea, morison_sea_batch,
 from .ops.airgap import AirGapResult, air_gap_check
 from .ops.freqdomain import FreqDomainResponse
 from .ops.metocean import (JointHsTp, fit_joint_hs_tp, fit_weibull,
-                           iform_contour, n_year_sea_states)
+                           iform_contour, n_year_sea_states,
+                           return_period_beta, rosenblatt_hs_tp)
+from .ops.reliability import (EnvironmentalReliability, FormResult,
+                              environmental_reliability, form,
+                              hs_tp_limit_state, importance_sample,
+                              sorm_correction, utilization_response)
 from .ops.pushover import PushoverResults, pushover, pushover_rose
 from .ops.robustness import RemovalScreen, member_removal_screen
 from .ops.seismic import (SpectrumResults, cqc_correlation, ec8_spectrum,

@@ -29,7 +29,8 @@ foundation springs), ``seismic`` (response-spectrum earthquake check),
 ``transient`` (Newmark time integration, optional relative-velocity
 drag), ``pushover`` (reserve strength ratio, optional directional rose),
 ``robustness`` (ALS member-removal screen), ``contour`` (N-year IFORM
-environmental contours), ``air-gap`` (crest clearance),
+environmental contours), ``reliability`` (direct FORM failure
+probability under the climate), ``air-gap`` (crest clearance),
 ``save-default`` (write the default jacket JSON).
 
 Usage examples:
@@ -937,6 +938,50 @@ def cmd_contour(args):
             print("  WARNING: N-year MPM extreme exceeds yield!")
 
 
+def cmd_reliability(args):
+    """Direct FORM on the governing utilization under the wave climate."""
+    import json as _json
+
+    import numpy as np
+
+    from .ops.metocean import fit_joint_hs_tp
+    from .ops.reliability import (environmental_reliability,
+                                  utilization_response)
+
+    raw = args.scatter
+    text = raw if raw.strip().startswith("[") else open(raw).read()
+    rows = np.asarray(_json.loads(text), dtype=np.float64)
+    if rows.ndim != 2 or rows.shape[1] not in (2, 3):
+        raise SystemExit("--scatter needs [[Hs, Tp, (occurrence)], ...]")
+    occ = rows[:, 2] if rows.shape[1] == 3 else None
+    joint = fit_joint_hs_tp(rows[:, 0], rows[:, 1], occurrence=occ,
+                            n_bins=args.bins, state_hours=args.state_hours)
+    print(f"joint fit: Hs ~ Weibull(k={joint.weibull_k:.3f}, "
+          f"lam={joint.weibull_lam:.3f} m); ln Tp | Hs lognormal over "
+          f"{args.bins} bins ({args.state_hours:g} h states)")
+    with _cpu_if_f64(args):
+        model, _, case = _setup(args)
+        response = utilization_response(
+            model, case, d=args.d, U_c=args.Uc,
+            wave_model=args.wave_model, N=args.N,
+            n_steps=args.phase_steps)
+        rel = environmental_reliability(response, joint, args.threshold,
+                                        max_iter=args.max_iter)
+    f = rel.form
+    print(f"FORM on utilization > {args.threshold:g} "
+          f"({f.n_iter} iterations, {f.n_evals} phase scans"
+          f"{'' if f.converged else '; NOT CONVERGED'}):")
+    print(f"  reliability index beta = {f.beta:.3f}  "
+          f"(alpha: Hs {f.alpha[0]:+.3f}, Tp {f.alpha[1]:+.3f})")
+    print(f"  design storm: Hs {rel.hs_star:.2f} m, Tp {rel.tp_star:.2f} s")
+    print(f"  failure probability: {rel.pf_state:.3e} per "
+          f"{args.state_hours:g}-h state, {rel.pf_annual:.3e} per year "
+          f"(return period {rel.return_years:,.0f} years)")
+    if not f.converged:
+        raise SystemExit("FORM did not converge — loosen --threshold or "
+                         "check that the climate reaches it")
+
+
 def cmd_robustness(args):
     """Member-removal (ALS damage) screen — beyond the reference."""
     import numpy as np
@@ -1620,6 +1665,21 @@ def main(argv=None):
                     help="with --spectral: CB dynamic transfer")
     co.add_argument("--damping", type=float, default=0.02)
     co.set_defaults(fn=cmd_contour)
+
+    rl = sub.add_parser("reliability",
+                        help="direct FORM: probability that the governing "
+                             "utilization exceeds a threshold under the "
+                             "(Hs, Tp) climate")
+    _add_common(rl)
+    rl.add_argument("--scatter", required=True,
+                    help="JSON file (or literal) of [[Hs, Tp, (occ)], ...]")
+    rl.add_argument("--threshold", type=float, default=1.0,
+                    help="utilization limit (1.0 = first yield)")
+    rl.add_argument("--bins", type=int, default=8)
+    rl.add_argument("--state-hours", type=float, default=3.0)
+    rl.add_argument("--phase-steps", type=int, default=12)
+    rl.add_argument("--max-iter", type=int, default=30)
+    rl.set_defaults(fn=cmd_reliability)
 
     rb = sub.add_parser("robustness",
                         help="single-member-removal (ALS damage) screen: "

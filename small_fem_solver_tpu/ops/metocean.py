@@ -167,6 +167,32 @@ def fit_joint_hs_tp(hs, tp, occurrence=None, n_bins: int = 8,
                      float(state_hours))
 
 
+def rosenblatt_hs_tp(model: JointHsTp, u1, u2):
+    """Map standard-normal (u1, u2) to physical (Hs, Tp) through the joint
+    model: u1 -> Hs by the inverse Weibull CDF at Phi(u1), u2 -> Tp by the
+    conditional lognormal quantile.  The single Rosenblatt transform shared
+    by the IFORM contour and the FORM search (`ops/reliability.py`)."""
+    u1 = np.asarray(u1, dtype=np.float64)
+    u2 = np.asarray(u2, dtype=np.float64)
+    # clip away from p = 1: u1 > ~8.2 saturates Phi in f64 and would map to
+    # Hs = inf (FORM trial steps can probe that far out)
+    p1 = np.clip(_phi(u1), 0.0, 1.0 - 1e-16)
+    hs = model.weibull_lam * (-np.log1p(-p1)) ** (1.0 / model.weibull_k)
+    mu = np.interp(hs, model.hs_grid, model.mu_lnTp)
+    sg = np.interp(hs, model.hs_grid, model.sigma_lnTp)
+    tp = np.exp(mu + sg * u2)
+    return hs, tp
+
+
+def return_period_beta(model: JointHsTp, return_years: float) -> float:
+    """Reliability index beta = Phi^-1(1 - 1/N) of an N-year return period
+    (N = return_years x sea states per year)."""
+    n_states = return_years * 8766.0 / model.state_hours
+    if n_states <= 1:
+        raise ValueError("return period shorter than one sea state")
+    return float(_phi_inv(np.array(1.0 - 1.0 / n_states)))
+
+
 def iform_contour(model: JointHsTp, return_years: float,
                   n_points: int = 32) -> tuple[np.ndarray, np.ndarray]:
     """(Hs, Tp) points of the IFORM environmental contour.
@@ -176,18 +202,9 @@ def iform_contour(model: JointHsTp, return_years: float,
     transform.  The theta = 0 point is the pure-Hs extreme: EXACTLY the
     inverse Weibull at the beta quantile (tested identity).
     """
-    n_states = return_years * 8766.0 / model.state_hours
-    if n_states <= 1:
-        raise ValueError("return period shorter than one sea state")
-    beta = float(_phi_inv(np.array(1.0 - 1.0 / n_states)))
+    beta = return_period_beta(model, return_years)
     th = np.linspace(0.0, 2.0 * np.pi, n_points, endpoint=False)
-    u1, u2 = beta * np.cos(th), beta * np.sin(th)
-    p1 = _phi(u1)
-    hs = model.weibull_lam * (-np.log1p(-p1)) ** (1.0 / model.weibull_k)
-    mu = np.interp(hs, model.hs_grid, model.mu_lnTp)
-    sg = np.interp(hs, model.hs_grid, model.sigma_lnTp)
-    tp = np.exp(mu + sg * u2)
-    return hs, tp
+    return rosenblatt_hs_tp(model, beta * np.cos(th), beta * np.sin(th))
 
 
 def n_year_sea_states(model: JointHsTp, return_years: float,

@@ -1,0 +1,322 @@
+"""First-order reliability (FORM) of the structural response under the
+long-term wave climate.
+
+Beyond-reference capability (the reference checks exactly ONE deterministic
+storm typed into its Wave tab, `JacketAnalysisGUI_v2.py:1804-1822`): design
+codes ask for the PROBABILITY that the governing response exceeds its limit
+over the structure's life.  `ops/metocean.py` already provides the inverse
+form of the question (IFORM: environmental contours at a target return
+period, response shape ignored).  This module answers the direct form:
+
+    g(Hs, Tp) = threshold - response(Hs, Tp)        (failure when g < 0)
+
+is searched in the standard-normal space of the environment for the
+most-probable failure point (the design point) with the improved
+Hasofer-Lind-Rackwitz-Fiessler (iHL-RF) algorithm — reliability index
+beta = alpha . u*, failure probability Phi(-beta) per sea state, the
+physical design point (Hs*, Tp*), and the alpha sensitivity vector that
+says how much of the risk is wave height vs period.  This is the standard
+ISO 2394 / DNV recipe, sharing `ops/metocean.py`'s Rosenblatt transform so
+FORM and IFORM are exactly consistent (tested identity: a monotone
+response's FORM beta equals the return-period beta).
+
+The generic `form()` solver takes any limit state over any number of
+standard-normal variables; gradients come from a user closure (e.g.
+`jax.grad` through the differentiable pipeline) or, by default, central
+differences in u-space — the environment has 2-3 dimensions and every
+evaluation is one compiled phase scan, so the finite-difference tax is a
+handful of fast device calls per iteration.
+
+All host-side orchestration (numpy): the hot work inside each limit-state
+evaluation is the existing jitted analysis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import numpy as np
+
+from .metocean import JointHsTp, _phi, rosenblatt_hs_tp
+
+
+class FormResult(NamedTuple):
+    """Design point and reliability index from the iHL-RF search."""
+
+    beta: float           # reliability index alpha . u* (negative if the
+                          #   median state already fails)
+    pf: float             # failure probability per trial = Phi(-beta)
+    u_star: np.ndarray    # [n] design point, standard-normal space
+    x_star: np.ndarray    # [n] physical design point (x_of_u(u*); = u* if
+                          #   no transform was given)
+    alpha: np.ndarray     # [n] unit sensitivity vector (-grad g / |grad g|)
+    g_star: float         # residual limit-state value at u* (~0)
+    n_iter: int
+    n_evals: int          # total limit-state evaluations (incl. gradients)
+    converged: bool
+
+
+def _fd_grad(g: Callable, u: np.ndarray, step: float) -> np.ndarray:
+    """Central-difference gradient of g in u-space."""
+    n = u.size
+    grad = np.zeros(n)
+    for i in range(n):
+        e = np.zeros(n)
+        e[i] = step
+        grad[i] = (g(u + e) - g(u - e)) / (2.0 * step)
+    return grad
+
+
+def form(g: Callable[[np.ndarray], float], n_dim: int,
+         x_of_u: Callable[[np.ndarray], Sequence[float]] | None = None,
+         grad: Callable[[np.ndarray], np.ndarray] | None = None,
+         u0: np.ndarray | None = None, fd_step: float = 1e-4,
+         tol: float = 1e-4, max_iter: int = 50) -> FormResult:
+    """iHL-RF search for the design point of limit state ``g`` (< 0 fails).
+
+    ``g`` takes a standard-normal point ``u`` ([n_dim]); use ``x_of_u`` to
+    report the physical design point (e.g. the Rosenblatt closure from
+    :func:`hs_tp_limit_state`).  ``grad`` (optional) returns dg/du at u —
+    pass a ``jax.grad`` closure when the limit state is traceable; the
+    default is a central difference with ``fd_step``.
+
+    Each step takes the classical HL-RF update direction and backtracks on
+    the Zhang & Der Kiureghian merit function m(u) = 0.5|u|^2 + c|g(u)|
+    (c kept above |u|/|grad g|), which makes the iteration globally
+    convergent on limit states where plain HL-RF oscillates.
+
+    Convergence: |g| < tol * max(1, |g(0)|)  AND  the design point is
+    parallel to alpha within tol.
+    """
+    u = np.zeros(n_dim) if u0 is None else np.asarray(u0, np.float64).copy()
+    if u.shape != (n_dim,):
+        raise ValueError(f"u0 must have shape ({n_dim},), got {u.shape}")
+    n_evals = 0
+
+    def geval(uu):
+        nonlocal n_evals
+        n_evals += 1
+        return float(g(np.asarray(uu, np.float64)))
+
+    g_u = geval(u)
+    g_scale = max(1.0, abs(g_u))
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        if grad is not None:
+            gr = np.asarray(grad(u), np.float64)
+        else:
+            gr = _fd_grad(geval, u, fd_step)  # geval counts the 2n calls
+        gn = float(np.linalg.norm(gr))
+        if not np.isfinite(gn) or gn < 1e-300:
+            break  # flat limit state: no descent information
+        alpha = -gr / gn
+        # convergence test at the CURRENT point
+        u_par = float(alpha @ u)
+        ortho = float(np.linalg.norm(u - u_par * alpha))
+        if abs(g_u) < tol * g_scale and ortho < tol * max(1.0, abs(u_par)):
+            converged = True
+            break
+        # HL-RF target with merit-minimizing step selection: plain HL-RF
+        # zigzags on curved limit states (the lam = 0.5 midpoint kills the
+        # oscillation), so pick the candidate minimizing the distance-
+        # normalized merit 0.5|u|^2 + C |g|/|grad g| (|g|/|grad| is the
+        # linearized distance to the surface, so the merit is scale-free).
+        u_new = (u_par + g_u / gn) * alpha
+        d = u_new - u
+        C = max(2.0 * abs(u_par), 2.0)
+        best = None
+        for lam in (1.0, 0.5, 0.25):
+            u_try = u + lam * d
+            g_try = geval(u_try)
+            m = 0.5 * float(u_try @ u_try) + C * abs(g_try) / gn
+            if best is None or m < best[0]:
+                best = (m, u_try, g_try)
+        _, u, g_u = best
+
+    gn = float(np.linalg.norm(gr)) if "gr" in locals() else 0.0
+    alpha = (-gr / gn) if gn > 0 else np.zeros(n_dim)
+    beta = float(alpha @ u)
+    x_star = (np.asarray(x_of_u(u), np.float64) if x_of_u is not None
+              else u.copy())
+    return FormResult(beta=beta, pf=float(_phi(np.array(-beta))),
+                      u_star=u, x_star=x_star, alpha=alpha,
+                      g_star=g_u, n_iter=it, n_evals=n_evals,
+                      converged=converged)
+
+
+def sorm_correction(g: Callable[[np.ndarray], float], res: FormResult,
+                    fd_step: float = 0.05) -> float:
+    """Second-order (SORM, Breitung) failure probability at the FORM
+    design point: pf = Phi(-beta) * prod_i 1/sqrt(1 + beta * kappa_i).
+
+    The limit-state surface's principal curvatures at u* are taken from a
+    central-difference Hessian in u-space, projected onto the tangent
+    plane of alpha and normalized by |grad g|.  Exact for parabolic
+    surfaces (tested); for the environmental limit states here the
+    correction quantifies how conservative/optimistic the first-order
+    pf is against the curved response surface.
+    """
+    u = res.u_star
+    n = u.size
+    if not np.isfinite(res.beta):
+        raise ValueError("SORM needs a converged FORM result")
+    # central-difference Hessian (symmetrized)
+    H = np.zeros((n, n))
+    g0 = float(g(u))
+    for i in range(n):
+        ei = np.zeros(n)
+        ei[i] = fd_step
+        H[i, i] = (g(u + ei) - 2.0 * g0 + g(u - ei)) / fd_step**2
+        for j in range(i + 1, n):
+            ej = np.zeros(n)
+            ej[j] = fd_step
+            H[i, j] = H[j, i] = (
+                g(u + ei + ej) - g(u + ei - ej)
+                - g(u - ei + ej) + g(u - ei - ej)) / (4.0 * fd_step**2)
+    gn = abs(float(_fd_grad(g, u, fd_step) @ res.alpha))  # |grad| along -alpha
+    if gn < 1e-300:
+        raise ValueError("flat limit state at the design point")
+    # tangent-plane basis: QR of [alpha | I] puts +/-alpha in column 0 and
+    # an orthonormal completion in columns 1..n-1
+    q, _ = np.linalg.qr(np.column_stack([res.alpha, np.eye(n)]))
+    t_basis = q[:, 1:n]
+    A = t_basis.T @ H @ t_basis / gn
+    kappa = np.linalg.eigvalsh(0.5 * (A + A.T))
+    factor = 1.0 + res.beta * kappa
+    if (factor <= 0).any():
+        raise ValueError("Breitung correction undefined: beta * kappa <= -1 "
+                         "(surface curves back around the origin)")
+    return float(res.pf / np.sqrt(np.prod(factor)))
+
+
+def importance_sample(g: Callable[[np.ndarray], float], res: FormResult,
+                      n_samples: int = 2000, seed: int = 0,
+                      ) -> tuple[float, float]:
+    """Unbiased Monte-Carlo check of the FORM result: (pf, cov).
+
+    Standard-normal importance sampling centered at the design point —
+    the estimator pf = E[1{g<0} phi(u)/phi(u - u*)] is exact for ANY
+    limit-state shape, with the design-point centering keeping the
+    variance usable at small pf (plain MC would need ~10/pf samples).
+    Returns the estimate and its coefficient of variation.
+    """
+    rng = np.random.default_rng(seed)
+    n = res.u_star.size
+    z = rng.standard_normal((n_samples, n))
+    u = z + res.u_star
+    # weight phi(u)/phi(z) = exp(-u*.u + 0.5|u*|^2) evaluated stably in log
+    logw = -u @ res.u_star + 0.5 * float(res.u_star @ res.u_star)
+    fail = np.fromiter((float(g(ui)) < 0.0 for ui in u), dtype=bool,
+                       count=n_samples)
+    w = np.where(fail, np.exp(logw), 0.0)
+    pf = float(w.mean())
+    if pf <= 0.0:
+        return 0.0, np.inf
+    cov = float(w.std(ddof=1) / (np.sqrt(n_samples) * pf))
+    return pf, cov
+
+
+class EnvironmentalReliability(NamedTuple):
+    """FORM result annualized against the sea-state climate."""
+
+    form: FormResult
+    hs_star: float            # design-point significant/design wave height
+    tp_star: float            # design-point period
+    pf_state: float           # failure probability per sea state
+    pf_annual: float          # 1 - (1 - pf_state)^(states per year)
+    return_years: float       # implied return period of the failure event
+
+
+def hs_tp_limit_state(response: Callable[[float, float], float],
+                      joint: JointHsTp, threshold: float):
+    """(g_of_u, x_of_u) closures for a response threshold under the joint
+    (Hs, Tp) model — the limit state fed to :func:`form`.
+
+    ``response(hs, tp) -> scalar`` is any monotone-cost response measure
+    (max utilization, base shear, deck displacement...); failure is
+    response > threshold.  The Rosenblatt transform is EXACTLY the one the
+    IFORM contour uses (`ops/metocean.py::rosenblatt_hs_tp`).
+    """
+
+    def x_of_u(u):
+        hs, tp = rosenblatt_hs_tp(joint, u[0], u[1])
+        return np.array([float(hs), float(tp)])
+
+    def g_of_u(u):
+        hs, tp = x_of_u(u)
+        return threshold - float(response(hs, tp))
+
+    return g_of_u, x_of_u
+
+
+def environmental_reliability(response: Callable[[float, float], float],
+                              joint: JointHsTp, threshold: float,
+                              u0: np.ndarray | None = None,
+                              tol: float = 5e-3, max_iter: int = 50,
+                              fd_step: float = 0.05,
+                              ) -> EnvironmentalReliability:
+    """Direct FORM on ``response(Hs, Tp) > threshold`` under the fitted
+    climate: reliability index, per-state and annual failure probability,
+    and the most-probable failure sea state.
+
+    The search starts from the pure-Hs direction at a unit radius by
+    default (u0 = [1, 0]) — responses grow with Hs, so this sits on the
+    correct side of the origin and saves the flat-gradient first step.
+
+    Defaults are looser than the generic :func:`form`: the Morison load is
+    integrated with fixed Gauss points masked by submergence, so the
+    response is piecewise-smooth in Hs with ~1e-3-utilization steps where
+    the free surface crosses a quadrature point (the reference's dry-point
+    zeroing has the same granularity, `JacketAnalysisGUI_v2.py:626-628`).
+    A wide secant step (``fd_step = 0.05`` in u-space) reads the slope
+    across those steps instead of sampling their jumps, and ``tol = 5e-3``
+    (relative to the limit-state scale) accepts the design point at the
+    same granularity — tighter tolerances would chase quadrature noise,
+    not physics.
+    """
+    g_of_u, x_of_u = hs_tp_limit_state(response, joint, threshold)
+    if u0 is None:
+        u0 = np.array([1.0, 0.0])
+    res = form(g_of_u, 2, x_of_u=x_of_u, u0=u0, tol=tol,
+               max_iter=max_iter, fd_step=fd_step)
+    states_per_year = 8766.0 / joint.state_hours
+    pf_state = res.pf
+    # exact complement product; log1p keeps the tiny-pf regime accurate
+    pf_annual = float(-np.expm1(states_per_year * np.log1p(-min(pf_state,
+                                                                1 - 1e-16))))
+    ret = (np.inf if pf_state <= 0.0
+           else joint.state_hours / (8766.0 * pf_state))
+    return EnvironmentalReliability(
+        form=res, hs_star=float(res.x_star[0]), tp_star=float(res.x_star[1]),
+        pf_state=pf_state, pf_annual=pf_annual, return_years=float(ret))
+
+
+def utilization_response(model, case, d: float, U_c: float = 0.0,
+                         wave_model: str = "airy", N: int = 5,
+                         n_steps: int = 24, h_min: float = 0.05,
+                         h_max: float | None = None):
+    """``response(hs, tp) -> max phase-scan utilization`` closure for
+    :func:`environmental_reliability` on the full pipeline.
+
+    Each call builds the wave for (H=hs, T=tp) — same deterministic
+    design-wave convention as the IFORM envelope recipe
+    (`ops/metocean.py::n_year_sea_states`) — and runs one jitted
+    ``analyze_phase_batch``; repeated calls hit the jit cache (shapes are
+    static).  H is clipped to [h_min, h_max] (default 0.75 d, the same
+    breaking guard the contour-envelope tests use) so the limit state
+    stays defined in the far Gaussian tail, where the response saturates
+    physically at the breaking limit.
+    """
+    from ..api import analyze_phase_batch
+    from .wave_models import make_wave
+
+    cap = 0.75 * d if h_max is None else h_max
+
+    def response(hs: float, tp: float) -> float:
+        h = float(np.clip(hs, h_min, cap))
+        wave = make_wave(h, float(tp), d, U_c=U_c, model=wave_model, N=N)
+        _, batch = analyze_phase_batch(model, wave, case, n_steps=n_steps)
+        return float(np.max(np.asarray(batch.utilization)))
+
+    return response
