@@ -53,9 +53,15 @@ from .ops.metocean import (JointHsTp, fit_joint_hs_tp, fit_weibull,
                            iform_contour, n_year_sea_states,
                            return_period_beta, rosenblatt_hs_tp)
 from .ops.reliability import (EnvironmentalReliability, FormResult,
+                              MemberReliability, SystemReliability,
+                              bivariate_normal_cdf, ditlevsen_bounds,
                               environmental_reliability, form,
-                              hs_tp_limit_state, importance_sample,
-                              sorm_correction, utilization_response)
+                              hs_tp_limit_state, hs_tp_limit_state_batch,
+                              importance_sample, importance_sample_batch,
+                              member_reliability,
+                              member_utilization_response_batch,
+                              sorm_correction, utilization_response,
+                              utilization_response_batch)
 from .ops.pushover import PushoverResults, pushover, pushover_rose
 from .ops.robustness import RemovalScreen, member_removal_screen
 from .ops.seismic import (SpectrumResults, cqc_correlation, ec8_spectrum,

@@ -980,6 +980,22 @@ def cmd_reliability(args):
     if not f.converged:
         raise SystemExit("FORM did not converge — loosen --threshold or "
                          "check that the climate reaches it")
+    if args.monte_carlo:
+        from .ops.reliability import (hs_tp_limit_state_batch,
+                                      importance_sample_batch,
+                                      utilization_response_batch)
+        with _cpu_if_f64(args):
+            resp_b = utilization_response_batch(
+                model, case, d=args.d, U_c=args.Uc,
+                wave_model=args.wave_model, N=args.N,
+                n_steps=args.phase_steps)
+            g_b = hs_tp_limit_state_batch(resp_b, joint, args.threshold)
+            pf_is, cov = importance_sample_batch(g_b, f,
+                                                 n_samples=args.monte_carlo)
+        ok = abs(rel.pf_state - pf_is) <= 3.0 * cov * max(pf_is, 1e-300)
+        print(f"  importance-sampling check ({args.monte_carlo} samples, "
+              f"one envelope program): pf = {pf_is:.3e} (cov {cov:.1%}) "
+              f"-> FORM {'inside' if ok else 'OUTSIDE'} the 3-sigma band")
 
 
 def cmd_robustness(args):
@@ -1679,6 +1695,9 @@ def main(argv=None):
     rl.add_argument("--state-hours", type=float, default=3.0)
     rl.add_argument("--phase-steps", type=int, default=12)
     rl.add_argument("--max-iter", type=int, default=30)
+    rl.add_argument("--monte-carlo", type=int, default=0, metavar="N",
+                    help="validate the FORM pf with N importance samples "
+                         "run as ONE design-envelope program")
     rl.set_defaults(fn=cmd_reliability)
 
     rb = sub.add_parser("robustness",

@@ -217,6 +217,290 @@ def importance_sample(g: Callable[[np.ndarray], float], res: FormResult,
     return pf, cov
 
 
+def importance_sample_batch(g_batch: Callable[[np.ndarray], np.ndarray],
+                            res: FormResult, n_samples: int = 1024,
+                            seed: int = 0) -> tuple[float, float]:
+    """:func:`importance_sample` with ALL samples evaluated in one call.
+
+    ``g_batch(U) -> g[n]`` takes the whole [n_samples, n_dim] standard-
+    normal batch — pair it with :func:`hs_tp_limit_state_batch`, whose
+    pipeline evaluation is ONE jitted design-envelope program (optionally
+    sharded over a device mesh), so a 1,000-sample Monte-Carlo check costs
+    about as much as one storm envelope instead of 1,000 phase scans.
+    Same estimator and seed convention as the scalar version (identical
+    samples, tested identity).
+    """
+    rng = np.random.default_rng(seed)
+    n = res.u_star.size
+    z = rng.standard_normal((n_samples, n))
+    u = z + res.u_star
+    logw = -u @ res.u_star + 0.5 * float(res.u_star @ res.u_star)
+    gv = np.asarray(g_batch(u), np.float64)
+    if gv.shape != (n_samples,):
+        raise ValueError(f"g_batch must return [{n_samples}] values, got "
+                         f"shape {gv.shape}")
+    w = np.where(gv < 0.0, np.exp(logw), 0.0)
+    pf = float(w.mean())
+    if pf <= 0.0:
+        return 0.0, np.inf
+    cov = float(w.std(ddof=1) / (np.sqrt(n_samples) * pf))
+    return pf, cov
+
+
+def hs_tp_limit_state_batch(response_batch, joint: JointHsTp,
+                            threshold: float):
+    """Batched counterpart of :func:`hs_tp_limit_state`:
+    ``g_batch(U[n, 2]) -> threshold - response_batch(hs[n], tp[n])``."""
+
+    def g_batch(U):
+        U = np.asarray(U, np.float64)
+        hs, tp = rosenblatt_hs_tp(joint, U[:, 0], U[:, 1])
+        return threshold - np.asarray(response_batch(hs, tp), np.float64)
+
+    return g_batch
+
+
+def utilization_response_batch(model, case, d: float, U_c: float = 0.0,
+                               wave_model: str = "airy", N: int = 5,
+                               n_steps: int = 24, h_min: float = 0.05,
+                               h_max: float | None = None, mesh=None):
+    """``response_batch(hs[n], tp[n]) -> max utilization [n]`` as ONE
+    device program — the TPU-native Monte-Carlo path.
+
+    The whole sample batch becomes a wave-case batch through the existing
+    storm-envelope machinery (`api.design_envelope`): stiffness factored
+    once, all cases x phases in one multi-RHS solve, and with ``mesh`` (1-D
+    device mesh, axis 'cases') the samples shard across chips with the
+    governing reduction on ICI.  Clipping semantics match
+    :func:`utilization_response`.
+    """
+    from ..api import design_envelope
+    from ..parallel.sweep import make_case_batch, make_wave_batch
+
+    cap = 0.75 * d if h_max is None else h_max
+
+    def response_batch(hs, tp):
+        hs = np.clip(np.asarray(hs, np.float64), h_min, cap)
+        tp = np.asarray(tp, np.float64)
+        waves = make_wave_batch(hs, tp, d, U_c=U_c, model=wave_model, N=N,
+                                dtype=model.coords.dtype)
+        cases = make_case_batch(case, t_analysis=np.zeros(hs.size))
+        env = design_envelope(model, waves, cases, n_steps=n_steps,
+                              mesh=mesh)
+        return np.asarray(env.max_util_per_case)
+
+    return response_batch
+
+
+def bivariate_normal_cdf(a: float, b: float, rho: float) -> float:
+    """P(X <= a, Y <= b) for standard bivariate normal with correlation
+    rho, by the classical 1-D reduction
+    integral_{-inf}^{a} phi(x) Phi((b - rho x)/sqrt(1 - rho^2)) dx
+    on a trapezoid grid (|error| < 1e-6, tested vs independence/comonotone
+    identities and Monte Carlo)."""
+    rho = float(np.clip(rho, -1.0, 1.0))
+    if rho >= 1.0 - 1e-12:
+        return float(_phi(np.array(min(a, b))))
+    if rho <= -1.0 + 1e-12:
+        return float(max(0.0, _phi(np.array(a)) + _phi(np.array(b)) - 1.0))
+    lo = min(-10.0, a - 1.0)
+    x = np.linspace(lo, a, 4001)
+    pdf = np.exp(-0.5 * x * x) / np.sqrt(2.0 * np.pi)
+    inner = _phi((b - rho * x) / np.sqrt(1.0 - rho * rho))
+    return float(np.trapezoid(pdf * inner, x))
+
+
+class SystemReliability(NamedTuple):
+    """Ditlevsen (second-order series-system) bounds on the system pf."""
+
+    p_lower: float          # lower bound on P(any component fails)
+    p_upper: float          # upper bound
+    pf_components: np.ndarray  # [K] component probabilities (as ordered in)
+    rho: np.ndarray         # [K, K] alpha correlations
+    order: np.ndarray       # [K] evaluation order (decreasing pf)
+
+
+def ditlevsen_bounds(betas, alphas) -> SystemReliability:
+    """Second-order series-system bounds from component FORM results.
+
+    ``betas`` [K] and unit ``alphas`` [K, n]: each component's reliability
+    index and direction.  Pairwise joint failure probabilities use the
+    FORM-linearized components P(Z_i > beta_i, Z_j > beta_j) with
+    correlation rho_ij = alpha_i . alpha_j (the standard recipe); the
+    bounds are exact for two components and bracket the series pf tightly
+    when components are ranked by decreasing probability (done here).
+    Infinite betas (unreachable components) are skipped.
+    """
+    betas = np.asarray(betas, np.float64)
+    alphas = np.asarray(alphas, np.float64)
+    keep = np.isfinite(betas)
+    b = betas[keep]
+    al = alphas[keep]
+    if b.size == 0:
+        z = np.zeros((0,))
+        return SystemReliability(0.0, 0.0, z, np.zeros((0, 0)),
+                                 z.astype(int))
+    p = np.asarray(_phi(-b), np.float64)
+    order = np.argsort(-p)
+    b, al, p = b[order], al[order], p[order]
+    K = b.size
+    rho = np.clip(al @ al.T, -1.0, 1.0)
+    pij = np.zeros((K, K))
+    for i in range(K):
+        for j in range(i):
+            pij[i, j] = bivariate_normal_cdf(-b[i], -b[j], rho[i, j])
+    lower = p[0]
+    upper = p[0]
+    for i in range(1, K):
+        lower += max(0.0, p[i] - pij[i, :i].sum())
+        upper += p[i] - pij[i, :i].max()
+    # a valid probability and ordering even with quadrature round-off
+    upper = min(max(upper, lower), 1.0)
+    return SystemReliability(float(lower), float(upper), p, rho,
+                             np.where(keep)[0][order])
+
+
+class MemberReliability(NamedTuple):
+    """Component FORM over every member + series-system bounds."""
+
+    beta: np.ndarray        # [M] per-member reliability index (inf if the
+                            #   member cannot reach the threshold)
+    pf: np.ndarray          # [M] per-member failure probability per state
+    alpha: np.ndarray       # [M, 2] sensitivity directions
+    hs_star: np.ndarray     # [M] per-member design storm
+    tp_star: np.ndarray     # [M]
+    converged: np.ndarray   # [M] bool
+    reachable: np.ndarray   # [M] bool (threshold crossable inside the
+                            #   searched radius)
+    system: SystemReliability
+    n_envelopes: int        # device programs spent on the whole search
+
+
+def member_reliability(member_response_batch, joint: JointHsTp,
+                       threshold: float, u0=None, tol: float = 5e-3,
+                       max_iter: int = 20, fd_step: float = 0.05,
+                       search_radius: float = 8.0) -> MemberReliability:
+    """Component FORM for EVERY member simultaneously + Ditlevsen system
+    bounds — the series-system view of `environmental_reliability`.
+
+    ``member_response_batch(hs[n], tp[n]) -> util[n, M]`` returns every
+    member's utilization for a whole sea-state batch (see
+    :func:`member_utilization_response_batch`): each iteration advances
+    ALL M simultaneous HL-RF searches with TWO device programs (one for
+    values+gradients, one for the step candidates), instead of M separate
+    scalar searches.  Members whose utilization stays below the threshold
+    even at ``search_radius`` (pf < ~6e-16) are reported unreachable with
+    beta = inf and excluded from the system bounds.
+    """
+    def g_at(U):
+        """U [n, 2] -> per-member limit state g [n, M]."""
+        hs, tp = rosenblatt_hs_tp(joint, U[:, 0], U[:, 1])
+        return threshold - np.asarray(member_response_batch(hs, tp),
+                                      np.float64)
+
+    # reachability pre-screen at the pure-Hs extreme of the search disk
+    g_cap = g_at(np.array([[search_radius, 0.0]]))[0]
+    M = g_cap.size
+    reachable = g_cap < 0.0
+    idx = np.where(reachable)[0]
+    n_env = 1
+
+    u0 = np.array([1.0, 0.0]) if u0 is None else np.asarray(u0, np.float64)
+    U = np.tile(u0, (M, 1))
+    g_u = np.full(M, np.nan)
+    grad = np.zeros((M, 2))
+    conv = np.zeros(M, bool)
+    K = idx.size
+    if K:
+        g_scale = None
+        for _ in range(max_iter):
+            # one program: center + 4 central-difference points, all members
+            Ui = U[idx]
+            pts = np.concatenate([
+                Ui,
+                Ui + [fd_step, 0.0], Ui - [fd_step, 0.0],
+                Ui + [0.0, fd_step], Ui - [0.0, fd_step]])
+            vals = g_at(pts)[:, idx]              # [5K, K]
+            diag = np.arange(K)
+            gc = vals[:K][diag, diag]
+            gx = (vals[K:2 * K][diag, diag]
+                  - vals[2 * K:3 * K][diag, diag]) / (2 * fd_step)
+            gy = (vals[3 * K:4 * K][diag, diag]
+                  - vals[4 * K:5 * K][diag, diag]) / (2 * fd_step)
+            n_env += 1
+            g_u[idx], grad[idx, 0], grad[idx, 1] = gc, gx, gy
+            if g_scale is None:
+                g_scale = np.maximum(1.0, np.abs(gc))
+            gn = np.hypot(gx, gy)
+            gn_safe = np.maximum(gn, 1e-300)
+            al = -np.stack([gx, gy], 1) / gn_safe[:, None]
+            upar = np.einsum("kj,kj->k", al, Ui)
+            ortho = np.linalg.norm(Ui - upar[:, None] * al, axis=1)
+            done = ((np.abs(gc) < tol * g_scale)
+                    & (ortho < tol * np.maximum(1.0, np.abs(upar))))
+            conv[idx] = conv[idx] | done
+            live = ~done & (gn > 1e-300)
+            if not live.any():
+                break
+            # HL-RF target + merit-minimizing candidates, one program
+            Unew = (upar + gc / gn_safe)[:, None] * al
+            D = Unew - Ui
+            C = np.maximum(2.0 * np.abs(upar), 2.0)
+            lams = (1.0, 0.5, 0.25)
+            cand = np.concatenate([Ui + lam * D for lam in lams])
+            cv = g_at(cand)[:, idx]               # [3K, K]
+            n_env += 1
+            merits = np.stack(
+                [0.5 * np.einsum("kj,kj->k", Ui + lam * D, Ui + lam * D)
+                 + C * np.abs(cv[i * K:(i + 1) * K][diag, diag]) / gn_safe
+                 for i, lam in enumerate(lams)])   # [3, K]
+            pick = np.argmin(merits, axis=0)
+            stepped = Ui + np.asarray(lams)[pick][:, None] * D
+            U[idx[live]] = stepped[live]
+
+    gn = np.linalg.norm(grad, axis=1)
+    alpha = np.where(gn[:, None] > 0, -grad / np.maximum(gn, 1e-300)[:, None],
+                     0.0)
+    beta = np.where(reachable, np.einsum("mj,mj->m", alpha, U), np.inf)
+    hs_star, tp_star = rosenblatt_hs_tp(joint, U[:, 0], U[:, 1])
+    pf = np.where(np.isfinite(beta), np.asarray(_phi(-beta)), 0.0)
+    use = reachable & conv
+    system = ditlevsen_bounds(np.where(use, beta, np.inf), alpha)
+    return MemberReliability(beta=beta, pf=pf, alpha=alpha,
+                             hs_star=np.asarray(hs_star),
+                             tp_star=np.asarray(tp_star),
+                             converged=conv, reachable=reachable,
+                             system=system, n_envelopes=n_env)
+
+
+def member_utilization_response_batch(model, case, d: float,
+                                      U_c: float = 0.0,
+                                      wave_model: str = "airy", N: int = 5,
+                                      n_steps: int = 24,
+                                      h_min: float = 0.05,
+                                      h_max: float | None = None,
+                                      mesh=None):
+    """``(hs[n], tp[n]) -> per-member max utilization [n, M]`` as one
+    design-envelope program (the phase axis reduced on device) — feeds
+    :func:`member_reliability`."""
+    from ..api import design_envelope
+    from ..parallel.sweep import make_case_batch, make_wave_batch
+
+    cap = 0.75 * d if h_max is None else h_max
+
+    def response_batch(hs, tp):
+        hs = np.clip(np.asarray(hs, np.float64), h_min, cap)
+        tp = np.asarray(tp, np.float64)
+        waves = make_wave_batch(hs, tp, d, U_c=U_c, model=wave_model, N=N,
+                                dtype=model.coords.dtype)
+        cases = make_case_batch(case, t_analysis=np.zeros(hs.size))
+        env = design_envelope(model, waves, cases, n_steps=n_steps,
+                              mesh=mesh)
+        return np.asarray(env.utilization).max(axis=1)   # [n, M]
+
+    return response_batch
+
+
 class EnvironmentalReliability(NamedTuple):
     """FORM result annualized against the sea-state climate."""
 

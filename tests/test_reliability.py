@@ -103,6 +103,57 @@ def test_importance_sampling_validates_form():
     assert pfp == pytest.approx(exact, rel=3.5 * covp)
 
 
+def test_importance_sample_batch_identity():
+    """Batched IS draws the exact same samples as the scalar loop (same
+    seed) and returns the identical estimate."""
+    a = np.array([3.0, 4.0])
+    lin = lambda u: 10.0 - a @ u  # noqa: E731
+    res = form(lin, 2)
+    pf_s, cov_s = sf.importance_sample(lin, res, n_samples=500, seed=7)
+    g_batch = lambda U: 10.0 - U @ a  # noqa: E731
+    pf_b, cov_b = sf.importance_sample_batch(g_batch, res, n_samples=500,
+                                             seed=7)
+    assert pf_b == pytest.approx(pf_s, rel=1e-14)
+    assert cov_b == pytest.approx(cov_s, rel=1e-14)
+
+
+def test_utilization_response_batch_matches_scalar():
+    """The one-program envelope response equals the per-point phase-scan
+    response, and the whole Monte-Carlo batch shards over a device mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    model = sf.default_3leg_jacket()
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    scalar = sf.utilization_response(model, case, d=50.0, U_c=1.7,
+                                     wave_model="airy", n_steps=8)
+    batch = sf.utilization_response_batch(model, case, d=50.0, U_c=1.7,
+                                          wave_model="airy", n_steps=8)
+    hs = np.array([6.0, 12.0, 20.0])
+    tp = np.array([9.0, 11.0, 13.0])
+    got = batch(hs, tp)
+    want = np.array([scalar(h, t) for h, t in zip(hs, tp)])
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    # sharded Monte-Carlo check: 16 samples over the 8-device cases mesh
+    joint = _climate_joint()
+    resp_sh = sf.utilization_response_batch(
+        model, case, d=50.0, U_c=1.7, wave_model="airy", n_steps=8,
+        mesh=Mesh(np.array(jax.devices()), ("cases",)))
+    res = form(sf.hs_tp_limit_state(scalar, joint, 0.3)[0], 2,
+               u0=np.array([1.0, 0.0]), tol=5e-3, fd_step=0.05)
+    g_sh = sf.hs_tp_limit_state_batch(resp_sh, joint, 0.3)
+    g_un = sf.hs_tp_limit_state_batch(
+        sf.utilization_response_batch(model, case, d=50.0, U_c=1.7,
+                                      wave_model="airy", n_steps=8),
+        joint, 0.3)
+    pf_sh, _ = sf.importance_sample_batch(g_sh, res, n_samples=16, seed=3)
+    pf_un, _ = sf.importance_sample_batch(g_un, res, n_samples=16, seed=3)
+    assert pf_sh == pytest.approx(pf_un, rel=1e-9)
+
+
 def _climate_joint(seed=3, scale=2.0):
     rng = np.random.default_rng(seed)
     hs = 2.5 * rng.weibull(1.5, size=30_000)
@@ -128,6 +179,87 @@ def test_form_iform_consistency():
     assert rel.return_years == pytest.approx(100.0, rel=1e-3)
     # annualized probability of the 100-year event ~ 1/100 per year
     assert rel.pf_annual == pytest.approx(1.0 / 100.0, rel=0.02)
+
+
+def test_bivariate_normal_cdf_identities():
+    from small_fem_solver_tpu.ops.reliability import bivariate_normal_cdf
+
+    # independence, comonotonicity, antithetic limits
+    assert bivariate_normal_cdf(-1.2, -0.8, 0.0) == pytest.approx(
+        float(_phi(np.array(-1.2)) * _phi(np.array(-0.8))), abs=1e-8)
+    assert bivariate_normal_cdf(-1.2, -0.8, 1.0) == pytest.approx(
+        float(_phi(np.array(-1.2))), abs=1e-12)
+    assert bivariate_normal_cdf(0.5, 0.7, -1.0) == pytest.approx(
+        float(_phi(np.array(0.5)) + _phi(np.array(0.7)) - 1.0), abs=1e-12)
+    # symmetry in (a, b)
+    assert bivariate_normal_cdf(-1.0, -2.0, 0.6) == pytest.approx(
+        bivariate_normal_cdf(-2.0, -1.0, 0.6), abs=1e-8)
+    # Monte-Carlo cross-check
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(2_000_000)
+    y = 0.5 * x + np.sqrt(1 - 0.25) * rng.standard_normal(2_000_000)
+    mc = float(np.mean((x <= -1.2) & (y <= -0.8)))
+    assert bivariate_normal_cdf(-1.2, -0.8, 0.5) == pytest.approx(mc,
+                                                                  abs=4e-4)
+
+
+def test_ditlevsen_bounds_exact_cases():
+    # single component: both bounds equal its pf
+    one = sf.ditlevsen_bounds([2.0], [[1.0, 0.0]])
+    p2 = float(_phi(np.array(-2.0)))
+    assert one.p_lower == pytest.approx(p2, rel=1e-12)
+    assert one.p_upper == pytest.approx(p2, rel=1e-12)
+    # two INDEPENDENT components: bounds are exact, p1 + p2 - p1 p2
+    two = sf.ditlevsen_bounds([2.0, 2.5], [[1.0, 0.0], [0.0, 1.0]])
+    p25 = float(_phi(np.array(-2.5)))
+    exact = p2 + p25 - p2 * p25
+    assert two.p_lower == pytest.approx(exact, rel=1e-5)
+    assert two.p_upper == pytest.approx(exact, rel=1e-5)
+    # two IDENTICAL components: the series system IS one component
+    same = sf.ditlevsen_bounds([2.0, 2.0], [[1.0, 0.0], [1.0, 0.0]])
+    assert same.p_lower == pytest.approx(p2, rel=1e-6)
+    assert same.p_upper == pytest.approx(p2, rel=1e-6)
+    # infinite-beta components are dropped
+    drop = sf.ditlevsen_bounds([2.0, np.inf], [[1.0, 0.0], [0.0, 1.0]])
+    assert drop.p_lower == pytest.approx(p2, rel=1e-12)
+
+
+def test_member_reliability_pipeline():
+    """All-member component FORM in a few envelope programs; the governing
+    member agrees with the system-level (max-utilization) FORM, and the
+    Ditlevsen bounds bracket sensibly."""
+    joint = _climate_joint()
+    model = sf.default_3leg_jacket()
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    thr = 0.3
+    resp_m = sf.member_utilization_response_batch(model, case, d=50.0,
+                                                  U_c=1.7,
+                                                  wave_model="airy",
+                                                  n_steps=8)
+    mr = sf.member_reliability(resp_m, joint, thr)
+    assert mr.reachable.any() and (~mr.reachable).any()
+    assert mr.converged[mr.reachable].all()
+    assert mr.n_envelopes < 45  # ~2 programs/iteration, not 51 searches
+
+    # system-level FORM on the max-utilization response
+    scalar = sf.utilization_response(model, case, d=50.0, U_c=1.7,
+                                     wave_model="airy", n_steps=8)
+    sys_form = form(sf.hs_tp_limit_state(scalar, joint, thr)[0], 2,
+                    u0=np.array([1.0, 0.0]), tol=5e-3, fd_step=0.05)
+    b_min = float(mr.beta.min())
+    # the governing member IS the max-utilization limit state near the
+    # design point: betas agree to a few percent
+    assert sys_form.beta == pytest.approx(b_min, rel=0.05)
+    # bounds: ordered, above the governing component, below the sum
+    sysb = mr.system
+    assert sysb.p_lower <= sysb.p_upper
+    assert sysb.p_lower >= float(np.max(mr.pf)) * (1 - 1e-9)
+    assert sysb.p_upper <= float(mr.pf.sum()) + 1e-12
+    # per-member design storms are physical
+    r = mr.reachable
+    assert (mr.hs_star[r] > 0).all() and (mr.tp_star[r] > 0).all()
 
 
 def test_environmental_reliability_full_pipeline():
