@@ -954,6 +954,16 @@ def cmd_reliability(args):
     if rows.ndim != 2 or rows.shape[1] not in (2, 3):
         raise SystemExit("--scatter needs [[Hs, Tp, (occurrence)], ...]")
     occ = rows[:, 2] if rows.shape[1] == 3 else None
+    # Resolve 'auto' to ONE concrete wave model before building the response
+    # closures (as cmd_envelope does): 'auto' switches theory/order with
+    # steepness, which (a) the batched Monte-Carlo path rejects outright and
+    # (b) makes the limit state discontinuous under the FORM finite-
+    # difference steps, defeating the per-model jit cache.
+    wave_model = "stokes" if args.wave_model == "auto" else args.wave_model
+    if args.wave_model == "auto":
+        print("[reliability] note: 'auto' resolves to Stokes-5 so the FORM "
+              "limit state stays smooth across sea states — pass "
+              "--wave-model fenton for very steep climates", file=sys.stderr)
     joint = fit_joint_hs_tp(rows[:, 0], rows[:, 1], occurrence=occ,
                             n_bins=args.bins, state_hours=args.state_hours)
     print(f"joint fit: Hs ~ Weibull(k={joint.weibull_k:.3f}, "
@@ -963,11 +973,18 @@ def cmd_reliability(args):
         model, _, case = _setup(args)
         response = utilization_response(
             model, case, d=args.d, U_c=args.Uc,
-            wave_model=args.wave_model, N=args.N,
+            wave_model=wave_model, N=args.N,
             n_steps=args.phase_steps)
         rel = environmental_reliability(response, joint, args.threshold,
                                         max_iter=args.max_iter)
     f = rel.form
+    if np.isinf(f.beta):
+        print(f"utilization cannot reach {args.threshold:g} anywhere inside "
+              f"the searched climate (checked to 8 sigma, breaking-"
+              f"saturated): pf < 1e-15 per state; deepest probe Hs "
+              f"{rel.hs_star:.2f} m / Tp {rel.tp_star:.2f} s reached "
+              f"utilization {args.threshold - f.g_star:.4f}")
+        return
     print(f"FORM on utilization > {args.threshold:g} "
           f"({f.n_iter} iterations, {f.n_evals} phase scans"
           f"{'' if f.converged else '; NOT CONVERGED'}):")
@@ -987,7 +1004,7 @@ def cmd_reliability(args):
         with _cpu_if_f64(args):
             resp_b = utilization_response_batch(
                 model, case, d=args.d, U_c=args.Uc,
-                wave_model=args.wave_model, N=args.N,
+                wave_model=wave_model, N=args.N,
                 n_steps=args.phase_steps)
             g_b = hs_tp_limit_state_batch(resp_b, joint, args.threshold)
             pf_is, cov = importance_sample_batch(g_b, f,

@@ -180,7 +180,10 @@ def rosenblatt_hs_tp(model: JointHsTp, u1, u2):
     hs = model.weibull_lam * (-np.log1p(-p1)) ** (1.0 / model.weibull_k)
     mu = np.interp(hs, model.hs_grid, model.mu_lnTp)
     sg = np.interp(hs, model.hs_grid, model.sigma_lnTp)
-    tp = np.exp(mu + sg * u2)
+    # cap the exponent: FORM trial steps can probe |u2| large enough that
+    # exp overflows to inf; 1e9 s is already far beyond any physical Tp and
+    # keeps downstream dispersion solves finite
+    tp = np.exp(np.minimum(mu + sg * u2, np.log(1e9)))
     return hs, tp
 
 

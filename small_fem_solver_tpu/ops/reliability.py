@@ -56,6 +56,37 @@ class FormResult(NamedTuple):
     converged: bool
 
 
+def _breaking_clip(hs, tp, d: float, h_min: float, cap: float,
+                   steepness_cap: float = 0.142,
+                   t_window: tuple[float, float] = (2.0, 30.0)):
+    """Clamp (Hs, Tp) probes to physically realizable regular waves.
+
+    FORM trial steps roam the whole standard-normal plane, including corners
+    (tiny Tp, huge Hs) where no ocean wave exists: past the Miche breaking
+    height H_b = 0.142 L tanh(kd) the wave theories return either unphysical
+    monster kinematics (which fabricate spurious design points — observed
+    governing-beta drops from 3.9 to 2.0 on the default jacket) or NaNs
+    (cosh(kz) overflow at sub-second Tp, which kills the gradient search).
+    Saturating at breaking keeps the limit state defined and the far tail
+    flat, exactly like the existing 0.75 d depth cap.  Host-side numpy
+    Newton for the dispersion solve — a handful of scalars per call.
+    """
+    tp = np.clip(np.asarray(tp, np.float64), t_window[0], t_window[1])
+    hs = np.asarray(hs, np.float64)
+    om = 2.0 * np.pi / tp
+    g_grav = 9.80665
+    k = om * om / g_grav                      # deep-water start
+    for _ in range(40):
+        kd = np.minimum(k * d, 350.0)
+        th = np.tanh(kd)
+        f = om * om - g_grav * k * th
+        df = -g_grav * (th + kd / np.cosh(kd) ** 2)
+        k = k - f / df
+    h_b = steepness_cap * (2.0 * np.pi / k) * np.tanh(np.minimum(k * d,
+                                                                 350.0))
+    return np.clip(hs, h_min, np.minimum(cap, h_b)), tp
+
+
 def _fd_grad(g: Callable, u: np.ndarray, step: float) -> np.ndarray:
     """Central-difference gradient of g in u-space."""
     n = u.size
@@ -86,7 +117,13 @@ def form(g: Callable[[np.ndarray], float], n_dim: int,
     convergent on limit states where plain HL-RF oscillates.
 
     Convergence: |g| < tol * max(1, |g(0)|)  AND  the design point is
-    parallel to alpha within tol.
+    parallel to alpha within tol.  On only piecewise-smooth limit states
+    (max-over-phases responses) whose design point sits at a gradient kink,
+    plain HL-RF limit-cycles with beta already stable; the search then
+    accepts the best (lowest-merit) on-surface iterate once three
+    iterations bring no merit improvement — standard iHL-RF practice —
+    and reports beta as the signed DISTANCE |u*| (identical to alpha . u*
+    at smooth converged points).
     """
     u = np.zeros(n_dim) if u0 is None else np.asarray(u0, np.float64).copy()
     if u.shape != (n_dim,):
@@ -101,6 +138,9 @@ def form(g: Callable[[np.ndarray], float], n_dim: int,
     g_u = geval(u)
     g_scale = max(1.0, abs(g_u))
     converged = False
+    kink_accepted = False
+    best_n, best_u, best_g, best_gr = np.inf, u.copy(), g_u, None
+    stall = 0
     it = 0
     for it in range(1, max_iter + 1):
         if grad is not None:
@@ -117,6 +157,21 @@ def form(g: Callable[[np.ndarray], float], n_dim: int,
         if abs(g_u) < tol * g_scale and ortho < tol * max(1.0, abs(u_par)):
             converged = True
             break
+        # minimum-norm ON-SURFACE iterate for the kink (stagnation)
+        # acceptance (merit values are not comparable across iterations:
+        # the penalty weight and |grad| change)
+        u_norm = float(np.linalg.norm(u))
+        if abs(g_u) < 10.0 * tol * g_scale and u_norm < best_n - 1e-3:
+            best_n, best_u, best_g, best_gr = u_norm, u.copy(), g_u, gr.copy()
+            stall = 0
+        else:
+            stall += 1
+        if stall >= 3 and np.isfinite(best_n):
+            u, g_u, gr = best_u, best_g, best_gr
+            converged = True
+            kink_accepted = True
+            break
+        C = max(2.0 * abs(u_par), 2.0)
         # HL-RF target with merit-minimizing step selection: plain HL-RF
         # zigzags on curved limit states (the lam = 0.5 midpoint kills the
         # oscillation), so pick the candidate minimizing the distance-
@@ -124,7 +179,6 @@ def form(g: Callable[[np.ndarray], float], n_dim: int,
         # linearized distance to the surface, so the merit is scale-free).
         u_new = (u_par + g_u / gn) * alpha
         d = u_new - u
-        C = max(2.0 * abs(u_par), 2.0)
         best = None
         for lam in (1.0, 0.5, 0.25):
             u_try = u + lam * d
@@ -136,7 +190,12 @@ def form(g: Callable[[np.ndarray], float], n_dim: int,
 
     gn = float(np.linalg.norm(gr)) if "gr" in locals() else 0.0
     alpha = (-gr / gn) if gn > 0 else np.zeros(n_dim)
-    beta = float(alpha @ u)
+    if kink_accepted:
+        # the kinked design point is not gradient-parallel; beta is the
+        # distance, signed by which side of the surface the origin sits on
+        beta = float(np.copysign(np.linalg.norm(u), alpha @ u))
+    else:
+        beta = float(alpha @ u)
     x_star = (np.asarray(x_of_u(u), np.float64) if x_of_u is not None
               else u.copy())
     return FormResult(beta=beta, pf=float(_phi(np.array(-beta))),
@@ -201,6 +260,9 @@ def importance_sample(g: Callable[[np.ndarray], float], res: FormResult,
     variance usable at small pf (plain MC would need ~10/pf samples).
     Returns the estimate and its coefficient of variation.
     """
+    if n_samples < 2:
+        raise ValueError("importance_sample needs n_samples >= 2 (the cov "
+                         "estimate uses ddof=1)")
     rng = np.random.default_rng(seed)
     n = res.u_star.size
     z = rng.standard_normal((n_samples, n))
@@ -209,7 +271,10 @@ def importance_sample(g: Callable[[np.ndarray], float], res: FormResult,
     logw = -u @ res.u_star + 0.5 * float(res.u_star @ res.u_star)
     fail = np.fromiter((float(g(ui)) < 0.0 for ui in u), dtype=bool,
                        count=n_samples)
-    w = np.where(fail, np.exp(logw), 0.0)
+    # exponentiate ONLY failing samples: samples far opposite u* carry
+    # logw ~ +|z||u*| and would overflow to inf before the mask zeroed them
+    w = np.zeros(n_samples)
+    w[fail] = np.exp(logw[fail])
     pf = float(w.mean())
     if pf <= 0.0:
         return 0.0, np.inf
@@ -230,6 +295,9 @@ def importance_sample_batch(g_batch: Callable[[np.ndarray], np.ndarray],
     Same estimator and seed convention as the scalar version (identical
     samples, tested identity).
     """
+    if n_samples < 2:
+        raise ValueError("importance_sample_batch needs n_samples >= 2 (the "
+                         "cov estimate uses ddof=1)")
     rng = np.random.default_rng(seed)
     n = res.u_star.size
     z = rng.standard_normal((n_samples, n))
@@ -239,7 +307,9 @@ def importance_sample_batch(g_batch: Callable[[np.ndarray], np.ndarray],
     if gv.shape != (n_samples,):
         raise ValueError(f"g_batch must return [{n_samples}] values, got "
                          f"shape {gv.shape}")
-    w = np.where(gv < 0.0, np.exp(logw), 0.0)
+    fail = gv < 0.0
+    w = np.zeros(n_samples)
+    w[fail] = np.exp(logw[fail])
     pf = float(w.mean())
     if pf <= 0.0:
         return 0.0, np.inf
@@ -280,8 +350,7 @@ def utilization_response_batch(model, case, d: float, U_c: float = 0.0,
     cap = 0.75 * d if h_max is None else h_max
 
     def response_batch(hs, tp):
-        hs = np.clip(np.asarray(hs, np.float64), h_min, cap)
-        tp = np.asarray(tp, np.float64)
+        hs, tp = _breaking_clip(hs, tp, d, h_min, cap)
         waves = make_wave_batch(hs, tp, d, U_c=U_c, model=wave_model, N=N,
                                 dtype=model.coords.dtype)
         cases = make_case_batch(case, t_analysis=np.zeros(hs.size))
@@ -296,8 +365,8 @@ def bivariate_normal_cdf(a: float, b: float, rho: float) -> float:
     """P(X <= a, Y <= b) for standard bivariate normal with correlation
     rho, by the classical 1-D reduction
     integral_{-inf}^{a} phi(x) Phi((b - rho x)/sqrt(1 - rho^2)) dx
-    on a trapezoid grid (|error| < 1e-6, tested vs independence/comonotone
-    identities and Monte Carlo)."""
+    on a composite-Simpson grid (|error| < 1e-9, tested vs independence/
+    comonotone identities and Monte Carlo)."""
     rho = float(np.clip(rho, -1.0, 1.0))
     if rho >= 1.0 - 1e-12:
         return float(_phi(np.array(min(a, b))))
@@ -307,7 +376,11 @@ def bivariate_normal_cdf(a: float, b: float, rho: float) -> float:
     x = np.linspace(lo, a, 4001)
     pdf = np.exp(-0.5 * x * x) / np.sqrt(2.0 * np.pi)
     inner = _phi((b - rho * x) / np.sqrt(1.0 - rho * rho))
-    return float(np.trapezoid(pdf * inner, x))
+    f = pdf * inner
+    h = x[1] - x[0]
+    # composite Simpson (n points odd): h/3 * (f0 + 4 f_odd + 2 f_even + fn)
+    return float(h / 3.0 * (f[0] + f[-1] + 4.0 * f[1:-1:2].sum()
+                            + 2.0 * f[2:-1:2].sum()))
 
 
 class SystemReliability(NamedTuple):
@@ -398,21 +471,63 @@ def member_reliability(member_response_batch, joint: JointHsTp,
         return threshold - np.asarray(member_response_batch(hs, tp),
                                       np.float64)
 
-    # reachability pre-screen at the pure-Hs extreme of the search disk
-    g_cap = g_at(np.array([[search_radius, 0.0]]))[0]
+    # reachability pre-screen over SEVERAL points of the search circle, not
+    # just the pure-Hs extreme: a member whose utilization peaks off the Hs
+    # axis (Tp-driven, e.g. near a cancellation period) is reachable on the
+    # disk even though the (r, 0) point is safe.  One batched envelope call.
+    theta = np.array([-0.6, -0.3, 0.0, 0.3, 0.6])
+    ring = search_radius * np.column_stack([np.cos(theta), np.sin(theta)])
+    g_ring = g_at(ring)                       # [n_theta, M]
+    g_cap = g_ring.min(axis=0)
     M = g_cap.size
     reachable = g_cap < 0.0
     idx = np.where(reachable)[0]
     n_env = 1
 
-    u0 = np.array([1.0, 0.0]) if u0 is None else np.asarray(u0, np.float64)
-    U = np.tile(u0, (M, 1))
+    if u0 is None:
+        # per-member start direction: toward the ring point where that
+        # member's limit state is deepest, so Tp-driven members (reachable
+        # only off the Hs axis) begin their HL-RF search in the right sector
+        U = np.column_stack([np.cos(theta), np.sin(theta)])[
+            g_ring.argmin(axis=0)]
+    else:
+        U = np.tile(np.asarray(u0, np.float64), (M, 1))
     g_u = np.full(M, np.nan)
     grad = np.zeros((M, 2))
     conv = np.zeros(M, bool)
     K = idx.size
+    if K and u0 is None:
+        # Land each search ON the limit-state surface first by bisecting
+        # g(t * e) along the member's deepest ray, t in [0, R].  HL-RF from
+        # a surface point is stable even for members whose limit state goes
+        # flat near the Hs cap (where a norm-1 start makes gc/|grad| blow
+        # up); one batched program per bisection step.
+        e = U[idx]
+        lo = np.zeros(K)
+        hi = np.full(K, search_radius)
+        for _ in range(10):
+            mid = 0.5 * (lo + hi)
+            gm = g_at(mid[:, None] * e)[np.arange(K), idx]
+            n_env += 1
+            neg = gm < 0.0
+            hi = np.where(neg, mid, hi)
+            lo = np.where(neg, lo, mid)
+        U[idx] = (0.5 * (lo + hi))[:, None] * e
     if K:
         g_scale = None
+        # best ON-SURFACE iterate per member: a max-over-phases limit state
+        # is only piecewise-smooth, so plain HL-RF can limit-cycle around a
+        # kinked design point with beta already stable to ~1e-3.  We keep
+        # the minimum-norm iterate whose |g| is small (i.e. genuinely on
+        # the surface — merit values are NOT comparable across iterations
+        # because the penalty weight and |grad| change) and accept it once
+        # three iterations bring no improvement (standard iHL-RF practice
+        # for non-smooth g).
+        best_n = np.full(K, np.inf)
+        best_U = U[idx].copy()
+        best_grad = np.zeros((K, 2))
+        best_g = np.full(K, np.nan)
+        stall = np.zeros(K, int)
         for _ in range(max_iter):
             # one program: center + 4 central-difference points, all members
             Ui = U[idx]
@@ -436,8 +551,23 @@ def member_reliability(member_response_batch, joint: JointHsTp,
             al = -np.stack([gx, gy], 1) / gn_safe[:, None]
             upar = np.einsum("kj,kj->k", al, Ui)
             ortho = np.linalg.norm(Ui - upar[:, None] * al, axis=1)
-            done = ((np.abs(gc) < tol * g_scale)
-                    & (ortho < tol * np.maximum(1.0, np.abs(upar))))
+            # track the minimum-norm on-surface iterate
+            C = np.maximum(2.0 * np.abs(upar), 2.0)
+            u_norm = np.linalg.norm(Ui, axis=1)
+            on_surface = np.abs(gc) < 10.0 * tol * g_scale
+            better = on_surface & (u_norm < best_n - 1e-3)
+            best_n = np.where(better, u_norm, best_n)
+            best_U[better] = Ui[better]
+            best_grad[better, 0] = gx[better]
+            best_grad[better, 1] = gy[better]
+            best_g = np.where(better, gc, best_g)
+            stall = np.where(better, 0, stall + 1)
+            strict = ((np.abs(gc) < tol * g_scale)
+                      & (ortho < tol * np.maximum(1.0, np.abs(upar))))
+            # stagnation acceptance: an on-surface iterate exists and three
+            # iterations brought no shorter one
+            stalled = (stall >= 3) & np.isfinite(best_n)
+            done = strict | stalled
             conv[idx] = conv[idx] | done
             live = ~done & (gn > 1e-300)
             if not live.any():
@@ -445,7 +575,6 @@ def member_reliability(member_response_batch, joint: JointHsTp,
             # HL-RF target + merit-minimizing candidates, one program
             Unew = (upar + gc / gn_safe)[:, None] * al
             D = Unew - Ui
-            C = np.maximum(2.0 * np.abs(upar), 2.0)
             lams = (1.0, 0.5, 0.25)
             cand = np.concatenate([Ui + lam * D for lam in lams])
             cv = g_at(cand)[:, idx]               # [3K, K]
@@ -456,12 +585,32 @@ def member_reliability(member_response_batch, joint: JointHsTp,
                  for i, lam in enumerate(lams)])   # [3, K]
             pick = np.argmin(merits, axis=0)
             stepped = Ui + np.asarray(lams)[pick][:, None] * D
+            # the design point lies inside the search disk by construction
+            # (reachability means g < 0 somewhere at radius R, so the
+            # minimum-norm crossing is at most R); clamp runaway iterates
+            nrm = np.linalg.norm(stepped, axis=1)
+            scale = np.minimum(1.0, search_radius / np.maximum(nrm, 1e-300))
+            stepped = stepped * scale[:, None]
             U[idx[live]] = stepped[live]
+        # report the best recorded surface point, not the last iterate
+        settled = np.isfinite(best_n)
+        U[idx[settled]] = best_U[settled]
+        grad[idx[settled]] = best_grad[settled]
+        g_u[idx[settled]] = best_g[settled]
 
+    # beta is the DISTANCE to the design point.  At smooth converged points
+    # alpha @ U == |U| to within tol, but at kinked design points (max-over-
+    # phases responses) the accepted iterate is not gradient-parallel and
+    # the projection would understate beta badly; |U| is the FORM definition
+    # either way.  alpha likewise from the design-point direction, with the
+    # gradient direction only as a fallback for degenerate |U| = 0.
+    unorm = np.linalg.norm(U, axis=1)
     gn = np.linalg.norm(grad, axis=1)
-    alpha = np.where(gn[:, None] > 0, -grad / np.maximum(gn, 1e-300)[:, None],
-                     0.0)
-    beta = np.where(reachable, np.einsum("mj,mj->m", alpha, U), np.inf)
+    alpha_grad = np.where(gn[:, None] > 0,
+                          -grad / np.maximum(gn, 1e-300)[:, None], 0.0)
+    alpha = np.where(unorm[:, None] > 1e-12,
+                     U / np.maximum(unorm, 1e-300)[:, None], alpha_grad)
+    beta = np.where(reachable, unorm, np.inf)
     hs_star, tp_star = rosenblatt_hs_tp(joint, U[:, 0], U[:, 1])
     pf = np.where(np.isfinite(beta), np.asarray(_phi(-beta)), 0.0)
     use = reachable & conv
@@ -489,8 +638,7 @@ def member_utilization_response_batch(model, case, d: float,
     cap = 0.75 * d if h_max is None else h_max
 
     def response_batch(hs, tp):
-        hs = np.clip(np.asarray(hs, np.float64), h_min, cap)
-        tp = np.asarray(tp, np.float64)
+        hs, tp = _breaking_clip(hs, tp, d, h_min, cap)
         waves = make_wave_batch(hs, tp, d, U_c=U_c, model=wave_model, N=N,
                                 dtype=model.coords.dtype)
         cases = make_case_batch(case, t_analysis=np.zeros(hs.size))
@@ -539,14 +687,19 @@ def environmental_reliability(response: Callable[[float, float], float],
                               u0: np.ndarray | None = None,
                               tol: float = 5e-3, max_iter: int = 50,
                               fd_step: float = 0.05,
+                              search_radius: float = 8.0,
                               ) -> EnvironmentalReliability:
     """Direct FORM on ``response(Hs, Tp) > threshold`` under the fitted
     climate: reliability index, per-state and annual failure probability,
     and the most-probable failure sea state.
 
-    The search starts from the pure-Hs direction at a unit radius by
-    default (u0 = [1, 0]) — responses grow with Hs, so this sits on the
-    correct side of the origin and saves the flat-gradient first step.
+    Without an explicit ``u0`` the search is primed like
+    :func:`member_reliability`: the limit state is screened on an arc of
+    the ``search_radius`` circle (pf beyond it < ~6e-16); if the threshold
+    is unreachable there the result reports beta = inf / pf = 0 instead of
+    a failed HL-RF, and otherwise a bisection along the deepest arc ray
+    puts the start ON the limit-state surface, where iHL-RF is stable even
+    when the breaking-saturated response has flat far-field plateaus.
 
     Defaults are looser than the generic :func:`form`: the Morison load is
     integrated with fixed Gauss points masked by submergence, so the
@@ -560,10 +713,38 @@ def environmental_reliability(response: Callable[[float, float], float],
     not physics.
     """
     g_of_u, x_of_u = hs_tp_limit_state(response, joint, threshold)
+    n_pre = 0
     if u0 is None:
-        u0 = np.array([1.0, 0.0])
+        theta = np.array([-0.6, -0.3, 0.0, 0.3, 0.6])
+        dirs = np.column_stack([np.cos(theta), np.sin(theta)])
+        g_ring = np.array([g_of_u(search_radius * e) for e in dirs])
+        n_pre += dirs.shape[0]
+        if not (g_ring < 0.0).any():
+            # threshold unreachable inside the searched disk: the climate
+            # cannot produce the response even at the breaking-saturated
+            # extreme; report pf ~ 0 rather than a failed HL-RF
+            i = int(np.argmin(g_ring))
+            u_far = search_radius * dirs[i]
+            x_far = np.asarray(x_of_u(u_far), np.float64)
+            res = FormResult(beta=np.inf, pf=0.0, u_star=u_far, x_star=x_far,
+                             alpha=dirs[i].copy(), g_star=float(g_ring[i]),
+                             n_iter=0, n_evals=n_pre, converged=True)
+            return EnvironmentalReliability(
+                form=res, hs_star=float(x_far[0]), tp_star=float(x_far[1]),
+                pf_state=0.0, pf_annual=0.0, return_years=np.inf)
+        e = dirs[int(np.argmin(g_ring))]
+        lo, hi = 0.0, search_radius
+        for _ in range(10):
+            mid = 0.5 * (lo + hi)
+            if g_of_u(mid * e) < 0.0:
+                hi = mid
+            else:
+                lo = mid
+            n_pre += 1
+        u0 = 0.5 * (lo + hi) * e
     res = form(g_of_u, 2, x_of_u=x_of_u, u0=u0, tol=tol,
                max_iter=max_iter, fd_step=fd_step)
+    res = res._replace(n_evals=res.n_evals + n_pre)
     states_per_year = 8766.0 / joint.state_hours
     pf_state = res.pf
     # exact complement product; log1p keeps the tiny-pf regime accurate
@@ -587,8 +768,9 @@ def utilization_response(model, case, d: float, U_c: float = 0.0,
     design-wave convention as the IFORM envelope recipe
     (`ops/metocean.py::n_year_sea_states`) — and runs one jitted
     ``analyze_phase_batch``; repeated calls hit the jit cache (shapes are
-    static).  H is clipped to [h_min, h_max] (default 0.75 d, the same
-    breaking guard the contour-envelope tests use) so the limit state
+    static).  (Hs, Tp) probes are clamped to physically realizable waves —
+    H to [h_min, min(h_max, Miche breaking height)] (h_max default 0.75 d)
+    and Tp to [2, 30] s via :func:`_breaking_clip` — so the limit state
     stays defined in the far Gaussian tail, where the response saturates
     physically at the breaking limit.
     """
@@ -598,8 +780,9 @@ def utilization_response(model, case, d: float, U_c: float = 0.0,
     cap = 0.75 * d if h_max is None else h_max
 
     def response(hs: float, tp: float) -> float:
-        h = float(np.clip(hs, h_min, cap))
-        wave = make_wave(h, float(tp), d, U_c=U_c, model=wave_model, N=N)
+        h, tp = _breaking_clip(hs, tp, d, h_min, cap)
+        wave = make_wave(float(h), float(tp), d, U_c=U_c, model=wave_model,
+                         N=N)
         _, batch = analyze_phase_batch(model, wave, case, n_steps=n_steps)
         return float(np.max(np.asarray(batch.utilization)))
 

@@ -103,6 +103,25 @@ def test_importance_sampling_validates_form():
     assert pfp == pytest.approx(exact, rel=3.5 * covp)
 
 
+def test_importance_sample_overflow_and_guards():
+    """Samples far opposite u* carry log-weights that would overflow if
+    exponentiated before the failure mask; the estimate must stay finite.
+    n_samples < 2 is rejected (cov uses ddof=1)."""
+    a = np.array([30.0, 40.0])        # steep state -> |u*| = 20, huge logw
+    lin = lambda u: 1000.0 - a @ u  # noqa: E731
+    res = form(lin, 2)
+    with np.errstate(over="raise"):   # any overflow becomes an error
+        pf, cov = sf.importance_sample(lin, res, n_samples=300, seed=11)
+        pf_b, _ = sf.importance_sample_batch(lambda U: 1000.0 - U @ a, res,
+                                             n_samples=300, seed=11)
+    assert np.isfinite(pf) and np.isfinite(pf_b)
+    assert pf_b == pytest.approx(pf, rel=1e-14)
+    with pytest.raises(ValueError, match="n_samples"):
+        sf.importance_sample(lin, res, n_samples=1)
+    with pytest.raises(ValueError, match="n_samples"):
+        sf.importance_sample_batch(lambda U: 1000.0 - U @ a, res, n_samples=1)
+
+
 def test_importance_sample_batch_identity():
     """Batched IS draws the exact same samples as the scalar loop (same
     seed) and returns the identical estimate."""
