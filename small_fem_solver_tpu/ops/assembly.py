@@ -65,10 +65,17 @@ class BCSRPattern:
     block_cols: jnp.ndarray
     row_ptr: jnp.ndarray
     elem_slot: jnp.ndarray
-    # [n_blocks, max_contrib] indices into the 4M contribution list (padded
-    # with 4M -> a zero row): enables GATHER-based assembly, which measured
-    # 2.3x faster than the segment_sum scatter at 100k DOF on TPU
-    gather_idx: jnp.ndarray | None = None
+    # TWO-TIER gather plan (padded with 4M -> a zero row): gathers measured
+    # 2.3x faster than segment_sum scatter at 100k DOF on TPU, and two
+    # gathers cover the first two contributions of every block — on refined
+    # meshes that is ALL of the blocks except the few original hub nodes
+    # (a flat [n_blocks, max_c] table wasted max_c = 8 full-size gathers on
+    # a majority of single-contribution blocks; measured 1.16 -> ~0.4 ms).
+    # The leftovers (contribution 3+, only at high-degree nodes) go through
+    # one small scatter-add.
+    gather_idx: jnp.ndarray | None = None     # [n_blocks, <=2]
+    extra_idx: jnp.ndarray | None = None      # [n_extra] contribution rows
+    extra_slot: jnp.ndarray | None = None     # [n_extra] destination blocks
     n_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
 
@@ -85,14 +92,16 @@ def build_bcsr_pattern(conn, n_nodes: int) -> BCSRPattern:
         out = None
     if out is not None:
         block_rows, block_cols, row_ptr, elem_slot = out
+        gidx, eidx, eslot = _build_gather_table(np.asarray(elem_slot),
+                                                int(block_rows.shape[0]))
         return BCSRPattern(
             block_rows=jnp.asarray(block_rows),
             block_cols=jnp.asarray(block_cols),
             row_ptr=jnp.asarray(row_ptr),
             elem_slot=jnp.asarray(elem_slot),
-            gather_idx=jnp.asarray(
-                _build_gather_table(np.asarray(elem_slot),
-                                    int(block_rows.shape[0]))),
+            gather_idx=jnp.asarray(gidx),
+            extra_idx=jnp.asarray(eidx),
+            extra_slot=jnp.asarray(eslot),
             n_nodes=int(n_nodes),
             n_blocks=int(block_rows.shape[0]),
         )
@@ -109,20 +118,28 @@ def build_bcsr_pattern(conn, n_nodes: int) -> BCSRPattern:
     np.add.at(row_ptr, block_rows + 1, 1)
     row_ptr = np.cumsum(row_ptr)
     elem_slot = inverse.reshape(4, -1).T.astype(np.int32)  # [M, 4]
+    gidx, eidx, eslot = _build_gather_table(elem_slot, n_blocks)
     return BCSRPattern(
         block_rows=jnp.asarray(block_rows),
         block_cols=jnp.asarray(block_cols),
         row_ptr=jnp.asarray(row_ptr),
         elem_slot=jnp.asarray(elem_slot),
-        gather_idx=jnp.asarray(_build_gather_table(elem_slot, n_blocks)),
+        gather_idx=jnp.asarray(gidx),
+        extra_idx=jnp.asarray(eidx),
+        extra_slot=jnp.asarray(eslot),
         n_nodes=int(n_nodes),
         n_blocks=int(n_blocks),
     )
 
 
-def _build_gather_table(elem_slot: np.ndarray, n_blocks: int) -> np.ndarray:
-    """Per-slot contribution index table [n_blocks, max_contrib] (host-side,
-    once per mesh); pad entries point at index 4M (a zero contribution)."""
+def _build_gather_table(elem_slot: np.ndarray, n_blocks: int):
+    """Two-tier contribution plan (host-side, once per mesh).
+
+    Returns ``(gidx [n_blocks, <=2], extra_idx [n_extra],
+    extra_slot [n_extra])``; pad entries of ``gidx`` point at index 4M (a
+    zero contribution row).  Contributions 3+ of high-degree blocks land in
+    the extras lists (scatter-added; empty arrays when every block has at
+    most two contributions)."""
     slots = elem_slot.T.reshape(-1)                        # column-major = the
     # concatenation order of assemble_bcsr's contribution list
     order = np.argsort(slots, kind="stable").astype(np.int64)
@@ -130,11 +147,21 @@ def _build_gather_table(elem_slot: np.ndarray, n_blocks: int) -> np.ndarray:
     max_c = max(int(counts.max()), 1)
     starts = np.zeros(n_blocks + 1, np.int64)
     starts[1:] = np.cumsum(counts)
-    gidx = np.full((n_blocks, max_c), slots.size, np.int32)
-    for c in range(max_c):
+    n_tier = min(max_c, 2)
+    gidx = np.full((n_blocks, n_tier), slots.size, np.int32)
+    for c in range(n_tier):
         sel = counts > c
         gidx[sel, c] = order[starts[:-1][sel] + c]
-    return gidx
+    extra_idx, extra_slot = [], []
+    for c in range(2, max_c):
+        sel = np.where(counts > c)[0]
+        extra_idx.append(order[starts[:-1][sel] + c])
+        extra_slot.append(sel)
+    extra_idx = (np.concatenate(extra_idx).astype(np.int32) if extra_idx
+                 else np.zeros(0, np.int32))
+    extra_slot = (np.concatenate(extra_slot).astype(np.int32) if extra_slot
+                  else np.zeros(0, np.int32))
+    return gidx, extra_idx, extra_slot
 
 
 class BCSRMatrix(NamedTuple):
@@ -143,18 +170,29 @@ class BCSRMatrix(NamedTuple):
 
 
 def assemble_bcsr(K_elems: jnp.ndarray, pattern: BCSRPattern) -> BCSRMatrix:
-    """Assemble stacked element matrices ``[M, 12, 12]`` into BCSR blocks.
+    """Assemble element matrices into BCSR blocks.
 
-    With the pattern's gather table: a few row-gathers over the 4M element
-    sub-blocks (scatter-free; TPU scatters on (6, 6)-shaped rows badly
-    underfill the vector tiles — measured 9.3 vs 4.0 ms at 100k DOF).
-    Falls back to one ``segment_sum`` for patterns without the table.
+    ``K_elems`` is either the stacked ``[M, 12, 12]`` element matrices or
+    the pre-split quadrant stack ``[4M, 6, 6]`` in (ii, ij, ji, jj)-major
+    order (see :func:`ops.beams.global_stiffness_quadrants`, which lets XLA
+    fuse element construction straight into the gathers below with no
+    intermediate 12x12 layout round-trip).
+
+    With the pattern's two-tier gather plan: two row-gathers over the 4M
+    element sub-blocks cover every block's first two contributions
+    (scatter-free; TPU scatters on (6, 6)-shaped rows badly underfill the
+    vector tiles — measured 9.3 vs 4.0 ms at 100k DOF), plus one small
+    scatter-add for the 3rd+ contributions of high-degree hub blocks.
+    Falls back to one ``segment_sum`` for patterns without the plan.
     """
-    Kii = K_elems[:, 0:6, 0:6]
-    Kij = K_elems[:, 0:6, 6:12]
-    Kji = K_elems[:, 6:12, 0:6]
-    Kjj = K_elems[:, 6:12, 6:12]
-    contrib = jnp.concatenate([Kii, Kij, Kji, Kjj], axis=0)        # [4M, 6, 6]
+    if K_elems.ndim == 3 and K_elems.shape[-2:] == (12, 12):
+        Kii = K_elems[:, 0:6, 0:6]
+        Kij = K_elems[:, 0:6, 6:12]
+        Kji = K_elems[:, 6:12, 0:6]
+        Kjj = K_elems[:, 6:12, 6:12]
+        contrib = jnp.concatenate([Kii, Kij, Kji, Kjj], axis=0)    # [4M, 6, 6]
+    else:
+        contrib = K_elems                                          # [4M, 6, 6]
     if pattern.gather_idx is not None:
         flat = jnp.concatenate(
             [contrib.reshape(-1, 36),
@@ -163,6 +201,8 @@ def assemble_bcsr(K_elems: jnp.ndarray, pattern: BCSRPattern) -> BCSRMatrix:
         out = flat[gidx[:, 0]]
         for c in range(1, gidx.shape[1]):
             out = out + flat[gidx[:, c]]
+        if pattern.extra_idx is not None and pattern.extra_idx.shape[0]:
+            out = out.at[pattern.extra_slot].add(flat[pattern.extra_idx])
         return BCSRMatrix(pattern=pattern, blocks=out.reshape(-1, 6, 6))
     slots = jnp.concatenate([pattern.elem_slot[:, 0], pattern.elem_slot[:, 1],
                              pattern.elem_slot[:, 2], pattern.elem_slot[:, 3]])

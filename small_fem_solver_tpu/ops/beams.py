@@ -102,6 +102,14 @@ def _build_kpat():
 
 _KPAT = _build_kpat()
 
+# the ~40 nonzero (coeff, row, col, sign) entries of the pattern stack —
+# drives the closed-form global-stiffness construction below
+_KPAT_ENTRIES = [
+    (c, i, j, float(_KPAT.reshape(10, 12, 12)[c, i, j]))
+    for c in range(10) for i in range(12) for j in range(12)
+    if _KPAT.reshape(10, 12, 12)[c, i, j] != 0.0
+]
+
 
 def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool = True):
     """Stacked local stiffness ``K_local[M, 12, 12]`` in N/mm units.
@@ -110,6 +118,15 @@ def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool 
     (`JacketAnalysisGUI_v2.py:389-422`) expressed as one coefficient-by-
     pattern matmul (see ``_build_kpat``).
     """
+    coeffs = stiffness_coeffs(L_mm, sec, sect_id, E, G, include_shear)
+    pat = jnp.asarray(_KPAT, dtype=L_mm.dtype)             # [10, 144]
+    return (coeffs @ pat).reshape(-1, 12, 12)
+
+
+def stiffness_coeffs(L_mm, sec: TubeSections, sect_id, E, G,
+                     include_shear: bool = True):
+    """The 10 independent stiffness coefficients ``[M, 10]`` of
+    `JacketAnalysisGUI_v2.py:400-421` (axial; z/y bending quads; torsion)."""
     L = L_mm
     A = sec.Ax[sect_id]
     Iy = sec.Iy[sect_id]
@@ -136,7 +153,7 @@ def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool 
     by = E * Iy / ((1.0 + Phi_z) * L**3)
     tors = G * Ix / L
 
-    coeffs = jnp.stack([
+    return jnp.stack([
         alpha,
         12.0 * bz, 6.0 * bz * L, (4.0 + Phi_y) * bz * L**2,
         (2.0 - Phi_y) * bz * L**2,
@@ -144,8 +161,56 @@ def local_stiffness(L_mm, sec: TubeSections, sect_id, E, G, include_shear: bool 
         (2.0 - Phi_z) * by * L**2,
         tors,
     ], axis=-1)                                            # [M, 10]
-    pat = jnp.asarray(_KPAT, dtype=L.dtype)                # [10, 144]
-    return (coeffs @ pat).reshape(-1, 12, 12)
+
+
+def global_stiffness_direct(R, coeffs):
+    """Closed-form ``K_global[M, 12, 12]`` from local axes and stiffness
+    coefficients — no congruence transform, no 12x12 intermediates.
+
+    With T block-diagonal in R, every 3x3 node block of T^T K_local T is a
+    signed sum of rank-one terms:  K_g[3B1+r, 3B2+s] =
+    sum_c coeff_c * P_c[3B1+a, 3B2+b] * l_a[r] * l_b[s]  (l_a = rows of R).
+    Expanding the ~40 nonzero pattern entries gives pure elementwise
+    multiply-adds over [M]-major arrays — ideal VPU shape with members on
+    lanes, vs. the batched congruence whose [M, 12, 12, 12] broadcast
+    intermediates made assembly HBM-bound (measured 13 GB/s effective at
+    100k DOF).  Replaces the role of the reference's per-member
+    ``T.T @ K_local @ T`` (`JacketAnalysisGUI_v2.py:369`).
+    """
+    g = _direct_block_grid(R, coeffs)
+    rows = [jnp.concatenate(br, axis=-1) for br in g]
+    return jnp.concatenate(rows, axis=-2)
+
+
+def _direct_block_grid(R, coeffs):
+    """4x4 grid of [M, 3, 3] global-stiffness blocks (see
+    :func:`global_stiffness_direct`)."""
+    blocks = [[None] * 4 for _ in range(4)]
+    for c, i, j, v in _KPAT_ENTRIES:
+        B1, a = divmod(i, 3)
+        B2, b = divmod(j, 3)
+        term = ((v * coeffs[:, c])[:, None, None]
+                * (R[:, a, :, None] * R[:, b, None, :]))
+        prev = blocks[B1][B2]
+        blocks[B1][B2] = term if prev is None else prev + term
+    zero = jnp.zeros_like(R)
+    return [[b if b is not None else zero for b in br] for br in blocks]
+
+
+def global_stiffness_quadrants(R, coeffs):
+    """The element stiffness as the quadrant stack ``[4M, 6, 6]`` in
+    (ii, ij, ji, jj)-major order — exactly the contribution layout
+    :func:`ops.assembly.assemble_bcsr` consumes, skipping the [M, 12, 12]
+    intermediate entirely."""
+    g = _direct_block_grid(R, coeffs)
+
+    def quad(r0, c0):
+        top = jnp.concatenate([g[r0][c0], g[r0][c0 + 1]], axis=-1)
+        bot = jnp.concatenate([g[r0 + 1][c0], g[r0 + 1][c0 + 1]], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)        # [M, 6, 6]
+
+    return jnp.concatenate(
+        [quad(0, 0), quad(0, 2), quad(2, 0), quad(2, 2)], axis=0)
 
 
 def congruence(T, K):
@@ -259,11 +324,31 @@ def element_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,
     L = jnp.linalg.norm(dL, axis=-1)
     R = local_axes(dL, L)
     T = transformation_matrices(R)
-    K_local = local_stiffness(L * 1000.0, sec, sect_id, E, G, include_shear)
+    coeffs = stiffness_coeffs(L * 1000.0, sec, sect_id, E, G, include_shear)
+    K_local = (coeffs @ jnp.asarray(_KPAT, dtype=L.dtype)).reshape(-1, 12, 12)
     if release is not None:
         K_local = apply_releases(K_local, release)
-    K_global = congruence(T, K_local)
+        K_global = congruence(T, K_local)
+    else:
+        K_global = global_stiffness_direct(R, coeffs)
     return K_global, K_local, T, L
+
+
+def element_global_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,
+                             include_shear: bool = True):
+    """``K_global[M, 12, 12]`` only — the assembly fast path.
+
+    Skips materializing T and K_local entirely (closed-form construction,
+    see :func:`global_stiffness_direct`); use when element matrices feed
+    straight into :func:`ops.assembly.assemble_bcsr`/``assemble_dense``.
+    """
+    c1 = coords[conn[:, 0]]
+    c2 = coords[conn[:, 1]]
+    dL = c2 - c1
+    L = jnp.linalg.norm(dL, axis=-1)
+    R = local_axes(dL, L)
+    coeffs = stiffness_coeffs(L * 1000.0, sec, sect_id, E, G, include_shear)
+    return global_stiffness_direct(R, coeffs)
 
 
 def internal_forces(K_local, T, u_elem):

@@ -57,3 +57,13 @@ def golden_shallow():
 @pytest.fixture(scope="session")
 def golden_custom_tower():
     return json.loads((GOLDEN_DIR / "custom_tower_case.json").read_text())
+
+
+@pytest.fixture(scope="session")
+def golden_singular():
+    return json.loads((GOLDEN_DIR / "singular_case.json").read_text())
+
+
+@pytest.fixture(scope="session")
+def golden_autogen_4leg():
+    return json.loads((GOLDEN_DIR / "autogen_4leg_case.json").read_text())

@@ -214,12 +214,76 @@ CUSTOM.update(H=7.5, T=10.0, d=35.0, U_c=1.1, wave_dir=200.0,
               D_leg=1400.0, t_leg=50.0, D_brace=600.0, t_brace=25.0)
 
 
+def singular_geometry(ref):
+    """The default jacket plus one ORPHAN node (no member touches it):
+    its 6 zero rows make K_ff exactly singular, so the reference's
+    ``np.linalg.solve`` raises and the except-path least-squares solve
+    (`JacketAnalysisGUI_v2.py:484-487`) produces the recorded numbers."""
+    nodes, members, fixed, top = ref.create_default_3leg_jacket(47.0)
+    nodes = dict(nodes)
+    nodes["ZZ_ORPHAN"] = np.array([30.0, 30.0, -10.0])
+    return nodes, members, fixed, top
+
+
+# custom self-weight loads EVERY node (incl. the orphan), making the
+# singular system inconsistent as well — the min-norm least-squares branch
+# is exercised on both counts
+SINGULAR = dict(DEFAULT)
+SINGULAR.update(H=6.0, T=10.5, U_c=0.8, t_analysis=1.2)
+
+
+class _AutogenShim:
+    """Headless stand-in for the two GUI attributes the reference's member
+    auto-generators touch (`JacketAnalysisGUI_v2.py:1224-1273` read
+    ``self.nodes_data``/``self.members_data`` and refresh a Treeview)."""
+
+    def __init__(self, nodes):
+        self.nodes_data = nodes
+        self.members_data = []
+
+    def refresh_member_list(self):
+        pass
+
+
+def autogen_4leg_geometry(ref):
+    """A 4-leg battered tower whose members come from the reference's OWN
+    auto-generators (`auto_generate_legs`/`auto_generate_h_braces`,
+    `JacketAnalysisGUI_v2.py:1224-1273`) driven headlessly — golden parity
+    then covers their exact naming, level-chaining and ring-closure
+    semantics, not just hand-listed members."""
+    import unittest.mock as mock
+    half = [12.0, 10.2, 8.5, 7.0]
+    zs = [-45.0, -30.0, -14.0, 5.0]
+    corners = [(1.0, 1.0), (-1.0, 1.0), (-1.0, -1.0), (1.0, -1.0)]
+    nodes = {}
+    for li, leg in enumerate("ABCD"):
+        cx, cy = corners[li]
+        for lv in range(4):
+            nodes[f"{leg}{lv + 1}"] = np.array(
+                [cx * half[lv], cy * half[lv], zs[lv]])
+    shim = _AutogenShim(nodes)
+    with mock.patch.object(ref, "messagebox"):
+        ref.JacketAnalysisGUI.auto_generate_legs(shim)
+        ref.JacketAnalysisGUI.auto_generate_h_braces(shim)
+    fixed = [f"{leg}1" for leg in "ABCD"]
+    top = [f"{leg}4" for leg in "ABCD"]
+    return nodes, shim.members_data, fixed, top
+
+
+AUTOGEN = dict(DEFAULT)
+AUTOGEN.update(H=8.0, T=10.0, d=48.0, U_c=1.2, wave_dir=75.0,
+               current_dir=75.0, F_axial_kN=16000.0, F_shear_kN=1800.0,
+               sw_mode="calculated", t_analysis=3.0)
+
+
 def main():
     ref = load_reference()
     cases = [("default_case", DEFAULT, None),
              ("variant_case", VARIANT, None),
              ("shallow_case", SHALLOW, None),
-             ("custom_tower_case", CUSTOM, custom_tower_geometry())]
+             ("custom_tower_case", CUSTOM, custom_tower_geometry()),
+             ("singular_case", SINGULAR, singular_geometry(ref)),
+             ("autogen_4leg_case", AUTOGEN, autogen_4leg_geometry(ref))]
     for name, params, geom in cases:
         out = run_case(ref, params, geometry=geom)
         if geom is not None:
