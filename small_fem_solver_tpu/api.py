@@ -875,11 +875,6 @@ def phase_scan_condensed(coarse: JacketModel, refined: JacketModel,
     to manage the handle lifetime explicitly.
     """
     _check_refined_layout(coarse, refined, n_seg)
-    if stretching != "none" and kinematics == "pallas":
-        raise ValueError("the fused Pallas kernel does not implement Wheeler "
-                         "stretching; use kinematics='separable' (2nd-order "
-                         "Taylor frozen-stretch, same matmul) or 'pointwise' "
-                         "(exact)")
     # Repeated one-shot scans of the SAME model objects auto-reuse the
     # case-independent factorization (the chain factor depends only on
     # (model, E, nu, springs) — the exact quantity prepare_condensed
@@ -1275,7 +1270,7 @@ def _condensed_scan_body(coarse, refined, wave, case, n_seg, n_steps,
                 wave, refined.coords, conn_h, D_m,
                 case_l.wave_dir_deg, case_l.current_dir_deg,
                 Cd_h, Cm_h, case_l.rho_water, ts, n_gauss=n_gauss,
-                current_alpha=current_alpha)
+                current_alpha=current_alpha, stretching=stretching)
             mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
         else:
             mb = morison_phase_batch(wave, refined.coords, conn_h, D_m,
@@ -1510,11 +1505,6 @@ def phase_scan_prepared(prep: CondensedPrepared, wave, case: LoadCase,
                 f"match the prepared factorization's {name} "
                 f"({np.asarray(getattr(prep, name))!r}); re-run "
                 f"prepare_condensed for a new material")
-    if stretching != "none" and kinematics == "pallas":
-        raise ValueError("the fused Pallas kernel does not implement Wheeler "
-                         "stretching; use kinematics='separable' (2nd-order "
-                         "Taylor frozen-stretch, same matmul) or 'pointwise' "
-                         "(exact)")
     return _phase_scan_prepared_jit(prep, wave, case.cast(solve_dtype),
                                     n_steps, n_gauss, accel, kinematics,
                                     refine_steps, stretching, current_alpha)
@@ -1966,10 +1956,20 @@ def spectral_transfer_dynamic(coarse, refined, n_seg: int, sea,
 _MODAL_CACHE: dict = {}
 
 
-def _cb_modal_basis(cb, damping: str, damping_ratio: float):
-    """Full mass-normalized modal basis of the reduced (K, M) + per-mode
+def _cb_modal_basis(cb, damping: str, damping_ratio: float,
+                    n_modes_device: int = 64):
+    """Mass-normalized modal basis of the reduced (K, M) + per-mode
     damping coefficients — sea-state independent, memoized on the (cached)
-    reduction's identity."""
+    reduction's identity.
+
+    On CPU: the FULL basis via LAPACK eigh.  On the TPU backend (eigh
+    unimplemented): the lowest ``n_modes_device`` modes via device-resident
+    subspace iteration (ops/eigen.py) — safe to truncate here because the
+    transfer uses the MODE-ACCELERATION form (the quasi-static part is
+    exact for every mode; the basis only carries the resonant correction,
+    which decays as (w / w_n)^2 for the omitted high modes)."""
+    from .ops.dynamics import _eigh_backend
+
     key = (id(cb), damping, damping_ratio)
     hit = _MODAL_CACHE.get(key)
     if hit is not None:
@@ -1978,14 +1978,21 @@ def _cb_modal_basis(cb, damping: str, damping_ratio: float):
     with jax.default_matmul_precision("highest"):
         K_ff = cb.K_red[jnp.ix_(cb.free, cb.free)]
         M_ff = cb.M_red[jnp.ix_(cb.free, cb.free)]
-        Lm = jnp.linalg.cholesky(M_ff)
-        Y = jax.scipy.linalg.solve_triangular(Lm, K_ff, lower=True)
-        Am = jax.scipy.linalg.solve_triangular(Lm, Y.T, lower=True)
-        Am = 0.5 * (Am + Am.T)
-        w2n, V = jnp.linalg.eigh(Am)
-        w2n = jnp.clip(w2n, 0.0)
-        wn = jnp.sqrt(w2n)
-        phi = jax.scipy.linalg.solve_triangular(Lm.T, V, lower=False)
+        if _eigh_backend() == "subspace":
+            from .ops.eigen import subspace_eigh
+            m = min(n_modes_device, K_ff.shape[0])
+            w2n, phi = subspace_eigh(K_ff, M_ff, m, n_iter=16)
+            w2n = jnp.clip(w2n, 0.0)
+            wn = jnp.sqrt(w2n)
+        else:
+            Lm = jnp.linalg.cholesky(M_ff)
+            Y = jax.scipy.linalg.solve_triangular(Lm, K_ff, lower=True)
+            Am = jax.scipy.linalg.solve_triangular(Lm, Y.T, lower=True)
+            Am = 0.5 * (Am + Am.T)
+            w2n, V = jnp.linalg.eigh(Am)
+            w2n = jnp.clip(w2n, 0.0)
+            wn = jnp.sqrt(w2n)
+            phi = jax.scipy.linalg.solve_triangular(Lm.T, V, lower=False)
     if damping == "modal":
         c_j = (2.0 * damping_ratio * wn).astype(dtype)
     else:                                              # 'rayleigh'
@@ -2954,9 +2961,6 @@ def design_envelope_condensed(coarse: JacketModel, refined: JacketModel,
     _check_shared_material(cases)
     _check_no_slam(cases, "design_envelope_condensed")
     _check_refined_layout(coarse, refined, n_seg)
-    if stretching != "none" and kinematics == "pallas":
-        raise ValueError("the fused Pallas kernel does not implement Wheeler "
-                         "stretching; use kinematics='separable'")
     ks_nodes, free_np, _ = _ssi_spring_nodes(coarse, support_stiffness,
                                              solve_dtype)
     cases = cases.cast(solve_dtype)
@@ -3016,7 +3020,7 @@ def _condensed_envelope_one_case(coarse, refined, cases, n_seg, n_steps,
                     wave, refined.coords, conn_h, D_m,
                     case_l.wave_dir_deg, case_l.current_dir_deg, Cd_h,
                     Cm_h, case_l.rho_water, ts, n_gauss=n_gauss,
-                    current_alpha=current_alpha)
+                    current_alpha=current_alpha, stretching=stretching)
                 mb = jax.tree.map(lambda x: x.astype(ldtype), mb)
             elif kinematics == "separable":
                 mb = morison_phase_batch(wave, refined.coords, conn_h,

@@ -224,6 +224,138 @@ INFO_TEXT = """\
 """
 
 
+# ---------------------------------------------------------------------------
+# Headless core (display-independent).  The environment has no X server, so
+# the GUI's logic — widget-string parsing and the whole RUN-button pipeline —
+# lives in module functions the test suite drives directly; the Tk layer
+# only collects strings and renders results (reference behavior:
+# `JacketAnalysisGUI_v2.py:1827-1863` parses ~20 widget strings inline).
+# ---------------------------------------------------------------------------
+
+# The widget defaults as raw STRINGS — exactly what an untouched GUI's
+# entries contain (the reference's canonical storm,
+# `JacketAnalysisGUI_v2.py:1804-1822`).  The tab builders below insert
+# these; the headless tests drive parse_params/run_analysis_core with them.
+DEFAULT_RAW_PARAMS = dict(
+    E="210000", nu="0.3", fy="355", rho_steel="7850", rho_water="1025",
+    D_leg="2000", t_leg="75", D_brace="800", t_brace="30",
+    H="17.038", T="9.4", d="50.0", Uc="1.7",
+    wave_dir="38.0", current_dir="38.0", N="10", Cd="0.7", Cm="2.0",
+    marine_growth="0", wave_model="auto",
+    F_axial="25100", F_shear="2900", M_moment="0", M_torsion="0",
+    custom_sw="1100", sw_mode="custom", buoyancy="none",
+    wind_speed="0", wind_dir="38", wind_area="0",
+    t_analysis="0.0",
+)
+
+PARAM_KEYS_FLOAT = (
+    "E", "nu", "fy", "rho_steel", "rho_water",
+    "D_leg", "t_leg", "D_brace", "t_brace",
+    "H", "T", "d", "Uc", "wave_dir", "current_dir", "Cd", "Cm",
+    "marine_growth",
+    "F_axial", "F_shear", "M_moment", "M_torsion", "custom_sw",
+    "wind_speed", "wind_dir", "wind_area", "t_analysis",
+)
+PARAM_KEYS_INT = ("N",)
+PARAM_KEYS_STR = ("wave_model", "sw_mode", "buoyancy")
+
+
+def parse_params(raw: dict) -> dict:
+    """Typed parameter dict from raw widget STRINGS — the exact conversion
+    the RUN button applies (float everywhere, ``int(float(.))`` for the
+    harmonic count, verbatim strings for the mode selectors), as one
+    headless-testable function.  Raises ValueError naming the offending
+    field instead of a bare float() traceback."""
+    p = {}
+    for k in PARAM_KEYS_FLOAT + PARAM_KEYS_INT + PARAM_KEYS_STR:
+        if k not in raw:
+            raise ValueError(f"missing parameter: {k}")
+        v = raw[k]
+        try:
+            if k in PARAM_KEYS_STR:
+                p[k] = str(v)
+            elif k in PARAM_KEYS_INT:
+                p[k] = int(float(v))
+            else:
+                p[k] = float(v)
+        except (TypeError, ValueError):
+            raise ValueError(f"invalid value for {k}: {v!r}") from None
+    return p
+
+
+def build_model_from_data(p: dict, nodes_data, members_data, fixed_nodes,
+                          top_nodes, apps_data=()):
+    """The GUI's model construction from its plain-data state (dicts and
+    lists — no widgets)."""
+    from .models.model import add_appurtenances, build_model
+    model = build_model(nodes_data, members_data, fixed_nodes, top_nodes,
+                        leg_section=(p["D_leg"], p["t_leg"]),
+                        brace_section=(p["D_brace"], p["t_brace"]),
+                        rho_steel=p["rho_steel"])
+    return add_appurtenances(model, apps_data)
+
+
+def run_analysis_core(p: dict, nodes_data, members_data, fixed_nodes,
+                      top_nodes, apps_data=(), do_phase_scan: bool = True,
+                      springs=None, log=lambda msg: None) -> dict:
+    """The full RUN-ANALYSIS pipeline on plain data: validate, build model
+    and wave, optional 36-step phase scan, solve (foundation springs
+    optional), render the report.  Returns a dict with model / wave /
+    case / res / scan / report / util.  This is everything
+    ``JacketGUI.run_analysis`` does between reading the widgets and
+    painting the log pane."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from . import (LoadCase, analyze, analyze_ssi, make_wave,
+                   validate_wave)
+    from .utils.report import render_report
+
+    if p["marine_growth"] < 0:
+        raise ValueError("marine growth thickness must be >= 0 mm")
+    for msg in validate_wave(p["H"], p["T"], p["d"]):
+        log(f"WARNING: {msg}")
+    model = build_model_from_data(p, nodes_data, members_data, fixed_nodes,
+                                  top_nodes, apps_data)
+    log(f"Building wave model ({p['wave_model']})...")
+    wave = make_wave(p["H"], p["T"], p["d"], p["Uc"],
+                     model=p["wave_model"], N=p["N"])
+    case = LoadCase(
+        E=p["E"], nu=p["nu"], fy=p["fy"], rho_water=p["rho_water"],
+        wave_dir_deg=p["wave_dir"], current_dir_deg=p["current_dir"],
+        Cd=p["Cd"], Cm=p["Cm"], F_axial_kN=p["F_axial"],
+        F_shear_kN=p["F_shear"], M_moment_kNm=p["M_moment"],
+        M_torsion_kNm=p["M_torsion"], custom_sw_tonnes=p["custom_sw"],
+        t_analysis=p["t_analysis"], sw_mode=p["sw_mode"],
+        buoyancy=p["buoyancy"],
+        wind_speed_ms=p["wind_speed"], wind_dir_deg=p["wind_dir"],
+        wind_topside_area_m2=p["wind_area"],
+        marine_growth_mm=p["marine_growth"])
+
+    scan = None
+    if do_phase_scan:
+        log("Scanning wave period for critical phase...")
+        from .ops.morison import hydro_members
+        from . import phase_scan as _scan
+        conn_h, D_m, Cd_h, Cm_h = hydro_members(
+            model, case.marine_growth_mm, case.Cd, case.Cm)
+        scan = _scan(wave, model.coords, conn_h, D_m,
+                     case.wave_dir_deg, case.current_dir_deg,
+                     Cd_h, Cm_h, case.rho_water, n_steps=36)
+
+    log("Solving (first run compiles the XLA program)...")
+    if springs is not None:
+        log(f"[foundation] supports on 6-DOF springs k = {springs} "
+            f"(N/mm, N*mm/rad)")
+        res = analyze_ssi(model, wave, case, springs)
+    else:
+        res = analyze(model, wave, case, solver="chol")
+    report = render_report(model, wave, case, res, phase_scan=scan)
+    log(report)
+    return dict(model=model, wave=wave, case=case, res=res, scan=scan,
+                report=report,
+                util=float(np.asarray(res.utilization).max()))
+
+
 class JacketGUI:
     def __init__(self, root):
         self.root = root
@@ -714,102 +846,48 @@ class JacketGUI:
         self.log_text.see(tk.END)
         self.root.update()
 
+    def _raw_params(self) -> dict:
+        """Raw widget STRINGS keyed for :func:`parse_params`."""
+        raw = {k: e.get() for k, e in self.mat.items()}
+        raw.update({k: e.get() for k, e in self.wav.items()})
+        raw.update({k: e.get() for k, e in self.lds.items()})
+        raw.update({k: e.get() for k, e in self.wind_entries.items()})
+        raw.update(wave_model=self.wave_model.get(),
+                   sw_mode=self.sw_mode.get(),
+                   buoyancy=self.buoyancy.get(),
+                   t_analysis=self.entry_t.get())
+        return raw
+
     def _params(self) -> dict:
-        g = lambda e: float(e.get())
-        return dict(
-            E=g(self.mat["E"]), nu=g(self.mat["nu"]), fy=g(self.mat["fy"]),
-            rho_steel=g(self.mat["rho_steel"]),
-            rho_water=g(self.mat["rho_water"]),
-            D_leg=g(self.mat["D_leg"]), t_leg=g(self.mat["t_leg"]),
-            D_brace=g(self.mat["D_brace"]), t_brace=g(self.mat["t_brace"]),
-            H=g(self.wav["H"]), T=g(self.wav["T"]), d=g(self.wav["d"]),
-            Uc=g(self.wav["Uc"]), wave_dir=g(self.wav["wave_dir"]),
-            current_dir=g(self.wav["current_dir"]),
-            N=int(float(self.wav["N"].get())),
-            Cd=g(self.wav["Cd"]), Cm=g(self.wav["Cm"]),
-            marine_growth=g(self.wav["marine_growth"]),
-            wave_model=self.wave_model.get(),
-            F_axial=g(self.lds["F_axial"]), F_shear=g(self.lds["F_shear"]),
-            M_moment=g(self.lds["M_moment"]),
-            M_torsion=g(self.lds["M_torsion"]),
-            custom_sw=g(self.lds["custom_sw"]), sw_mode=self.sw_mode.get(),
-            buoyancy=self.buoyancy.get(),
-            wind_speed=g(self.wind_entries["wind_speed"]),
-            wind_dir=g(self.wind_entries["wind_dir"]),
-            wind_area=g(self.wind_entries["wind_area"]),
-            t_analysis=float(self.entry_t.get()),
-        )
+        return parse_params(self._raw_params())
 
     def _build_model(self, p=None):
-        from .models.model import add_appurtenances, build_model
         p = p or self._params()
-        model = build_model(self.nodes_data, self.members_data,
-                            self.fixed_nodes, self.top_nodes,
-                            leg_section=(p["D_leg"], p["t_leg"]),
-                            brace_section=(p["D_brace"], p["t_brace"]),
-                            rho_steel=p["rho_steel"])
-        return add_appurtenances(model, self.apps_data)
+        return build_model_from_data(p, self.nodes_data, self.members_data,
+                                     self.fixed_nodes, self.top_nodes,
+                                     self.apps_data)
 
     def run_analysis(self):
         self.log_text.delete("1.0", tk.END)
         try:
-            import jax
-            jax.config.update("jax_enable_x64", True)
-            from . import (LoadCase, analyze, analyze_ssi, make_wave,
-                           phase_scan, validate_wave)
-            from .utils.report import render_report
-
             p = self._params()
-            if p["marine_growth"] < 0:
-                raise ValueError("marine growth thickness must be >= 0 mm")
-            for msg in validate_wave(p["H"], p["T"], p["d"]):
-                self.log(f"WARNING: {msg}")
-            model = self._build_model(p)
-            self.log(f"Building wave model ({p['wave_model']})...")
-            wave = make_wave(p["H"], p["T"], p["d"], p["Uc"],
-                             model=p["wave_model"], N=p["N"])
-            case = LoadCase(
-                E=p["E"], nu=p["nu"], fy=p["fy"], rho_water=p["rho_water"],
-                wave_dir_deg=p["wave_dir"], current_dir_deg=p["current_dir"],
-                Cd=p["Cd"], Cm=p["Cm"], F_axial_kN=p["F_axial"],
-                F_shear_kN=p["F_shear"], M_moment_kNm=p["M_moment"],
-                M_torsion_kNm=p["M_torsion"], custom_sw_tonnes=p["custom_sw"],
-                t_analysis=p["t_analysis"], sw_mode=p["sw_mode"],
-                buoyancy=p["buoyancy"],
-                wind_speed_ms=p["wind_speed"], wind_dir_deg=p["wind_dir"],
-                wind_topside_area_m2=p["wind_area"],
-                marine_growth_mm=p["marine_growth"])
-
-            scan = None
-            if self.do_phase_scan.get():
-                self.log("Scanning wave period for critical phase...")
-                from .ops.morison import hydro_members
-                conn_h, D_m, Cd_h, Cm_h = hydro_members(
-                    model, case.marine_growth_mm, case.Cd, case.Cm)
-                scan = phase_scan(wave, model.coords, conn_h, D_m,
-                                  case.wave_dir_deg, case.current_dir_deg,
-                                  Cd_h, Cm_h, case.rho_water,
-                                  n_steps=36)
-
-            self.log("Solving (first run compiles the XLA program)...")
-            if self.use_springs.get():
-                springs = [float(e.get()) for e in self.spring_entries]
-                self.log("[foundation] supports on 6-DOF springs "
-                         f"k = {springs} (N/mm, N*mm/rad)")
-                res = analyze_ssi(model, wave, case, springs)
-            else:
-                res = analyze(model, wave, case, solver="chol")
-            self.log(render_report(model, wave, case, res, phase_scan=scan))
-            self.analysis_results = res
-            self.analysis_model = model
-            self.analysis_case = case
-            self.analysis_wave = wave
-            self.analysis_scan = scan
-            util = float(np.asarray(res.utilization).max())
+            springs = ([float(e.get()) for e in self.spring_entries]
+                       if self.use_springs.get() else None)
+            out = run_analysis_core(
+                p, self.nodes_data, self.members_data, self.fixed_nodes,
+                self.top_nodes, self.apps_data,
+                do_phase_scan=self.do_phase_scan.get(), springs=springs,
+                log=self.log)
+            self.analysis_results = out["res"]
+            self.analysis_model = out["model"]
+            self.analysis_case = out["case"]
+            self.analysis_wave = out["wave"]
+            self.analysis_scan = out["scan"]
             messagebox.showinfo(
                 "Complete",
-                f"Analysis complete!\n\nWave model: {wave.model_info()}\n"
-                f"Max utilization: {util:.2%}")
+                f"Analysis complete!\n\n"
+                f"Wave model: {out['wave'].model_info()}\n"
+                f"Max utilization: {out['util']:.2%}")
         except Exception as e:
             import traceback
             self.log(f"\nERROR: {e}")

@@ -218,10 +218,18 @@ def _buckling_pencil(K_ff, KG_ff, n_modes, dtype):
     Y = jax.scipy.linalg.solve_triangular(Lc, B, lower=True)
     A = jax.scipy.linalg.solve_triangular(Lc, Y.T, lower=True)
     A = 0.5 * (A + A.T)
-    mu, V = jnp.linalg.eigh(A)
-    mu_top = mu[::-1][:n_modes]
+    from .dynamics import _eigh_backend
+    if _eigh_backend() == "subspace":
+        # device path: eigh is unimplemented on the TPU backend; the
+        # governing factors are 1 / (largest mu), exactly what block power
+        # iteration converges to first (ops/eigen.py)
+        from .eigen import subspace_largest
+        mu_top, phi_y = subspace_largest(A, n_modes)
+    else:
+        mu, V = jnp.linalg.eigh(A)
+        mu_top = mu[::-1][:n_modes]
+        phi_y = V[:, ::-1][:, :n_modes]
     lam = jnp.where(mu_top > 1e-12, 1.0 / mu_top, jnp.inf)
-    phi_y = V[:, ::-1][:, :n_modes]
     phi_f = d[:, None] * jax.scipy.linalg.solve_triangular(
         Lc.T, phi_y, lower=False)
     return lam, phi_f

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,7 +229,29 @@ def _build_km(model, E, nu, topside_mass_t, added_mass_Ca=None,
     return K, M, jnp.asarray(free), (K_local, T, L_m)
 
 
-def _modal_from_ff(K_ff, M_ff, free, n_dof, n_modes, dtype):
+def _eigh_backend(method: str = "auto") -> str:
+    """'lapack' (full jnp.linalg.eigh) or 'subspace' (device-resident
+    Bathe iteration, ops/eigen.py).  'auto' picks subspace on backends
+    whose eigh is unimplemented (the TPU relay) and LAPACK on CPU."""
+    if method != "auto":
+        return method
+    return "lapack" if jax.devices()[0].platform == "cpu" else "subspace"
+
+
+def _modal_from_ff(K_ff, M_ff, free, n_dof, n_modes, dtype,
+                   method: str = "auto"):
+    """Lowest generalized eigenpairs of (K_ff, M_ff), expanded to full-DOF
+    mode shapes.  ``method='subspace'`` keeps the whole solve on-device
+    (Cholesky + matmuls + small Jacobi eigh — `jnp.linalg.eigh` is
+    UNIMPLEMENTED on the TPU backend); measured 4.6e-11 relative
+    eigenvalue agreement vs LAPACK at 8 iterations on the default jacket,
+    we run 16."""
+    if _eigh_backend(method) == "subspace":
+        from .eigen import subspace_eigh
+        w2, phi_f = subspace_eigh(K_ff, M_ff, n_modes, n_iter=16)
+        omega = jnp.sqrt(jnp.clip(w2, 0.0))
+        shapes = jnp.zeros((n_modes, n_dof), dtype=dtype)
+        return omega, shapes.at[:, free].set(phi_f.T)
     Lm = jnp.linalg.cholesky(M_ff)
     Y = jax.scipy.linalg.solve_triangular(Lm, K_ff, lower=True)
     A = jax.scipy.linalg.solve_triangular(Lm, Y.T, lower=True)
@@ -397,16 +421,26 @@ def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
 
         Psi = -spd_solve(K_ib)                          # [Mc, N, 12]
 
-        # fixed-interface normal modes (batched generalized eigh)
-        Lm = jnp.linalg.cholesky(M_ii)
-        Y = jax.scipy.linalg.solve_triangular(Lm, K_ii, lower=True)
-        Am = jax.scipy.linalg.solve_triangular(
-            Lm, jnp.swapaxes(Y, -1, -2), lower=True)
-        Am = 0.5 * (Am + jnp.swapaxes(Am, -1, -2))
-        lam, V = jnp.linalg.eigh(Am)                    # ascending
-        lam = jnp.clip(lam[:, :m], 0.0)
-        Phi = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(Lm, -1, -2), V[:, :, :m], lower=False)  # [Mc, N, m]
+        # fixed-interface normal modes (batched generalized eigh).  On the
+        # TPU backend (no native eigh) the batched Bathe subspace iteration
+        # computes only the m retained modes per chain instead of the full
+        # [N, N] spectrum — this was the host-eigh escape that made the f64
+        # condensed response spectrum take ~644 s in round 3.
+        if _eigh_backend() == "subspace":
+            from .eigen import subspace_eigh
+            lam, Phi = subspace_eigh(K_ii, M_ii, m, n_iter=16)
+            lam = jnp.clip(lam, 0.0)
+        else:
+            Lm = jnp.linalg.cholesky(M_ii)
+            Y = jax.scipy.linalg.solve_triangular(Lm, K_ii, lower=True)
+            Am = jax.scipy.linalg.solve_triangular(
+                Lm, jnp.swapaxes(Y, -1, -2), lower=True)
+            Am = 0.5 * (Am + jnp.swapaxes(Am, -1, -2))
+            lam, V = jnp.linalg.eigh(Am)                # ascending
+            lam = jnp.clip(lam[:, :m], 0.0)
+            Phi = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(Lm, -1, -2), V[:, :, :m],
+                lower=False)                            # [Mc, N, m]
 
         # reduced member blocks
         MPsi = M_ii @ Psi                               # [Mc, N, 12]
@@ -565,16 +599,39 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
     alpha = damping_ratio * 2.0 * w1 * w2 / (w1 + w2)
     beta = damping_ratio * 2.0 / (w1 + w2)
 
+    if case.slam_cs:
+        raise ValueError("dynamics loading uses the separable phase "
+                         "matmul; slamming (slam_cs > 0) is pointwise-"
+                         "path only")
+    from .morison import hydro_members
+    conn_hx, D_mx, Cd_hx, Cm_hx = hydro_members(
+        refined, case.marine_growth_mm, case.Cd, case.Cm)
+    # post-calibration pipeline is ONE jitted program (see
+    # _dynamic_core_dense for the eager-dispatch cost it avoids)
+    return _dynamic_core_condensed(
+        cb, refined, wave, case, K_ff, M_ff, conn_hx, D_mx, Cd_hx, Cm_hx,
+        alpha, beta, n_h=min(n_harmonics, n_steps // 2), n_steps=n_steps,
+        n_gauss=n_gauss, n_seg=n_seg)
+
+
+@partial(jax.jit, static_argnames=("n_h", "n_steps", "n_gauss", "n_seg"))
+def _dynamic_core_condensed(cb, refined, wave, case, K_ff, M_ff,
+                            conn_hcd, D_mcd, Cd_hcd, Cm_hcd, alpha, beta,
+                            n_h: int, n_steps: int, n_gauss: int,
+                            n_seg: int):
+    """The post-calibration half of :func:`dynamic_response_condensed`,
+    compiled."""
+    from ..api import assemble_loads
+    from .beams import matmul12, matvec12
+    from .morison import morison_phase_batch
+    from .sections import von_mises_8pt
+
+    dtype = refined.coords.dtype
+    nc, Mc = cb.nc, cb.Mc
     with jax.default_matmul_precision("highest"):
         # loads over one period on the refined mesh, projected to CB space
         ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-        from .morison import hydro_members
-        if case.slam_cs:
-            raise ValueError("dynamics loading uses the separable phase "
-                             "matmul; slamming (slam_cs > 0) is pointwise-"
-                             "path only")
-        conn_h, D_m, Cd_h, Cm_h = hydro_members(
-            refined, case.marine_growth_mm, case.Cd, case.Cm)
+        conn_h, D_m, Cd_h, Cm_h = conn_hcd, D_mcd, Cd_hcd, Cm_hcd
         mb = morison_phase_batch(wave, refined.coords, conn_h, D_m,
                                  case.wave_dir_deg, case.current_dir_deg,
                                  Cd_h, Cm_h, case.rho_water, ts,
@@ -593,30 +650,25 @@ def dynamic_response_condensed(coarse, refined, n_seg: int, wave, case,
             jnp.einsum("mnq,smn->smq", cb.Phi, F_i))
         F_f = F_red[:, cb.free]
 
-        Fh = jnp.fft.rfft(F_f, axis=0) / n_steps
-        n_h = min(n_harmonics, Fh.shape[0] - 1)
-        coef = Fh[: n_h + 1].at[1:].multiply(2.0)
-        if n_steps % 2 == 0 and n_h == n_steps // 2:
-            coef = coef.at[-1].multiply(0.5)
+        # real one-sided DFT + real-pair harmonic solves: fully
+        # device-resident (the TPU backend has no FFT, LU or complex dtype)
+        c_re, c_im = real_dft_coeffs(F_f, n_h)
 
         omega = wave.omega.astype(dtype)
-        U_hat = harmonic_solve(K_ff, M_ff, coef, omega, alpha, beta)
-        U_hat_static = jnp.stack(
-            [jnp.linalg.solve(K_ff, coef[j].real).astype(U_hat.dtype)
-             + 1j * jnp.linalg.solve(K_ff, coef[j].imag).astype(U_hat.dtype)
-             for j in range(n_h + 1)])
+        U_re, U_im = harmonic_solve_real(K_ff, M_ff, c_re, c_im, omega,
+                                         alpha, beta)
+        LKs, dKs = _chol_scaled(K_ff)
+        Us_re = _cho_solve_scaled(LKs, dKs, c_re.T).T
+        Us_im = _cho_solve_scaled(LKs, dKs, c_im.T).T
 
-        j = jnp.arange(n_h + 1, dtype=dtype)
-        phase = jnp.exp(1j * j[None, :] * omega * ts[:, None])
-
-        def reconstruct(U_h):
-            u = jnp.real(jnp.einsum("sj,jf->sf", phase, U_h)).astype(dtype)
+        def reconstruct(U_r, U_i):
+            u = real_harmonic_reconstruct(U_r, U_i, omega, ts).astype(dtype)
             U_red = jnp.zeros((n_steps, cb.n_red), dtype)
             U_red = U_red.at[:, cb.free].set(u)
             return _cb_expand(cb, U_red)                 # [S, n_dof_ref]
 
-        U_time = reconstruct(U_hat)
-        U_static = reconstruct(U_hat_static)
+        U_time = reconstruct(U_re, U_im)
+        U_static = reconstruct(Us_re, Us_im)
 
         KT6 = -matmul12(cb.K_local, cb.T)[:, :6, :]
         dofs = jnp.concatenate([6 * refined.conn[:, 0:1] + jnp.arange(6),
@@ -1058,28 +1110,118 @@ class HarmonicResponse(NamedTuple):
     rayleigh_beta: jnp.ndarray
 
 
+def _chol_scaled(S):
+    """Jacobi-scaled Cholesky: factor d S d with d = diag(S)^(-1/2).
+
+    The symmetric scaling is what keeps beam-stiffness systems (entries
+    spanning ~8 orders of magnitude between translational and rotational
+    DOFs) Cholesky-positive in float32 — same recipe as
+    ``solve.factor_dense``."""
+    d = 1.0 / jnp.sqrt(jnp.diagonal(S))
+    L = jnp.linalg.cholesky(S * d[:, None] * d[None, :])
+    return L, d
+
+
+def _cho_solve_scaled(L, d, B):
+    """Solve S X = B through the scaled factor; B is [n] or [n, k]."""
+    vec = B.ndim == 1
+    y = d[:, None] * (B[:, None] if vec else B)
+    y = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+    y = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    y = d[:, None] * y
+    return y[:, 0] if vec else y
+
+
 def harmonic_solve(K_ff, M_ff, F_hat_f, omega, alpha, beta):
     """Frequency-domain solves (K + i w C - w^2 M) U_j = F_j per harmonic.
 
     ``F_hat_f``: [n_h + 1, n_free] complex one-sided Fourier coefficients
     (index j <-> frequency j*omega; j = 0 is the mean).  Rayleigh damping
     C = alpha M + beta K.  Returns complex U_hat_f of the same shape.
-    Note: complex linear solves are unimplemented on the current TPU
-    backend — run this on the host CPU (the systems are small and dense);
-    see the CLI 'dynamic' command for the device-routing pattern.
+
+    DEVICE-RESIDENT real formulation (complex solves and real LU are both
+    unimplemented on the TPU backend; Cholesky is): with A = K - w^2 M and
+    B = w C (symmetric, B SPD for w > 0 and Rayleigh damping), the complex
+    system realifies to  A x - B y = f,  B x + A y = g  (U = x + i y,
+    F = f + i g), and eliminating x through B gives the Schur complement
+
+        (B + A B^-1 A) y = (B^-1 A)^T g - f,   x = B^-1 g - (B^-1 A) y.
+
+    B + A B^-1 A is SPD for EVERY w — including across resonances where
+    A = K - w^2 M is indefinite — so the whole solve is two Jacobi-scaled
+    Cholesky factorizations per harmonic, no LU, no complex kernels.
+    Cross-checked against the complex LAPACK solve at rtol 1e-10 on CPU
+    (tests/test_dynamics.py).
     """
-    n_h = F_hat_f.shape[0] - 1
+    Ur, Ui = harmonic_solve_real(K_ff, M_ff,
+                                 F_hat_f.real.astype(K_ff.dtype),
+                                 F_hat_f.imag.astype(K_ff.dtype),
+                                 omega, alpha, beta)
     cdtype = jnp.complex64 if K_ff.dtype == jnp.float32 else jnp.complex128
+    return (Ur + 1j * Ui).astype(cdtype)
 
-    def solve_j(j, Fj):
-        w = j * omega
-        A = (K_ff * (1 + 1j * w * beta)
-             + M_ff * (1j * w * alpha - w**2)).astype(cdtype)
-        return jnp.linalg.solve(A, Fj.astype(cdtype))
 
-    U0 = jnp.linalg.solve(K_ff, F_hat_f[0].real).astype(cdtype)
-    Uj = [solve_j(j, F_hat_f[j]) for j in range(1, n_h + 1)]
-    return jnp.stack([U0] + Uj)
+def harmonic_solve_real(K_ff, M_ff, F_re, F_im, omega, alpha, beta):
+    """The real-pair core of :func:`harmonic_solve`: ``(U_re, U_im)`` each
+    [n_h + 1, n_free].  This is the form the TPU paths consume directly —
+    the backend rejects even elementwise complex arithmetic, so nothing
+    complex is ever built on device."""
+    n_h = F_re.shape[0] - 1
+    dtype = K_ff.dtype
+
+    LK, dK = _chol_scaled(K_ff)
+    U0 = _cho_solve_scaled(LK, dK, F_re[0])
+    if n_h == 0:
+        return U0[None], jnp.zeros_like(U0)[None]
+
+    def solve_w(args):
+        # the harmonic index enters only through the VALUE of w, so all
+        # harmonics share ONE traced body (lax.map) — unrolling measured
+        # ~6x the compile time on the TPU backend for zero runtime gain
+        w, f, g = args
+        A = K_ff - w**2 * M_ff
+        B = w * (alpha * M_ff + beta * K_ff)
+        LB, dB = _chol_scaled(B)
+        Z = _cho_solve_scaled(LB, dB, A)                 # B^-1 A
+        S = B + A @ Z
+        LS, dS = _chol_scaled(S)
+        y = _cho_solve_scaled(LS, dS, Z.T @ g - f)
+        x = _cho_solve_scaled(LB, dB, g) - Z @ y
+        return x, y
+
+    ws = jnp.arange(1, n_h + 1, dtype=dtype) * omega
+    X, Y = jax.lax.map(solve_w, (ws, F_re[1:], F_im[1:]))
+    return (jnp.concatenate([U0[None], X]),
+            jnp.concatenate([jnp.zeros_like(U0)[None], Y]))
+
+
+def real_dft_coeffs(F_t, n_h: int):
+    """One-sided Fourier coefficients of a real [S, n] time history as a
+    REAL pair ``(c_re [n_h+1, n], c_im)``, matching
+    ``rfft(F, axis=0) / S`` with bins 1..n_h doubled (and an even-length
+    Nyquist bin halved back) — as two [n_h+1, S] matmuls, because the TPU
+    backend implements neither FFT outputs nor any complex dtype."""
+    S = F_t.shape[0]
+    dtype = F_t.dtype
+    j = jnp.arange(n_h + 1, dtype=dtype)[:, None]
+    s = jnp.arange(S, dtype=dtype)[None, :]
+    ang = 2.0 * jnp.pi * j * s / S
+    scale = jnp.full((n_h + 1, 1), 2.0 / S, dtype)
+    scale = scale.at[0].set(1.0 / S)
+    if S % 2 == 0 and n_h == S // 2:
+        scale = scale.at[-1].set(1.0 / S)
+    c_re = (jnp.cos(ang) * scale) @ F_t
+    c_im = (-jnp.sin(ang) * scale) @ F_t
+    return c_re, c_im
+
+
+def real_harmonic_reconstruct(U_re, U_im, omega, ts):
+    """Time reconstruction u(t) = Re sum_j (U_j e^{+i j w t}) from the real
+    coefficient pair: cos/sin matmuls only (no complex on device)."""
+    dtype = U_re.dtype
+    j = jnp.arange(U_re.shape[0], dtype=dtype)
+    ang = j[None, :] * omega * ts[:, None]               # [S, n_h+1]
+    return jnp.cos(ang) @ U_re - jnp.sin(ang) @ U_im
 
 
 def dynamic_response(model, wave, case, n_harmonics: int = 6,
@@ -1133,16 +1275,36 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
     alpha = damping_ratio * 2.0 * w1 * w2 / (w1 + w2)
     beta = damping_ratio * 2.0 / (w1 + w2)
 
+    if case.slam_cs:
+        raise ValueError("dynamics loading uses the separable phase "
+                         "matmul; slamming (slam_cs > 0) is pointwise-"
+                         "path only")
+    from .morison import hydro_members
+    conn_h, D_m, Cd_h, Cm_h = hydro_members(
+        model, case.marine_growth_mm, case.Cd, case.Cm)
+    # everything after the damping calibration is ONE jitted program —
+    # eager per-op dispatch over the TPU relay measured ~470 s/call for
+    # this pipeline; compiled it is a single dispatch
+    return _dynamic_core_dense(model, wave, case, K_ff, M_ff, K_local, T,
+                               L_m, free, conn_h, D_m, Cd_h, Cm_h,
+                               alpha, beta,
+                               n_h=min(n_harmonics, n_steps // 2),
+                               n_steps=n_steps, n_gauss=n_gauss)
+
+
+@partial(jax.jit, static_argnames=("n_h", "n_steps", "n_gauss"))
+def _dynamic_core_dense(model, wave, case, K_ff, M_ff, K_local, T, L_m,
+                        free, conn_h, D_m, Cd_h, Cm_h, alpha, beta,
+                        n_h: int, n_steps: int, n_gauss: int):
+    """The post-calibration half of :func:`dynamic_response`, compiled."""
+    from ..api import assemble_loads
+    from ..ops.morison import morison_phase_batch
+    from .sections import von_mises_8pt
+
+    dtype = model.coords.dtype
     with jax.default_matmul_precision("highest"):
         # loads over one period (separable fast path)
         ts = jnp.arange(n_steps, dtype=dtype) * wave.T / n_steps
-        from .morison import hydro_members
-        if case.slam_cs:
-            raise ValueError("dynamics loading uses the separable phase "
-                             "matmul; slamming (slam_cs > 0) is pointwise-"
-                             "path only")
-        conn_h, D_m, Cd_h, Cm_h = hydro_members(
-            model, case.marine_growth_mm, case.Cd, case.Cm)
         mb = morison_phase_batch(wave, model.coords, conn_h, D_m,
                                  case.wave_dir_deg, case.current_dir_deg,
                                  Cd_h, Cm_h, case.rho_water, ts,
@@ -1151,36 +1313,27 @@ def dynamic_response(model, wave, case, n_harmonics: int = 6,
                                                   L_m))(mb.nodal_forces)
         F_f = F[:, free]                                     # [S, n_free]
 
-        # one-sided Fourier coefficients: F(t) = Re(sum_j c_j e^{-i j w t}),
-        # matching theta = kx - wt phase convention
-        Fh = jnp.fft.rfft(F_f, axis=0) / n_steps
-        n_h = min(n_harmonics, Fh.shape[0] - 1)
-        coef = Fh[: n_h + 1].at[1:].multiply(2.0)            # [n_h+1, n_free]
-        if n_steps % 2 == 0 and n_h == n_steps // 2:
-            # the Nyquist bin of an even-length rfft must not be doubled
-            coef = coef.at[-1].multiply(0.5)
+        # one-sided Fourier coefficients as a REAL pair (the TPU backend
+        # supports neither FFT nor any complex dtype; see real_dft_coeffs),
+        # expanding F(t) = Re[sum_j c_j e^{+i j w t}] — the +i convention
+        # the damped operator (K + i w C - w^2 M) uses.
+        c_re, c_im = real_dft_coeffs(F_f, n_h)              # [n_h+1, n_free]
 
         omega = wave.omega.astype(dtype)
-        U_hat = harmonic_solve(K_ff, M_ff, coef, omega, alpha, beta)
-        U_hat_static = jnp.stack(
-            [jnp.linalg.solve(K_ff, coef[j].real).astype(U_hat.dtype)
-             + 1j * jnp.linalg.solve(K_ff, coef[j].imag).astype(U_hat.dtype)
-             for j in range(n_h + 1)])
+        U_re, U_im = harmonic_solve_real(K_ff, M_ff, c_re, c_im, omega,
+                                         alpha, beta)
+        # quasi-static comparison: one Cholesky factor, all 2(n_h+1) RHS
+        LKs, dKs = _chol_scaled(K_ff)
+        Us_re = _cho_solve_scaled(LKs, dKs, c_re.T).T
+        Us_im = _cho_solve_scaled(LKs, dKs, c_im.T).T
 
-        # reconstruct time histories at the sample phases.  rfft coefficients
-        # c_j expand as F(t) = Re[(c_0 + sum_j 2 c_j e^{+i j w t}) / S], which is
-        # the same +i convention the damped operator (K + i w C - w^2 M) uses.
-        j = jnp.arange(n_h + 1, dtype=dtype)
-        phase = jnp.exp(1j * j[None, :] * omega * ts[:, None])
-
-        def reconstruct(U_h):
-            u = jnp.real(jnp.einsum("sj,jf->sf", phase, U_h))
-            # j = 0 term was not doubled; real part already handles it
+        def reconstruct(U_r, U_i):
+            u = real_harmonic_reconstruct(U_r, U_i, omega, ts)
             U_full = jnp.zeros((n_steps, model.n_dof), dtype=dtype)
             return U_full.at[:, free].set(u.astype(dtype))
 
-        U_time = reconstruct(U_hat)
-        U_static = reconstruct(U_hat_static)
+        U_time = reconstruct(U_re, U_im)
+        U_static = reconstruct(Us_re, Us_im)
 
         dofs = jnp.concatenate([6 * model.conn[:, 0:1] + jnp.arange(6),
                                 6 * model.conn[:, 1:2] + jnp.arange(6)], axis=-1)

@@ -45,6 +45,10 @@ QPAD = 16         # quadrature lanes per member (>= n_gauss)
 NPAD = 32         # harmonic modes per field slot (>= wave n_modes)
 MEMBERS_PER_TILE = 128 // QPAD   # = 8
 N_FIELDS = 5      # eta, u_wave, w, du/dt, dw/dt
+# with Wheeler stretching: + d/dz and d^2/dz^2 of the four kinematic
+# fields (the frozen-stretch 2nd-order Taylor of ops/morison.py's
+# separable path), riding the SAME MXU contraction as 8 extra field slots
+N_FIELDS_WHEELER = 13
 
 
 def _reduction_weights(s_q: np.ndarray, n_gauss: int) -> np.ndarray:
@@ -63,20 +67,35 @@ def _reduction_weights(s_q: np.ndarray, n_gauss: int) -> np.ndarray:
     return W
 
 
-def _make_kernel(prec):
+def _make_kernel(prec, wheeler: bool = False):
   def _kernel(scal_ref, ctst_ref, AB_ref, rows_ref, W_ref, o_ref):
     cosw = scal_ref[0]
     sinw = scal_ref[1]
 
-    # one MXU contraction evaluates all five fields at all phases
+    # one MXU contraction evaluates all fields at all phases
     fields = jnp.dot(ctst_ref[:], AB_ref[0],
                      preferred_element_type=jnp.float32,
-                     precision=prec)                        # [S_pad, 640]
+                     precision=prec)          # [S_pad, N_FIELDS(_W) * 128]
     eta = fields[:, 0:128]
     u_wo = fields[:, 128:256]
     w = fields[:, 256:384]
     du = fields[:, 384:512]
     dw = fields[:, 512:640]
+    if wheeler:
+        # frozen-stretch Wheeler: dz = -(z + d) eta / (d + eta), 2nd-order
+        # Taylor of each kinematic field about the unstretched height
+        # (same formulation as the separable XLA path).  dz is clipped to
+        # +-d so the always-dry padding points (z = 1e30) cannot overflow
+        # dz^2 to inf (inf * live-mask 0 would poison the tile with NaNs).
+        d_w = scal_ref[2]
+        zrow = rows_ref[0:1, :]
+        dz = -(zrow + d_w) * eta / (d_w + eta)
+        dz = jnp.clip(dz, -d_w, d_w)
+        h2 = 0.5 * dz * dz
+        u_wo = u_wo + dz * fields[:, 640:768] + h2 * fields[:, 1152:1280]
+        w = w + dz * fields[:, 768:896] + h2 * fields[:, 1280:1408]
+        du = du + dz * fields[:, 896:1024] + h2 * fields[:, 1408:1536]
+        dw = dw + dz * fields[:, 1024:1152] + h2 * fields[:, 1536:1664]
 
     z = rows_ref[0:1, :]
     ex = rows_ref[1:2, :]
@@ -130,15 +149,16 @@ def _make_kernel(prec):
 
 
 def _pallas_call(interpret, n_tiles, S_pad, dtype, prec,
-                 scal, ctst, AB, rows, W):
+                 scal, ctst, AB, rows, W, wheeler: bool = False):
+    n_f = N_FIELDS_WHEELER if wheeler else N_FIELDS
     return pl.pallas_call(
-        _make_kernel(prec),
+        _make_kernel(prec, wheeler),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                     # scal
             pl.BlockSpec((S_pad, 2 * NPAD), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),                     # ctst
-            pl.BlockSpec((1, 2 * NPAD, N_FIELDS * 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 2 * NPAD, n_f * 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),                     # AB
             pl.BlockSpec((8, 128), lambda i: (0, i),
                          memory_space=pltpu.VMEM),                     # rows
@@ -153,7 +173,8 @@ def _pallas_call(interpret, n_tiles, S_pad, dtype, prec,
 
 
 @functools.partial(jax.jit, static_argnames=("n_gauss", "interpret",
-                                             "matmul_precision"))
+                                             "matmul_precision",
+                                             "stretching"))
 def morison_phase_batch_pallas(
     wave: FourierWave,
     coords: jnp.ndarray,
@@ -169,6 +190,7 @@ def morison_phase_batch_pallas(
     current_alpha=None,
     interpret: bool = False,
     matmul_precision: str = "highest",
+    stretching: str = "none",
 ) -> MorisonPhaseBatch:
     """Fused-kernel version of ``morison_phase_batch`` (float32).
 
@@ -177,6 +199,16 @@ def morison_phase_batch_pallas(
     current rides the kernel's spare per-point rows); returns the same
     result pytree.  ``interpret=True`` runs the kernel in the Pallas
     interpreter (for CPU testing).
+
+    ``stretching='wheeler'`` applies the same frozen-stretch 2nd-order
+    Taylor Wheeler treatment as the separable XLA path
+    (``morison_phase_batch(..., stretching='wheeler')``): the d/dz and
+    d^2/dz^2 coefficient rows of the four kinematic fields join the fused
+    field matmul (13 x 128 columns instead of 5 x 128) and the stretch is
+    applied in-kernel per (phase, point).  Agreement with the separable
+    path is at the kernel's usual f32 level (~1e-6 relative; see
+    tests/test_pallas.py), well inside PARITY.md's 2e-7-per-phase... budget
+    for fast paths measured at the default storm.
 
     ``matmul_precision`` ('highest' or 'default') sets the MXU pass count
     of the two in-kernel dots (Mosaic supports only these two).  'default'
@@ -265,17 +297,33 @@ def morison_phase_batch_pallas(
     UC, US = U * Cj, U * Sj
     fields_A = [E * cjx, UC * cjx, US * sjx, UC * jw * sjx, -US * jw * cjx]
     fields_B = [E * sjx, UC * sjx, -US * cjx, -UC * jw * cjx, -US * jw * sjx]
+    if stretching == "wheeler":
+        # z-derivative rows: dC/dz = jk S, dS/dz = jk C (and squared for
+        # the 2nd derivatives) with the SAME trig/time structure as the
+        # parent field — order: u_z, w_z, du_z, dw_z, u_zz, w_zz, du_zz,
+        # dw_zz (matching the kernel's slice layout)
+        jk = j * k
+        UZ, WZ = U * jk * Sj, U * jk * Cj
+        UZZ, WZZ = U * jk**2 * Cj, U * jk**2 * Sj
+        fields_A += [UZ * cjx, WZ * sjx, UZ * jw * sjx, -WZ * jw * cjx,
+                     UZZ * cjx, WZZ * sjx, UZZ * jw * sjx, -WZZ * jw * cjx]
+        fields_B += [UZ * sjx, -WZ * cjx, -UZ * jw * cjx, -WZ * jw * sjx,
+                     UZZ * sjx, -WZZ * cjx, -UZZ * jw * cjx,
+                     -WZZ * jw * sjx]
+    elif stretching != "none":
+        raise ValueError(f"unknown stretching mode {stretching!r}")
+    n_f = len(fields_A)
 
-    # one [2*NPAD, 5, P] coefficient tensor (cos rows 0..N, sin rows
+    # one [2*NPAD, n_f, P] coefficient tensor (cos rows 0..N, sin rows
     # NPAD..NPAD+N), retiled per member-tile into the kernel's fused
-    # [n_tiles, 64, 640] layout (columns = field-major 5 x 128 lanes)
+    # [n_tiles, 64, n_f * 128] layout (columns = field-major n_f x 128)
     n_tiles = P // 128
-    AB = jnp.zeros((2 * NPAD, N_FIELDS, P), dtype=dtype)
-    for f in range(N_FIELDS):
+    AB = jnp.zeros((2 * NPAD, n_f, P), dtype=dtype)
+    for f in range(n_f):
         AB = AB.at[:N, f, :].set(fields_A[f].T)
         AB = AB.at[NPAD:NPAD + N, f, :].set(fields_B[f].T)
-    AB = AB.reshape(2 * NPAD, N_FIELDS, n_tiles, 128) \
-        .transpose(2, 0, 1, 3).reshape(n_tiles, 2 * NPAD, N_FIELDS * 128)
+    AB = AB.reshape(2 * NPAD, n_f, n_tiles, 128) \
+        .transpose(2, 0, 1, 3).reshape(n_tiles, 2 * NPAD, n_f * 128)
 
     # ---- phase harmonics [S_pad, 2*NPAD] (cos | sin) ----
     S = ts.shape[0]
@@ -287,7 +335,7 @@ def morison_phase_batch_pallas(
 
     W = jnp.asarray(_reduction_weights(np.asarray(s_np), n_gauss)
                     .reshape(3 * 128, 128))
-    scal = jnp.stack([cos_w, sin_w])
+    scal = jnp.stack([cos_w, sin_w, d])
     # An x64 session makes the BlockSpec index maps (and other pallas-internal
     # index scalars) trace as int64, which Mosaic cannot lower ("failed to
     # legalize 'func.return' (i64)").  Every input is already explicit
@@ -300,7 +348,8 @@ def morison_phase_batch_pallas(
             "default": jax.lax.Precision.DEFAULT}[matmul_precision]
     with jax.enable_x64(False):
         out = _pallas_call(interpret, n_tiles, S_pad, dtype, prec,
-                           scal, ctst, AB, rows, W)
+                           scal, ctst, AB, rows, W,
+                           wheeler=stretching == "wheeler")
     # ---- unpack: per-member end forces + totals ----
     out = out[:S].reshape(S, n_tiles, 128)
     packed = out[:, :, :48].reshape(S, n_tiles * MEMBERS_PER_TILE, 6)[:, :M]

@@ -1,0 +1,171 @@
+"""Device-resident eigensolvers (ops/eigen.py): Jacobi small-matrix eigh,
+Bathe subspace iteration, block power iteration — and the forced-'subspace'
+paths of the modal/buckling/dynamic pipelines, cross-checked on CPU against
+the LAPACK routes they replace on the TPU backend (where jnp.linalg.eigh,
+LU and complex solves are all unimplemented)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import small_fem_solver_tpu as sf
+from small_fem_solver_tpu.ops.eigen import (eigh_general_small, jacobi_eigh,
+                                            subspace_eigh, subspace_largest)
+
+
+@pytest.mark.parametrize("m", [5, 8, 17, 34])
+def test_jacobi_eigh_matches_lapack(m):
+    rng = np.random.default_rng(m)
+    A = rng.standard_normal((3, m, m))
+    A = A + np.swapaxes(A, -1, -2)
+    w, V = jacobi_eigh(jnp.asarray(A))
+    w_ref = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-12,
+                               atol=1e-12 * np.abs(w_ref).max())
+    # eigenvector residual + orthonormality
+    Vn = np.asarray(V)
+    res = np.einsum("bij,bjk->bik", A, Vn) - Vn * np.asarray(w)[:, None, :]
+    assert np.abs(res).max() < 1e-11 * np.abs(w_ref).max()
+    gram = np.einsum("bji,bjk->bik", Vn, Vn)
+    assert np.abs(gram - np.eye(m)).max() < 1e-12
+
+
+def test_eigh_general_small_matches_scipy():
+    rng = np.random.default_rng(1)
+    m = 16
+    A = rng.standard_normal((m, m))
+    A = A + A.T
+    Bm = rng.standard_normal((m, m))
+    B = Bm @ Bm.T + m * np.eye(m)
+    lam, V = eigh_general_small(jnp.asarray(A), jnp.asarray(B))
+    lam_ref = sla.eigh(A, B, eigvals_only=True)
+    np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-11,
+                               atol=1e-12)
+    # B-orthonormal eigenvectors
+    gram = np.asarray(V).T @ B @ np.asarray(V)
+    assert np.abs(gram - np.eye(m)).max() < 1e-10
+
+
+def _jacket_km():
+    from small_fem_solver_tpu.ops.dynamics import _build_km
+    model = sf.default_3leg_jacket()
+    K, M, free, _ = _build_km(model, 210000.0, 0.3, 1100.0, None, 1025.0)
+    return K[jnp.ix_(free, free)], M[jnp.ix_(free, free)]
+
+
+def test_subspace_eigh_on_jacket_matches_lapack():
+    """The device path of _modal_from_ff: lowest 10 generalized eigenpairs
+    of the real jacket (K, M) to LAPACK accuracy (measured 4.6e-11 at 8
+    iterations; we assert 1e-8 at the production 16)."""
+    K_ff, M_ff = _jacket_km()
+    lam, V = subspace_eigh(K_ff, M_ff, 10, n_iter=16)
+    lam_ref = sla.eigh(np.asarray(K_ff), np.asarray(M_ff),
+                       eigvals_only=True)[:10]
+    np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-8)
+    # M-orthonormal shapes
+    gram = np.asarray(V).T @ np.asarray(M_ff) @ np.asarray(V)
+    assert np.abs(gram - np.eye(10)).max() < 1e-8
+
+
+def test_subspace_eigh_batched():
+    """Batched over a leading axis (the Craig-Bampton per-chain use), on
+    beam-like spectra: eigenvalues spread over decades like a chain's
+    fixed-interface modes (lam ~ i^2 / i^4 families), which is the regime
+    the solver serves.  (Artificially CLUSTERED random spectra converge
+    slowly by the lam_i/lam_{m+1} theory — that is inherent to subspace
+    iteration, not a defect; the structural paths never see them.)"""
+    rng = np.random.default_rng(3)
+    n, b = 60, 4
+    lam_true = np.stack([np.arange(1, n + 1) ** 2 * (1 + 0.1 * i)
+                         for i in range(b)]).astype(np.float64)
+    Qm = np.linalg.qr(rng.standard_normal((b, n, n)))[0]
+    K = np.einsum("bij,bj,bkj->bik", Qm, lam_true, Qm)
+    M = np.broadcast_to(np.eye(n), (b, n, n)).copy()
+    lam, V = subspace_eigh(jnp.asarray(K), jnp.asarray(M), 5, n_iter=24)
+    for i in range(b):
+        ref = np.sort(lam_true[i])[:5]
+        np.testing.assert_allclose(np.asarray(lam[i]), ref, rtol=1e-8)
+
+
+def test_subspace_largest_matches_lapack():
+    """Block power iteration on a buckling-like spectrum: a handful of
+    governing top modes well clear of the rest (the global sway/torsion
+    buckling family), exact top-eigenvalue recovery."""
+    rng = np.random.default_rng(5)
+    n = 120
+    lam_true = np.concatenate([np.array([50.0, 48.0, 41.0, 35.0]),
+                               np.linspace(20.0, -30.0, n - 4)])
+    Qm = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A = Qm @ np.diag(lam_true) @ Qm.T
+    lam, V = subspace_largest(jnp.asarray(A), 4)
+    lam_ref = np.sort(lam_true)[::-1][:4]
+    np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-9)
+    # eigenVECTORS converge at ratio^k (values at ratio^2k): looser bar
+    res = A @ np.asarray(V) - np.asarray(V) * np.asarray(lam)
+    assert np.abs(res).max() < 1e-6 * lam_ref[0]
+
+
+def test_modal_analysis_subspace_backend_matches_lapack(monkeypatch):
+    """_modal_from_ff with the forced 'subspace' backend (what the TPU
+    runs) equals the LAPACK route on the default jacket."""
+    from small_fem_solver_tpu.ops import dynamics
+    ref = dynamics.modal_analysis(sf.default_3leg_jacket(), n_modes=8,
+                                  topside_mass_t=1100.0)
+    monkeypatch.setattr(dynamics, "_eigh_backend", lambda method="auto":
+                        "subspace")
+    dev = dynamics.modal_analysis(sf.default_3leg_jacket(), n_modes=8,
+                                  topside_mass_t=1100.0)
+    np.testing.assert_allclose(np.asarray(dev.frequencies_hz),
+                               np.asarray(ref.frequencies_hz), rtol=1e-8)
+    # shapes agree up to sign
+    a = np.asarray(dev.mode_shapes)
+    b = np.asarray(ref.mode_shapes)
+    for i in range(a.shape[0]):
+        s = np.sign(np.dot(a[i], b[i]))
+        np.testing.assert_allclose(a[i] * s, b[i],
+                                   atol=1e-6 * np.abs(b[i]).max())
+
+
+def test_dynamic_response_subspace_backend_matches_lapack(monkeypatch):
+    """dynamic_response end-to-end with the device eigen backend: same
+    Rayleigh calibration, same utilizations (VERDICT r3 item 3 cross-check:
+    the TPU path must agree with the host solver at rtol <= 1e-6)."""
+    from small_fem_solver_tpu.ops import dynamics
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(10.0, 9.4, 50.0, 1.0)
+    case = sf.LoadCase(wave_dir_deg=0.0, current_dir_deg=0.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    ref = dynamics.dynamic_response(model, wave, case, n_harmonics=4,
+                                    n_steps=24)
+    monkeypatch.setattr(dynamics, "_eigh_backend", lambda method="auto":
+                        "subspace")
+    dev = dynamics.dynamic_response(model, wave, case, n_harmonics=4,
+                                    n_steps=24)
+    np.testing.assert_allclose(float(dev.rayleigh_alpha),
+                               float(ref.rayleigh_alpha), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dev.utilization),
+                               np.asarray(ref.utilization), rtol=1e-6,
+                               atol=1e-9)
+    np.testing.assert_allclose(float(dev.daf), float(ref.daf), rtol=1e-6)
+
+
+def test_buckling_subspace_backend_matches_lapack(monkeypatch):
+    from small_fem_solver_tpu.ops import buckling, dynamics
+    model = sf.default_3leg_jacket()
+    wave = sf.airy_wave(17.038, 9.4, 50.0, 1.7)
+    case = sf.LoadCase(wave_dir_deg=38.0, current_dir_deg=38.0,
+                       F_axial_kN=25100.0, F_shear_kN=2900.0,
+                       custom_sw_tonnes=1100.0, sw_mode="custom")
+    res = sf.analyze(model, wave, case, solver="chol")
+    ref = buckling.buckling_analysis(model, res, n_modes=3)
+    monkeypatch.setattr(dynamics, "_eigh_backend", lambda method="auto":
+                        "subspace")
+    dev = buckling.buckling_analysis(model, res, n_modes=3)
+    # block power iteration: governing factor tight, higher (possibly
+    # near-degenerate sway-pair) modes to engineering accuracy
+    np.testing.assert_allclose(float(dev.load_factor[0]),
+                               float(ref.load_factor[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev.load_factor),
+                               np.asarray(ref.load_factor), rtol=1e-3)

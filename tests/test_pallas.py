@@ -31,6 +31,39 @@ def test_pallas_kernel_matches_xla(model_name, N):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("model_name,N", [("airy", 1), ("stokes", 5)])
+def test_pallas_kernel_wheeler_matches_separable(model_name, N):
+    """Wheeler stretching on the fused kernel (round-3 verdict item 4: the
+    fast path used to raise): same frozen-stretch 2nd-order Taylor
+    treatment as the separable XLA path, agreement at the kernel's usual
+    f32 level — and it must actually CHANGE the loads vs no stretching."""
+    model = sf.default_3leg_jacket(dtype=jnp.float32)
+    wave = sf.make_wave(12.0, 9.4, 50.0, U_c=1.2, model=model_name, N=N,
+                        dtype=jnp.float32)
+    D_m = model.sections.D_outer[model.sect_id] / 1000.0
+    ts = jnp.arange(12, dtype=jnp.float32) * jnp.float32(9.4) / 12
+    ref = morison_phase_batch(wave, model.coords, model.conn, D_m,
+                              38.0, 120.0, 0.7, 2.0, 1025.0, ts,
+                              stretching="wheeler")
+    out = morison_phase_batch_pallas(wave, model.coords, model.conn, D_m,
+                                     38.0, 120.0, 0.7, 2.0, 1025.0, ts,
+                                     interpret=True, stretching="wheeler")
+    base = morison_phase_batch_pallas(wave, model.coords, model.conn, D_m,
+                                      38.0, 120.0, 0.7, 2.0, 1025.0, ts,
+                                      interpret=True)
+    for name in ("nodal_forces", "total_drag", "total_inertia",
+                 "total_morison"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-6 * scale,
+                                   err_msg=name)
+    # stretching moves the crest loads measurably
+    d = np.abs(np.asarray(out.total_morison)
+               - np.asarray(base.total_morison)).max()
+    assert d > 1e-3 * np.abs(np.asarray(base.total_morison)).max()
+
+
 def test_pallas_kernel_odd_member_count():
     """Member count not a multiple of 8 exercises the padding path."""
     model = sf.default_3leg_jacket(dtype=jnp.float32)
