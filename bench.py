@@ -181,6 +181,43 @@ def measure_flagship(repeats: int = 5):
               f"{refined.n_dof} DOF = {env_best/C*1e3:.2f} ms per full "
               f"360-phase scan sustained "
               f"({360.0*C/env_best:.0f} FEM solves/s)", file=sys.stderr)
+
+        # ---- roofline anchor: XLA's own cost model for the envelope
+        # program (flops + bytes accessed), turned into measured FLOP/s,
+        # GB/s and MFU against the v5e peaks.  This answers "is it
+        # actually fast" independent of relay wall-clock noise: the
+        # envelope is the relay-insensitive yardstick (10 scans per
+        # dispatch).  Peaks: ~197 TFLOP/s bf16 MXU; f32 'highest' runs
+        # 6-pass so ~33 TFLOP/s effective; ~819 GB/s HBM.
+        mfu = {}
+        try:
+            lowered = jax.jit(run_env).lower()
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            fl = float(cost.get("flops", 0.0))
+            by = float(cost.get("bytes accessed", 0.0))
+            if fl > 0:
+                flops_s = fl / env_best
+                gbs = by / env_best / 1e9
+                mfu = {
+                    "envelope_gflops": round(fl / 1e9, 2),
+                    "envelope_tflops_s": round(flops_s / 1e12, 3),
+                    "mfu_f32_highest": round(flops_s / 33e12, 4),
+                    "envelope_gbs": round(gbs, 1),
+                    "hbm_util": round(gbs / 819.0, 4),
+                    "arith_intensity": round(fl / max(by, 1.0), 2),
+                }
+                print(f"[bench] roofline (XLA cost model, envelope "
+                      f"program): {fl/1e9:.1f} GFLOP / "
+                      f"{by/1e6:.0f} MB per envelope -> "
+                      f"{flops_s/1e12:.3f} TFLOP/s "
+                      f"(MFU {flops_s/33e12:.1%} of f32-highest peak), "
+                      f"{gbs:.0f} GB/s ({gbs/819.0:.1%} of HBM roofline), "
+                      f"intensity {fl/max(by,1.0):.1f} FLOP/B",
+                      file=sys.stderr)
+        except Exception as e:  # cost model not available on this backend
+            print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
         # final contention verdict: the envelope streams 10 scans per
         # dispatch, so its per-scan rate is relay-insensitive (measured
         # 2.3-2.6 ms across wildly different windows) while the per-call
@@ -194,11 +231,18 @@ def measure_flagship(repeats: int = 5):
         print(f"[bench] contended={contended} (prepared "
               f"{prepared*1e3:.2f} ms vs envelope yardstick "
               f"{env_best/C*1e3:.2f} ms/scan)", file=sys.stderr)
-        return amortized * 1e3, refined.n_dof, {
+        sec = {
             "prepared_scan_ms": round(prepared * 1e3, 2),
+            # the CONTENTION-ROBUST headline: per-scan cost inside the
+            # 10-scans-per-dispatch envelope program — relay queueing
+            # cannot inflate it (measured 2.3-2.6 ms across wildly
+            # different windows); compare THIS across BENCH rounds
+            "headline_contention_free_ms": round(env_best / C * 1e3, 2),
             "envelope_sustained_ms": round(env_best / C * 1e3, 2),
             "contended": bool(contended),
         }
+        sec.update(mfu)
+        return amortized * 1e3, refined.n_dof, sec
 
 
 def measure_scatter():
@@ -222,22 +266,37 @@ def measure_scatter():
     states = [(2.5 + 0.5 * i, 7.0 + 0.3 * i, 0.05, 36.0 * i)
               for i in range(10)]
 
-    def run():
-        return sf.scatter_fatigue_spectral(prep, case, states, 50.0, 25.0,
+    states4 = [(2.5 + 0.125 * i, 7.0 + 0.075 * i, 0.0125, 9.0 * i)
+               for i in range(40)]
+
+    def run(ss):
+        return sf.scatter_fatigue_spectral(prep, case, ss, 50.0, 25.0,
                                            n_components=32)
 
-    run()                                   # compile
-    best = float("inf")
+    r = run(states)                         # compile (10 states)
+    run(states4)                            # compile (40 states)
+    best10 = best40 = float("inf")
     for _ in range(3):
         t0 = time.time()
-        r = run()
-        best = min(best, time.time() - t0)
-    per = best / len(states) * 1e3
+        r = run(states)
+        best10 = min(best10, time.time() - t0)
+        t0 = time.time()
+        run(states4)
+        best40 = min(best40, time.time() - t0)
+    per = best10 / len(states) * 1e3
+    # MARGINAL per-state cost from two climate sizes: the r03 21 ms vs
+    # ~8 ms ROADMAP discrepancy was the fixed program overhead (dispatch +
+    # state-independent prep) folded into a small 10-state denominator —
+    # (t40 - t10) / 30 removes it and is the number that scales to real
+    # 100+-state climates
+    marginal = (best40 - best10) / (len(states4) - len(states)) * 1e3
     print(f"[bench] spectral scatter fatigue: {len(states)} states x 65 "
           f"transfer solves @ {refined.n_dof} DOF = {per:.2f} ms/state "
-          f"(max 25-y W-L damage {float(np.max(np.asarray(r.damage_wl))):.2e})",
+          f"(marginal {marginal:.2f} ms/state from the 40-state climate; "
+          f"max 25-y W-L damage {float(np.max(np.asarray(r.damage_wl))):.2e})",
           file=sys.stderr)
-    return {"scatter_fd_ms_per_state": round(per, 2)}
+    return {"scatter_fd_ms_per_state": round(per, 2),
+            "scatter_fd_ms_per_state_marginal": round(marginal, 2)}
 
 
 def check_pallas_device():
@@ -288,7 +347,27 @@ def check_pallas_device():
             f"device: nodal rel {rel:.2e}, totals rel {tot:.2e}")
     print(f"[bench] pallas device check OK: kernel vs f64 oracle "
           f"nodal rel {rel:.1e}, totals rel {tot:.1e}", file=sys.stderr)
-    return {"pallas_check_rel": float(f"{rel:.3e}")}
+
+    # Wheeler stretching on the kernel (round-4 feature): vs the f64
+    # separable Wheeler path, same tolerance discipline
+    pal_w = morison_phase_batch_pallas(
+        w32, m32.coords, m32.conn, D32, jnp.float32(38.0), jnp.float32(38.0),
+        jnp.float32(0.7), jnp.float32(2.0), jnp.float32(1025.0), ts,
+        n_gauss=15, stretching="wheeler")
+    ref_w = morison_phase_batch(w64, m64.coords, m64.conn, D64, 38.0, 38.0,
+                                0.7, 2.0, 1025.0, ts.astype(jnp.float64),
+                                n_gauss=15, stretching="wheeler")
+    aw = np.asarray(pal_w.nodal_forces, np.float64)
+    bw = np.asarray(ref_w.nodal_forces)
+    rel_w = np.abs(aw - bw).max() / np.abs(bw).max()
+    if not rel_w < 2e-2:
+        raise AssertionError(
+            f"pallas WHEELER kernel disagrees with the f64 separable "
+            f"oracle on device: nodal rel {rel_w:.2e}")
+    print(f"[bench] pallas wheeler device check OK: nodal rel {rel_w:.1e}",
+          file=sys.stderr)
+    return {"pallas_check_rel": float(f"{rel:.3e}"),
+            "pallas_wheeler_check_rel": float(f"{rel_w:.3e}")}
 
 
 def measure_assembly(n_seg: int = 327):
@@ -297,6 +376,16 @@ def measure_assembly(n_seg: int = 327):
     Times batched element stiffness + BCSR assembly for the ~100k-DOF
     refined jacket in float32 (the large-mesh production dtype for
     assembly; the solve itself needs f64 at this depth).
+
+    Two numbers:
+    - ``assembly_gdofs``: SUSTAINED — B = 32 assemblies inside one device
+      program (lax.map), the way production paths (envelopes, sweeps,
+      pushover) consume assembly; amortizes the ~1.6 ms relay dispatch
+      floor that otherwise dominates a 0.6 ms computation.
+    - ``assembly_single_gdofs``: one assembly per dispatch (the floor-bound
+      number reported in earlier rounds).
+    Formulation (round 4): closed-form per-block element K (no congruence
+    intermediates) + two-tier BCSR gather (benchmarks/ab_assembly.py).
     """
     import time as _time
 
@@ -306,7 +395,7 @@ def measure_assembly(n_seg: int = 327):
     import small_fem_solver_tpu as sf
     from small_fem_solver_tpu.api import _cached_bcsr_pattern
     from small_fem_solver_tpu.ops.assembly import assemble_bcsr
-    from small_fem_solver_tpu.ops.beams import element_stiffness
+    from small_fem_solver_tpu.ops.beams import element_global_stiffness
 
     model = sf.refine_model(sf.default_3leg_jacket(dtype=jnp.float32), n_seg)
     pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
@@ -315,39 +404,64 @@ def measure_assembly(n_seg: int = 327):
     @jax.jit
     def assemble(coords):
         with jax.default_matmul_precision("highest"):
-            Kg, _, _, _ = element_stiffness(coords, model.conn,
-                                            model.sections, model.sect_id,
-                                            E, E / 2.6)
+            Kg = element_global_stiffness(coords, model.conn,
+                                          model.sections, model.sect_id,
+                                          E, E / 2.6)
             return assemble_bcsr(Kg, pattern)
 
     assemble(model.coords).blocks.block_until_ready()
-    best = float("inf")
+    single = float("inf")
     for _ in range(3):
         t0 = _time.time()
         last = None
         for _ in range(10):
             last = assemble(model.coords)
         last.blocks.block_until_ready()
-        best = min(best, (_time.time() - t0) / 10)
+        single = min(single, (_time.time() - t0) / 10)
+
+    B = 32
+    scales = jnp.linspace(1.0, 1.01, B, dtype=jnp.float32)
+
+    @jax.jit
+    def sustained(scales):
+        def one(s):
+            with jax.default_matmul_precision("highest"):
+                Kg = element_global_stiffness(model.coords * s, model.conn,
+                                              model.sections, model.sect_id,
+                                              E, E / 2.6)
+            return assemble_bcsr(Kg, pattern).blocks.sum()
+        return jax.lax.map(one, scales)
+
+    jax.block_until_ready(sustained(scales))
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.time()
+        jax.block_until_ready(sustained(scales))
+        best = min(best, (_time.time() - t0) / B)
     gdofs = model.n_dof / best / 1e9
-    # roofline context (BASELINE metric line): the assembly is HBM-bound —
-    # it writes the [Mr,12,12] element stack and the BCSR blocks and reads
-    # them back once; ~5 passes over ~19 MB at f32 for the 100k-DOF mesh.
-    bytes_moved = model.n_dof * 144 * 4 // 6 * 5
-    print(f"[bench] assembly: {model.n_dof} DOF elementK+BCSR in "
-          f"{best*1e3:.2f} ms = {gdofs:.3f} GDOF/s "
-          f"(~{bytes_moved/best/1e9:.0f} GB/s effective vs ~800 GB/s "
+    # bytes actually moved per assembly (quadrant stack + two tier gathers
+    # + block write + reduce), for the roofline line
+    nb = pattern.n_blocks
+    bytes_moved = (4 * model.conn.shape[0] * 36 * 2 + nb * 36 * 3) * 4
+    print(f"[bench] assembly: {model.n_dof} DOF elementK+BCSR "
+          f"sustained {best*1e3:.2f} ms = {gdofs:.3f} GDOF/s "
+          f"(single-dispatch {single*1e3:.2f} ms = "
+          f"{model.n_dof/single/1e9:.3f} GDOF/s; "
+          f"~{bytes_moved/best/1e9:.0f} GB/s effective vs ~819 GB/s "
           f"v5e HBM roofline)", file=sys.stderr)
-    return {"assembly_gdofs": round(gdofs, 4)}
+    return {"assembly_gdofs": round(gdofs, 4),
+            "assembly_single_gdofs": round(model.n_dof / single / 1e9, 4)}
 
 
 def measure_large(n_seg: int = 327):
-    """~100k-DOF end-to-end analysis (BASELINE.md large-mesh target).
+    """~100k-DOF end-to-end analyses (BASELINE.md large-mesh target):
+    the direct chain-condensation solve AND the iteratively preconditioned
+    CG route, both full pipelines (loads -> solve -> stresses).
 
-    Direct chain-condensation solve in float64 (f32 is unstable at chain
-    depth ~327; see tests/test_large.py for the correctness suite).
-    Prints a diagnostic line to stderr; not part of the primary JSON metric.
-    """
+    Condensation runs in float64 (f32 is unstable at chain depth ~327;
+    see tests/test_large.py); PCG runs with the two-level (smoothed
+    rigid-body-aggregation) preconditioner.  Returns secondary metrics
+    (VERDICT r03 item 7)."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -372,9 +486,32 @@ def measure_large(n_seg: int = 327):
         res = sf.analyze_condensed(coarse, refined, n_seg, wave, case)
         res.U.block_until_ready()
         best = min(best, time.time() - t0)
-    print(f"[bench] large-mesh: ndof={refined.n_dof} single-call "
+    print(f"[bench] large-mesh condensed: ndof={refined.n_dof} single-call "
           f"{best*1e3:.0f} ms (f64, compile {compile_s:.0f}s) "
           f"max_util={float(res.utilization.max()):.4f}", file=sys.stderr)
+
+    t0 = time.time()
+    rp = sf.analyze(refined, wave, case, solver="pcg",
+                    pcg_precond="two_level", pcg_tol=1e-8)
+    rp.U.block_until_ready()
+    compile_p = time.time() - t0
+    best_p = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rp = sf.analyze(refined, wave, case, solver="pcg",
+                        pcg_precond="two_level", pcg_tol=1e-8)
+        rp.U.block_until_ready()
+        best_p = min(best_p, time.time() - t0)
+    import numpy as np
+    du = (np.abs(np.asarray(rp.U) - np.asarray(res.U)).max()
+          / max(np.abs(np.asarray(res.U)).max(), 1e-30))
+    print(f"[bench] large-mesh PCG(two-level): {best_p*1e3:.0f} ms "
+          f"({int(rp.solver_iters)} iters, rel res "
+          f"{float(rp.solver_residual):.1e}, compile {compile_p:.0f}s, "
+          f"U vs condensed rel {du:.1e})", file=sys.stderr)
+    return {"large_condensed_ms": round(best * 1e3, 1),
+            "large_pcg_ms": round(best_p * 1e3, 1),
+            "large_pcg_iters": int(rp.solver_iters)}
 
 
 def measure_reference(n_steps: int = 36):
@@ -460,9 +597,9 @@ def main():
     secondary.update(measure_assembly())
     secondary.update(measure_scatter())
     secondary.update(check_pallas_device())
-
-    if args.large:
-        measure_large()
+    # 100k-DOF full-solve lines (VERDICT r03 item 7) — always on; the
+    # persistent compile cache bounds the f64 compile cost across runs
+    secondary.update(measure_large())
 
     if args.with_reference:
         ref_s = measure_reference()

@@ -39,6 +39,8 @@ from .ops.dynamics import (HarmonicResponse, ModalResults,
                            dynamic_response_condensed, modal_analysis,
                            modal_analysis_condensed,
                            mac, transient_response_condensed)
+from .ops.eigen import (eigh_general_small, jacobi_eigh, subspace_eigh,
+                        subspace_largest)
 from .ops.fatigue import FatigueScreen, fatigue_screen
 from .ops.dispersion import apparent_period, solve_dispersion
 from .ops.fenton import fenton_wave

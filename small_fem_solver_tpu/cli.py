@@ -150,6 +150,23 @@ def _spring_banner(spring):
               f"k = {spring} (N/mm, N*mm/rad)")
 
 
+def _scf_banner(scf):
+    """Make the fatigue grade unmissable: the screens take user SCF values
+    but NO parametric (Efthymiou) joint SCF equations are implemented —
+    constants from memory would be untestable in this environment (see
+    docs/ROADMAP.md).  Without joint-classified SCFs the damages rank
+    members; they are not code-grade hot-spot lives."""
+    import numpy as np
+    u = np.unique(np.atleast_1d(np.asarray(scf, dtype=np.float64)))
+    kind = (f"uniform SCF {u[0]:g}" if u.size == 1
+            else f"user per-member SCFs in [{u.min():g}, {u.max():g}]")
+    print(f"[fatigue] SCREENING-GRADE results: {kind}; parametric "
+          f"(Efthymiou) joint SCFs are NOT implemented — damages rank "
+          f"members but are not code-grade hot-spot lives. For design "
+          f"verification supply joint-classified SCFs via --scf / the "
+          f"scf= API argument.")
+
+
 def _setup(args):
     import jax
 
@@ -476,6 +493,7 @@ def cmd_fatigue(args):
     import small_fem_solver_tpu as sf
     from .ops.fatigue import fatigue_screen
 
+    _scf_banner(args.scf)
     model, wave, case = _setup(args)
     refined = sf.refine_model(model, args.refine) if args.refine > 1 else model
 
@@ -641,6 +659,7 @@ def cmd_spectral(args):
     import small_fem_solver_tpu as sf
     from .ops.spectrum import make_random_sea
 
+    _scf_banner(args.scf)
     hs = args.hs if args.hs is not None else args.H
     tp = args.tp if args.tp is not None else args.T
     # enter the device context BEFORE building arrays: model/sea tensors

@@ -125,6 +125,33 @@ def test_harmonic_solve_resonant_amplification():
     np.testing.assert_allclose(amp, 1.0 / (2 * zeta), rtol=1e-6)
 
 
+def test_real_dft_matches_rfft():
+    """real_dft_coeffs/_reconstruct (the TPU backend has no FFT and no
+    complex dtype) reproduce the rfft coefficient convention exactly,
+    including the even-length Nyquist halving, and round-trip a
+    band-limited signal."""
+    from small_fem_solver_tpu.ops.dynamics import (real_dft_coeffs,
+                                                   real_harmonic_reconstruct)
+    rng = np.random.default_rng(11)
+    for S, n_h in [(24, 6), (24, 12), (36, 5), (7, 3)]:
+        F = jnp.asarray(rng.standard_normal((S, 3)))
+        c_re, c_im = real_dft_coeffs(F, n_h)
+        Fh = np.fft.rfft(np.asarray(F), axis=0) / S
+        coef = Fh[: n_h + 1].copy()
+        coef[1:] *= 2.0
+        if S % 2 == 0 and n_h == S // 2:
+            coef[-1] *= 0.5
+        np.testing.assert_allclose(np.asarray(c_re), coef.real, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(c_im), coef.imag, atol=1e-12)
+    # band-limited round trip: n_h = S//2 reconstructs the samples
+    S = 16
+    ts = jnp.arange(S, dtype=jnp.float64) * (2 * np.pi / S)
+    F = jnp.asarray(rng.standard_normal((S, 2)))
+    c_re, c_im = real_dft_coeffs(F, S // 2)
+    back = real_harmonic_reconstruct(c_re, c_im, jnp.asarray(1.0), ts)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(F), atol=1e-12)
+
+
 def test_harmonic_solve_matches_complex_lapack():
     """The device-resident real Schur-complement formulation (two Cholesky
     factorizations per harmonic; see harmonic_solve's docstring) equals the
