@@ -328,9 +328,12 @@ def element_stiffness(coords, conn, sec: TubeSections, sect_id, E, G,
     K_local = (coeffs @ jnp.asarray(_KPAT, dtype=L.dtype)).reshape(-1, 12, 12)
     if release is not None:
         K_local = apply_releases(K_local, release)
-        K_global = congruence(T, K_local)
-    else:
-        K_global = global_stiffness_direct(R, coeffs)
+    # NOTE: the congruence (not global_stiffness_direct) on purpose — the
+    # float32 CONDENSATION chain amplifies the direct form's different
+    # rounding pattern ~10x (measured 7e-4 vs 7e-5 relative U at the
+    # 9.6k-DOF bench scale); the direct form serves the assembly fast path
+    # (element_global_stiffness), where a plain solve follows.
+    K_global = congruence(T, K_local)
     return K_global, K_local, T, L
 
 

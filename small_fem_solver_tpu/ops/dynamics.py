@@ -319,25 +319,33 @@ def _chain_blocks(Xe, n_seg):
             X[:, :, 6:12, 0:6], X[:, :, 6:12, 6:12])
 
 
+@partial(jax.jit, static_argnames=("n_seg",))
 def _chain_dense(A, B, C, E, n_seg):
     """Dense per-chain interior operator and interface coupling.
 
     Returns (X_ii [Mc, 6 n_int, 6 n_int], X_ib [Mc, 6 n_int, 12],
     X_bb [Mc, 12, 12]) for a chain-structured matrix given its element
     blocks; n_int = n_seg - 1 (static, so the Python loop unrolls).
+
+    jitted ON PURPOSE: eagerly, each `.at[].set` update copies the full
+    [Mc, N, N] buffer — measured ~60 s of pure memcpy at n_seg = 100 (and
+    unbounded growth at 327).  The three block diagonals are placed with
+    ONE vectorized scatter each, so the compile stays O(1) in n_seg.
     """
     Mc = A.shape[0]
     n_int = n_seg - 1
     N = 6 * n_int
     dtype = A.dtype
+    p = np.arange(n_int)
+    r6 = np.arange(6)
+    rows = 6 * p[:, None, None] + r6[None, :, None]     # [n_int, 6, 6]
+    cols = 6 * p[:, None, None] + r6[None, None, :]
     X_ii = jnp.zeros((Mc, N, N), dtype)
-    for p in range(n_int):          # interior node p+1 joins elements p, p+1
-        sl = slice(6 * p, 6 * p + 6)
-        X_ii = X_ii.at[:, sl, sl].set(E[:, p] + A[:, p + 1])
-        if p + 1 < n_int:
-            sr = slice(6 * (p + 1), 6 * (p + 1) + 6)
-            X_ii = X_ii.at[:, sl, sr].set(B[:, p + 1])
-            X_ii = X_ii.at[:, sr, sl].set(C[:, p + 1])
+    # interior node p+1 joins elements p, p+1
+    X_ii = X_ii.at[:, rows, cols].set(E[:, :n_int] + A[:, 1:n_int + 1])
+    if n_int > 1:
+        X_ii = X_ii.at[:, rows[:-1], cols[1:]].set(B[:, 1:n_int])
+        X_ii = X_ii.at[:, rows[1:], cols[:-1]].set(C[:, 1:n_int])
     X_ib = jnp.zeros((Mc, N, 12), dtype)
     X_ib = X_ib.at[:, 0:6, 0:6].set(C[:, 0])
     X_ib = X_ib.at[:, N - 6:N, 6:12].set(B[:, -1])
@@ -399,57 +407,104 @@ def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
             Mg = Mg + element_added_mass(refined.coords, refined.conn, D_m,
                                          rho_water=rho_water,
                                          Ca=added_mass_Ca)
-        KA, KB, KC, KE = _chain_blocks(Kg, n_seg)
         MA, MB, MC, ME = _chain_blocks(Mg, n_seg)
-        K_ii, K_ib, K_bb = _chain_dense(KA, KB, KC, KE, n_seg)
-        M_ii, M_ib, M_bb = _chain_dense(MA, MB, MC, ME, n_seg)
-        Mc = K_ii.shape[0]
+        Mc = Mg.shape[0] // n_seg
         nc = coarse.n_nodes
-        m = min(n_chain_modes, K_ii.shape[1])
+        n_int = n_seg - 1
+        N_chain = 6 * n_int
+        m = min(n_chain_modes, N_chain)
 
-        # constraint modes Psi = -K_ii^-1 K_ib (batched; Jacobi-scaled SPD)
-        dk = 1.0 / jnp.sqrt(jnp.diagonal(K_ii, axis1=-2, axis2=-1))
-        Ks = K_ii * dk[:, :, None] * dk[:, None, :]
-        Lk = jnp.linalg.cholesky(Ks)
+        # ------------------------------------------------------------------
+        # MATRIX-FREE chain Craig-Bampton (round 4): the interior operators
+        # are block-TRIDIAGONAL along each chain, so nothing [Mc, N, N]
+        # dense is ever formed.  The block-Thomas factorization
+        # (ops/condense.py::factor_chains — the battle-tested static
+        # condensation) directly provides the constraint modes
+        # (Psi = [-Z0 | -Zn]) and the condensed interface stiffness
+        # (K_super = K_bb_r); the fixed-interface modes come from Bathe
+        # subspace iteration whose K-solves are the O(N) chain sweeps and
+        # whose mass applications are banded matvecs.  This replaced dense
+        # [51, 1956, 1956] f64 operators that cost ~200 s on CPU and
+        # OOM-killed the TPU compile at the 100k-DOF mesh.
+        # ------------------------------------------------------------------
+        from .condense import condense_loads, factor_chains
+        from .eigen import eigh_general_small
 
-        def spd_solve(rhs):
-            y = jax.scipy.linalg.solve_triangular(
-                Lk, dk[:, :, None] * rhs, lower=True)
-            y = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(Lk, -1, -2), y, lower=False)
-            return dk[:, :, None] * y
+        fac = factor_chains(Kg, n_seg)
+        K_bb_r = fac.K_super                             # [Mc, 12, 12]
+        Z0m = jnp.moveaxis(fac.Z0, 0, 1).reshape(Mc, N_chain, 6)
+        Znm = jnp.moveaxis(fac.Zn, 0, 1).reshape(Mc, N_chain, 6)
+        Psi = -jnp.concatenate([Z0m, Znm], axis=-1)      # [Mc, N, 12]
 
-        Psi = -spd_solve(K_ib)                          # [Mc, N, 12]
+        # banded interior mass operator (same block layout as _chain_dense)
+        DM = ME[:, :-1] + MA[:, 1:]                      # [Mc, n_int, 6, 6]
+        UM = MB[:, 1:n_int]                              # (row p, col p+1)
+        LM = MC[:, 1:n_int]                              # (row p+1, col p)
 
-        # fixed-interface normal modes (batched generalized eigh).  On the
-        # TPU backend (no native eigh) the batched Bathe subspace iteration
-        # computes only the m retained modes per chain instead of the full
-        # [N, N] spectrum — this was the host-eigh escape that made the f64
-        # condensed response spectrum take ~644 s in round 3.
-        if _eigh_backend() == "subspace":
-            from .eigen import subspace_eigh
-            lam, Phi = subspace_eigh(K_ii, M_ii, m, n_iter=16)
-            lam = jnp.clip(lam, 0.0)
-        else:
-            Lm = jnp.linalg.cholesky(M_ii)
-            Y = jax.scipy.linalg.solve_triangular(Lm, K_ii, lower=True)
-            Am = jax.scipy.linalg.solve_triangular(
-                Lm, jnp.swapaxes(Y, -1, -2), lower=True)
-            Am = 0.5 * (Am + jnp.swapaxes(Am, -1, -2))
-            lam, V = jnp.linalg.eigh(Am)                # ascending
-            lam = jnp.clip(lam[:, :m], 0.0)
-            Phi = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(Lm, -1, -2), V[:, :, :m],
-                lower=False)                            # [Mc, N, m]
+        def mass_mv(Vk):
+            """M_ii V for V [k, n_int, Mc, 6] (the chain-sweep layout)."""
+            Vm = jnp.moveaxis(Vk, 2, 1)                  # [k, Mc, n_int, 6]
+            y = jnp.einsum("mpij,kmpj->kmpi", DM, Vm)
+            if n_int > 1:
+                y = y.at[:, :, :-1].add(
+                    jnp.einsum("mpij,kmpj->kmpi", UM, Vm[:, :, 1:]))
+                y = y.at[:, :, 1:].add(
+                    jnp.einsum("mpij,kmpj->kmpi", LM, Vm[:, :, :-1]))
+            return jnp.moveaxis(y, 1, 2)
 
-        # reduced member blocks
-        MPsi = M_ii @ Psi                               # [Mc, N, 12]
-        M_bb_r = M_bb + jnp.swapaxes(M_ib, -1, -2) @ Psi \
-            + jnp.swapaxes(Psi, -1, -2) @ M_ib \
-            + jnp.swapaxes(Psi, -1, -2) @ MPsi
-        K_bb_r = K_bb + jnp.swapaxes(K_ib, -1, -2) @ Psi   # = K_super
-        M_bq = (jnp.swapaxes(M_ib, -1, -2)
-                + jnp.swapaxes(Psi, -1, -2) @ M_ii) @ Phi  # [Mc, 12, m]
+        # fixed-interface normal modes: per-chain subspace iteration (chain
+        # spectra separate like i^2 / i^4, so 10 iterations with a m/2
+        # guard block reach LAPACK agreement — tests/test_eigen.py)
+        msub = min(m + max(4, m // 2), N_chain)
+        kk = jnp.arange(1, msub + 1, dtype=dtype)
+        pos = jnp.arange(1, N_chain + 1, dtype=dtype)
+        V0 = jnp.sin(kk[:, None] * pos[None, :] * 2.399963)
+        V0 = jnp.broadcast_to(V0[:, None, :], (msub, Mc, N_chain))
+        Vk = jnp.moveaxis(V0.reshape(msub, Mc, n_int, 6), 2, 1)
+
+        def one_it(_, carry):
+            Vk, lam = carry
+            MV = mass_mv(Vk)
+            W = condense_loads(fac, MV)[2]               # K_ii^-1 M V
+            MW = mass_mv(W)
+            Ar = jnp.einsum("apmi,bpmi->mab", W, MV)     # = W^T K W
+            Br = jnp.einsum("apmi,bpmi->mab", W, MW)
+            Ar = 0.5 * (Ar + jnp.swapaxes(Ar, -1, -2))
+            Br = 0.5 * (Br + jnp.swapaxes(Br, -1, -2))
+            lam, Q = eigh_general_small(Ar, Br)
+            Vk = jnp.einsum("apmi,mab->bpmi", W, Q)      # M-orthonormal
+            return Vk, lam
+
+        lam0 = jnp.zeros((Mc, msub), dtype)
+        Vk, lam = jax.lax.fori_loop(0, 10, one_it, (Vk, lam0))
+        lam = jnp.clip(lam[:, :m], 0.0)
+        # (k, p, m, i) -> (m, p, i, k) -> [Mc, N, m]
+        Phi = Vk[:m].transpose(2, 1, 3, 0).reshape(Mc, N_chain, m)
+
+        # reduced member blocks, all through the banded mass operator and
+        # the SPARSE interface coupling (M_ib has only two 6x6 blocks:
+        # (rows 0:6, cols 0:6) = MC[:, 0] and (rows N-6:, cols 6:12)
+        # = MB[:, -1]; M_bb is block-diag(MA[:, 0], ME[:, -1]))
+        # (m, p, i, c) -> (c, p, m, i): the 12 interface columns ride the
+        # batch axis of the banded matvec
+        Psi_k = Psi.reshape(Mc, n_int, 6, 12).transpose(3, 1, 0, 2)
+        # (c, p, m, i) -> (m, p, i, c) -> [Mc, N, 12]
+        MPsi = mass_mv(Psi_k).transpose(2, 1, 3, 0) \
+            .reshape(Mc, N_chain, 12)
+
+        def mib_t(X):
+            """M_ib^T X for X [Mc, N, c] -> [Mc, 12, c]."""
+            top = jnp.einsum("mij,mic->mjc", MC[:, 0], X[:, :6])
+            bot = jnp.einsum("mij,mic->mjc", MB[:, -1], X[:, N_chain - 6:])
+            return jnp.concatenate([top, bot], axis=1)
+
+        mibT_psi = mib_t(Psi)                            # [Mc, 12, 12]
+        M_bb = jnp.zeros((Mc, 12, 12), dtype)
+        M_bb = M_bb.at[:, :6, :6].set(MA[:, 0])
+        M_bb = M_bb.at[:, 6:, 6:].set(ME[:, -1])
+        M_bb_r = M_bb + mibT_psi + jnp.swapaxes(mibT_psi, -1, -2) \
+            + jnp.einsum("mnc,mnd->mcd", Psi, MPsi)
+        M_bq = mib_t(Phi) + jnp.einsum("mnc,mnq->mcq", MPsi, Phi)
 
         # global reduced assembly: interface DOFs + per-member mode DOFs
         n_red = 6 * nc + Mc * m

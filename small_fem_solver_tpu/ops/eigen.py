@@ -72,32 +72,49 @@ def jacobi_eigh(A, sweeps: int = 12):
     eye = jnp.broadcast_to(jnp.eye(m, dtype=dtype), batch + (m, m))
     V = eye
 
-    steps = _round_robin_pairs(m)
+    # every (sweep, step) iteration shares one traced body: the pair
+    # schedule becomes scan data, not unrolled code — unrolling sweeps x
+    # (m-1) steps produced HLO large enough to OOM-kill the TPU compile
+    # helper on batched f64 problems
+    steps = np.tile(np.stack(_round_robin_pairs(m)), (sweeps, 1, 1))
+
+    def one_rotation(carry, pairs):
+        A, V = carry
+        p = pairs[:, 0]
+        q = pairs[:, 1]
+        app = A[..., p, p]
+        aqq = A[..., q, q]
+        apq = A[..., p, q]
+        # Rutishauser rotation; t -> 0 when the off-diagonal entry is
+        # already negligible RELATIVE to the diagonal (keeps J orthogonal
+        # AND avoids 0/0).  All thresholds stay inside float32 exponent
+        # range: the TPU backend emulates f64 as double-double pairs whose
+        # RANGE is float32's, so literals like 1e-300 (and tau^2 overflow
+        # for tau ~ 1e20) produce silent infs/NaNs on device.
+        scale = jnp.abs(app) + jnp.abs(aqq) + 1e-30
+        small = jnp.abs(apq) <= 1e-18 * scale
+        denom = jnp.where(small, 1.0, 2.0 * apq)
+        tau = (aqq - app) / denom
+        tau = jnp.clip(tau, -1e15, 1e15)   # tau^2 must not overflow f32 range
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(tau * tau + 1.0))
+        # exact-diagonal tau = 0 must still give t = 1 (sign(0) = 0 would
+        # silently zero the rotation): fall back to the +45-degree rotation
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(t * t + 1.0)
+        s = t * c
+        # J: identity with [c s; -s c] planted on each (p, q) pair
+        J = jnp.zeros_like(A) + eye
+        J = J.at[..., p, p].set(c)
+        J = J.at[..., q, q].set(c)
+        J = J.at[..., p, q].set(s)
+        J = J.at[..., q, p].set(-s)
+        A = jnp.swapaxes(J, -1, -2) @ A @ J
+        V = V @ J
+        return (A, V), None
+
     with jax.default_matmul_precision("highest"):
-        for _ in range(sweeps):
-            for pairs in steps:
-                p = jnp.asarray(pairs[:, 0])
-                q = jnp.asarray(pairs[:, 1])
-                app = A[..., p, p]
-                aqq = A[..., q, q]
-                apq = A[..., p, q]
-                # Rutishauser rotation; t -> 0 when the off-diagonal entry
-                # is already negligible (keeps J orthogonal AND avoids 0/0)
-                small = jnp.abs(apq) <= 1e-300
-                denom = jnp.where(small, 1.0, 2.0 * apq)
-                tau = (aqq - app) / denom
-                t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(tau * tau + 1.0))
-                t = jnp.where(small, 0.0, t)
-                c = 1.0 / jnp.sqrt(t * t + 1.0)
-                s = t * c
-                # J: identity with [c s; -s c] planted on each (p, q) pair
-                J = eye
-                J = J.at[..., p, p].set(c)
-                J = J.at[..., q, q].set(c)
-                J = J.at[..., p, q].set(s)
-                J = J.at[..., q, p].set(-s)
-                A = jnp.swapaxes(J, -1, -2) @ A @ J
-                V = V @ J
+        (A, V), _ = jax.lax.scan(one_rotation, (A, V), jnp.asarray(steps))
 
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     if odd:
@@ -157,9 +174,10 @@ def subspace_largest(A, n_modes: int, n_extra: int | None = None,
     v = jnp.sin(jnp.arange(1, n + 1, dtype=dtype) * 1.61803)
     v = v / jnp.linalg.norm(v)
     with jax.default_matmul_precision("highest"):
-        for _ in range(16):
+        def pwr(_, v):
             w = A @ v
-            v = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+            return w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+        v = jax.lax.fori_loop(0, 16, pwr, v)
         rho = jnp.abs(jnp.einsum("...i,...i->...", v, A @ v))
     sigma = 1.05 * rho
     As = A + sigma[..., None, None] * jnp.eye(n, dtype=dtype)
@@ -168,8 +186,8 @@ def subspace_largest(A, n_modes: int, n_extra: int | None = None,
     V = jnp.sin(i[:, None] * j[None, :] * 2.399963)     # fixed start block
     V, _ = jnp.linalg.qr(V)
     with jax.default_matmul_precision("highest"):
-        for _ in range(n_iter):
-            V, _ = jnp.linalg.qr(As @ V)
+        V = jax.lax.fori_loop(
+            0, n_iter, lambda _, V: jnp.linalg.qr(As @ V)[0], V)
         Ar = jnp.swapaxes(V, -1, -2) @ (A @ V)          # unshifted Ritz
         Ar = 0.5 * (Ar + jnp.swapaxes(Ar, -1, -2))
         lam, Q = jacobi_eigh(Ar, sweeps=sweeps)
@@ -224,9 +242,11 @@ def subspace_eigh(K, M, n_modes: int, n_extra: int | None = None,
     V = jnp.concatenate([ratio[..., :, None], oh, qr_vec[..., :, None]],
                         axis=-1)                         # [..., n, m]
 
-    with jax.default_matmul_precision("highest"):
-        lam = None
-        for _ in range(n_iter):
+    def one_iter(_, carry):
+        # one traced body via fori_loop: the unrolled variant's HLO
+        # OOM-killed the TPU compile helper on batched f64 chain problems
+        V, lam = carry
+        with jax.default_matmul_precision("highest"):
             W = ksolve(M @ V)                            # [..., n, m]
             # Rayleigh-Ritz on the iterated block
             Ar = jnp.swapaxes(W, -1, -2) @ (M @ V)       # = W^T K W
@@ -235,4 +255,8 @@ def subspace_eigh(K, M, n_modes: int, n_extra: int | None = None,
             Br = 0.5 * (Br + jnp.swapaxes(Br, -1, -2))
             lam, Q = eigh_general_small(Ar, Br, sweeps=sweeps)
             V = W @ Q                                    # M-orthonormal
+        return V, lam
+
+    lam0 = jnp.zeros(K.shape[:-2] + (m,), dtype)
+    V, lam = jax.lax.fori_loop(0, n_iter, one_iter, (V, lam0))
     return lam[..., :n_modes], V[..., :n_modes]
