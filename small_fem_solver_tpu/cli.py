@@ -1277,10 +1277,14 @@ def cmd_dynamic(args):
     import jax
 
     model, wave, case = _setup(args)
-    # complex linear solves are unimplemented on the TPU backend; the
-    # harmonic systems are small and dense, so run them on the host CPU
+    # the harmonic pipeline is device-resident since round 4 (real-
+    # arithmetic SPD-Schur solves + subspace eigensolvers; f32 sessions
+    # run it on the chip).  f64 sessions still route to host: the TPU's
+    # software double-double is slower than host LAPACK for these small
+    # dense factorizations — a placement choice, not a capability gap.
     ctx = contextlib.nullcontext()
-    if jax.devices()[0].platform != "cpu":
+    if not getattr(args, "f32", False) and \
+            jax.devices()[0].platform != "cpu":
         ctx = jax.default_device(jax.devices("cpu")[0])
     spring = getattr(args, "support_spring", None)
     _spring_banner(spring)

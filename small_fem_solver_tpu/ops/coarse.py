@@ -188,21 +188,38 @@ def build_coarse_space(A: BCSRMatrix, coords, fixed_mask, agg=None,
     eye6 = jnp.eye(6, dtype=dtype)
     Dm = bcsr_block_diagonal(A) * mask[:, :, None] * mask[:, None, :] \
         + eye6 * (1.0 - mask)[:, :, None]
-    Dinv = jnp.linalg.inv(Dm)
+    from .solve import spd_block_inv
+    Dinv = spd_block_inv(Dm)  # Cholesky-based: f64 LU is unimplemented on TPU
 
     def dinv_mat(X):
         Xb = X.reshape(n, 6, -1)
         return jnp.einsum("nij,njk->nik", Dinv, Xb).reshape(6 * n, -1)
 
+    # multi-RHS SpMV chunked over the coarse-column axis: bcsr_matvec
+    # gathers [n_blocks, 6, n_cols] per call, which at ~100k DOF with the
+    # full 6*n_agg column block is a multi-GB intermediate that XLA padded
+    # past HBM (observed 18 GB alloc / compile OOM on the v5e).  A
+    # lax.map over 128-column chunks bounds it at ~150 MB; the coarse
+    # build runs once per (mesh, K), so the serialization is free.
+    def amat(X, chunk: int = 128):
+        ncols = X.shape[1]
+        if ncols <= chunk:
+            return bcsr_matvec(A, X)
+        pad = (-ncols) % chunk
+        Xp = jnp.pad(X, ((0, 0), (0, pad)))
+        Xc = jnp.moveaxis(Xp.reshape(6 * n, -1, chunk), 1, 0)
+        Yc = jax.lax.map(lambda xc: bcsr_matvec(A, xc), Xc)
+        return jnp.moveaxis(Yc, 0, 1).reshape(6 * n, -1)[:, :ncols]
+
     for _ in range(n_smooth):
-        P = P - omega * dinv_mat(bcsr_matvec(A, P))
+        P = P - omega * dinv_mat(amat(P))
         P = P * free6[:, None]
 
     # Galerkin coarse operator, symmetric Jacobi scaling + tiny shift;
     # inactive coarse DOFs (fully fixed aggregates / zero columns) get
     # identity rows so the Cholesky stays defined and the correction is
     # exactly zero there
-    Ac = P.T @ bcsr_matvec(A, P)
+    Ac = P.T @ amat(P)
     d = jnp.diagonal(Ac)
     active = d > 1e-12 * jnp.max(d)
     ds = jnp.where(active, 1.0 / jnp.sqrt(jnp.where(active, d, 1.0)), 0.0)

@@ -456,30 +456,45 @@ def _cb_reduce(coarse, refined, n_seg: int, E: float, nu: float,
         # spectra separate like i^2 / i^4, so 10 iterations with a m/2
         # guard block reach LAPACK agreement — tests/test_eigen.py)
         msub = min(m + max(4, m // 2), N_chain)
-        kk = jnp.arange(1, msub + 1, dtype=dtype)
-        pos = jnp.arange(1, N_chain + 1, dtype=dtype)
-        V0 = jnp.sin(kk[:, None] * pos[None, :] * 2.399963)
-        V0 = jnp.broadcast_to(V0[:, None, :], (msub, Mc, N_chain))
-        Vk = jnp.moveaxis(V0.reshape(msub, Mc, n_int, 6), 2, 1)
+        if msub >= N_chain:
+            # SHORT chains (the guard block would span the whole interior
+            # space): one dense Rayleigh-Ritz on the full space is exact
+            # and avoids the inverse iteration entirely.  This matters for
+            # more than cost — the iteration's Gram matrix W^T M W has the
+            # SQUARE of the pencil's condition number, which NaN'd the f32
+            # production dtype at n_seg=2 (cond ~2e8); the direct pencil is
+            # only ~1e4 and f32-accurate.  Dense [Mc, N, N] is tiny here.
+            KA, KB, KC, KE = _chain_blocks(Kg, n_seg)
+            K_ii, _, _ = _chain_dense(KA, KB, KC, KE, n_seg)
+            M_ii, _, _ = _chain_dense(MA, MB, MC, ME, n_seg)
+            lam, Phi_f = eigh_general_small(K_ii, M_ii)
+            lam = jnp.clip(lam[:, :m], 0.0)
+            Phi = Phi_f[:, :, :m]                        # [Mc, N, m]
+        else:
+            kk = jnp.arange(1, msub + 1, dtype=dtype)
+            pos = jnp.arange(1, N_chain + 1, dtype=dtype)
+            V0 = jnp.sin(kk[:, None] * pos[None, :] * 2.399963)
+            V0 = jnp.broadcast_to(V0[:, None, :], (msub, Mc, N_chain))
+            Vk = jnp.moveaxis(V0.reshape(msub, Mc, n_int, 6), 2, 1)
 
-        def one_it(_, carry):
-            Vk, lam = carry
-            MV = mass_mv(Vk)
-            W = condense_loads(fac, MV)[2]               # K_ii^-1 M V
-            MW = mass_mv(W)
-            Ar = jnp.einsum("apmi,bpmi->mab", W, MV)     # = W^T K W
-            Br = jnp.einsum("apmi,bpmi->mab", W, MW)
-            Ar = 0.5 * (Ar + jnp.swapaxes(Ar, -1, -2))
-            Br = 0.5 * (Br + jnp.swapaxes(Br, -1, -2))
-            lam, Q = eigh_general_small(Ar, Br)
-            Vk = jnp.einsum("apmi,mab->bpmi", W, Q)      # M-orthonormal
-            return Vk, lam
+            def one_it(_, carry):
+                Vk, lam = carry
+                MV = mass_mv(Vk)
+                W = condense_loads(fac, MV)[2]           # K_ii^-1 M V
+                MW = mass_mv(W)
+                Ar = jnp.einsum("apmi,bpmi->mab", W, MV)  # = W^T K W
+                Br = jnp.einsum("apmi,bpmi->mab", W, MW)
+                Ar = 0.5 * (Ar + jnp.swapaxes(Ar, -1, -2))
+                Br = 0.5 * (Br + jnp.swapaxes(Br, -1, -2))
+                lam, Q = eigh_general_small(Ar, Br)
+                Vk = jnp.einsum("apmi,mab->bpmi", W, Q)  # M-orthonormal
+                return Vk, lam
 
-        lam0 = jnp.zeros((Mc, msub), dtype)
-        Vk, lam = jax.lax.fori_loop(0, 10, one_it, (Vk, lam0))
-        lam = jnp.clip(lam[:, :m], 0.0)
-        # (k, p, m, i) -> (m, p, i, k) -> [Mc, N, m]
-        Phi = Vk[:m].transpose(2, 1, 3, 0).reshape(Mc, N_chain, m)
+            lam0 = jnp.zeros((Mc, msub), dtype)
+            Vk, lam = jax.lax.fori_loop(0, 10, one_it, (Vk, lam0))
+            lam = jnp.clip(lam[:, :m], 0.0)
+            # (k, p, m, i) -> (m, p, i, k) -> [Mc, N, m]
+            Phi = Vk[:m].transpose(2, 1, 3, 0).reshape(Mc, N_chain, m)
 
         # reduced member blocks, all through the banded mass operator and
         # the SPARSE interface coupling (M_ib has only two 6x6 blocks:

@@ -133,14 +133,32 @@ def jacobi_eigh(A, sweeps: int = 12):
 def eigh_general_small(A, B, sweeps: int = 12):
     """Generalized symmetric ``A v = lam B v`` for small dense blocks
     (B SPD): reduce through B's Cholesky and call :func:`jacobi_eigh`.
-    Returns (lam ascending, V) with V B-orthonormal."""
-    L = jnp.linalg.cholesky(B)
-    Y = jax.scipy.linalg.solve_triangular(L, A, lower=True)
+    Returns (lam ascending, V) with V B-orthonormal.
+
+    B is symmetrically diagonal-scaled and given a dtype-relative ridge
+    before the Cholesky: Bathe subspace callers pass Gram matrices
+    B = W^T M W whose condition number is the SQUARE of the pencil's —
+    a plain f32 Cholesky NaNs there (measured cond ~2e8 on the n_seg=2
+    chain problem).  The ridge only moves directions whose B-weight is
+    already below the dtype noise floor (they carry no information); their
+    lam inflate to the top of the ascending spectrum, where subspace
+    callers' guard blocks drop them.  At f64 the ridge is ~1e-14 relative
+    — invisible at the framework's 1e-8 parity bar.
+    """
+    m = B.shape[-1]
+    d = jnp.diagonal(B, axis1=-2, axis2=-1)
+    s = 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0))
+    Bs = B * s[..., :, None] * s[..., None, :]
+    As = A * s[..., :, None] * s[..., None, :]
+    ridge = 32.0 * m * jnp.finfo(B.dtype).eps
+    Bs = Bs + ridge * jnp.eye(m, dtype=B.dtype)
+    L = jnp.linalg.cholesky(Bs)
+    Y = jax.scipy.linalg.solve_triangular(L, As, lower=True)
     C = jax.scipy.linalg.solve_triangular(
         L, jnp.swapaxes(Y, -1, -2), lower=True)
     C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
     lam, Vt = jacobi_eigh(C, sweeps=sweeps)
-    V = jax.scipy.linalg.solve_triangular(
+    V = s[..., :, None] * jax.scipy.linalg.solve_triangular(
         jnp.swapaxes(L, -1, -2), Vt, lower=False)
     return lam, V
 

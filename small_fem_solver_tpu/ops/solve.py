@@ -254,6 +254,27 @@ def projected_operator(matvec: Callable, free_mask: jnp.ndarray) -> Callable:
     return op
 
 
+def spd_block_inv(D: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of small SPD blocks via scaled Cholesky.
+
+    ``jnp.linalg.inv`` lowers to LuDecomposition, which the TPU backend
+    only implements for f32/c64 — f64 [n,6,6] batches fail to compile.
+    The blocks here are SPD (diagonal blocks of an SPD stiffness with
+    identity fill on fixed DOFs), so factor instead with Cholesky after a
+    symmetric Jacobi scaling (keeps the factor positive across the ~1e10
+    axial-vs-bending magnitude spread; see CLAUDE.md invariants).
+    """
+    d = jnp.diagonal(D, axis1=-2, axis2=-1)
+    s = 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0))
+    Ds = D * s[..., :, None] * s[..., None, :]
+    L = jnp.linalg.cholesky(Ds)
+    eye = jnp.broadcast_to(jnp.eye(D.shape[-1], dtype=D.dtype), D.shape)
+    Y = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Ds_inv = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), Y, lower=False)
+    return Ds_inv * s[..., :, None] * s[..., None, :]
+
+
 def block_jacobi_preconditioner(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray) -> Callable:
     """6x6 block-Jacobi preconditioner from BCSR diagonal blocks.
 
@@ -266,7 +287,7 @@ def block_jacobi_preconditioner(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray
     # zero fixed rows/cols of each block, put 1 on their diagonal
     D = diag_blocks * mask[:, :, None] * mask[:, None, :]
     D = D + eye * (1.0 - mask)[:, :, None]
-    D_inv = jnp.linalg.inv(D)
+    D_inv = spd_block_inv(D)
 
     def precond(r):
         rb = r.reshape(n, 6)

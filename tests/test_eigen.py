@@ -201,3 +201,55 @@ def test_buckling_subspace_backend_matches_lapack(monkeypatch):
                                float(ref.load_factor[0]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(dev.load_factor),
                                np.asarray(ref.load_factor), rtol=1e-3)
+
+
+def test_eigh_general_small_illconditioned_gram_f32():
+    """Bathe subspace callers pass Gram matrices B = W^T M W whose
+    condition is the SQUARE of the pencil's — a plain f32 Cholesky NaN'd
+    there (round-4 regression: every chain of the n_seg=2 dynamic fatigue
+    screen).  The scaled+ridged reduction must stay finite and keep the
+    well-conditioned eigenpairs accurate."""
+    rng = np.random.default_rng(7)
+    m = 6
+    Q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    # spectrum spanning 2e8 — cond(B) ~ the measured failing case
+    w = np.array([2.4e-10, 1.4e-6, 1.7e-6, 4.4e-3, 3.2e-2, 4.6e-2])
+    B = (Q * w) @ Q.T
+    A = rng.standard_normal((m, m))
+    A = (A + A.T) * 1e3
+    lam32, V32 = eigh_general_small(jnp.asarray(A, jnp.float32),
+                                    jnp.asarray(B, jnp.float32))
+    assert np.isfinite(np.asarray(lam32)).all()
+    assert np.isfinite(np.asarray(V32)).all()
+    # f64 with the ridge still matches LAPACK: the ridge (~4e-14 on the
+    # scaled unit diagonal) perturbs the 5e-9-weight direction's
+    # eigenvalue relatively by ~1e-5 at worst (measured 2.4e-6); the
+    # well-conditioned eigenvalues are untouched
+    lam64, _ = eigh_general_small(jnp.asarray(A), jnp.asarray(B))
+    lam_ref = sla.eigh(A, B, eigvals_only=True)
+    np.testing.assert_allclose(np.asarray(lam64), lam_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lam64)[1:], lam_ref[1:], rtol=1e-8)
+
+
+def test_cb_reduce_small_chain_f32_finite_and_accurate():
+    """n_seg = 2 Craig-Bampton in float32 (the TPU production dtype):
+    the short-chain direct Rayleigh-Ritz path must produce finite modes
+    that match the f64 reduction (round-4 regression test: the matrix-free
+    inverse iteration NaN'd 16/51 chains here)."""
+    from small_fem_solver_tpu.ops.dynamics import _cb_reduce
+
+    model64 = sf.default_3leg_jacket()
+    model32 = sf.default_3leg_jacket(dtype=jnp.float32)
+    out = {}
+    for tag, model in (("f64", model64), ("f32", model32)):
+        refined = sf.refine_model(model, 2)
+        cb = _cb_reduce(model, refined, 2, 210000.0, 0.3, 1100.0, 12)
+        K_red, M_red = np.asarray(cb.K_red), np.asarray(cb.M_red)
+        assert np.isfinite(K_red).all(), tag
+        assert np.isfinite(M_red).all(), tag
+        free = np.asarray(cb.free)
+        lam = sla.eigh(K_red[np.ix_(free, free)].astype(np.float64),
+                       M_red[np.ix_(free, free)].astype(np.float64),
+                       eigvals_only=True)
+        out[tag] = np.sqrt(np.clip(lam[:10], 0, None)) / (2 * np.pi)
+    np.testing.assert_allclose(out["f32"], out["f64"], rtol=2e-4)
