@@ -594,17 +594,38 @@ def main():
     # session config stays identical across rounds
     _enable_compile_cache()
     secondary = {}
-    ms, ndof, sec = measure_flagship(args.repeats)
-    secondary.update(sec)
-    secondary.update(measure_assembly())
-    secondary.update(measure_scatter())
-    secondary.update(check_pallas_device())
-    # 100k-DOF full-solve lines (VERDICT r03 item 7) — always on; the
-    # persistent compile cache bounds the f64 compile cost across runs
-    secondary.update(measure_large())
+    errors = {}
+
+    # Per-section fault isolation (round-4 lesson: the 100k-DOF PCG OOM in
+    # the LAST section zeroed the whole round's perf record because the
+    # final JSON line was never printed).  Each section is independently
+    # guarded; whatever succeeded is always reported, failures land in an
+    # "errors" map instead of killing the process.
+    def _section(name, fn):
+        try:
+            return fn()
+        except BaseException as e:  # OOM surfaces as RuntimeError/XlaError
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            return None
+
+    ms, ndof = None, 0
+    flag = _section("flagship", lambda: measure_flagship(args.repeats))
+    if flag is not None:
+        ms, ndof, sec = flag
+        secondary.update(sec)
+    for name, fn in (("assembly", measure_assembly),
+                     ("scatter", measure_scatter),
+                     ("pallas_check", check_pallas_device),
+                     # 100k-DOF full-solve lines (VERDICT r03 item 7)
+                     ("large", measure_large)):
+        out = _section(name, fn)
+        if out:
+            secondary.update(out)
 
     if args.with_reference:
-        ref_s = measure_reference()
+        ref_s = _section("reference", measure_reference)
         if ref_s is not None:
             print(f"[bench] reference 36-phase scan + solve @126 DOF: "
                   f"{ref_s*1e3:.0f} ms on CPU (its own workload; ours covers "
@@ -616,13 +637,16 @@ def main():
     # "secondary" carries the parsed round-over-round comparison block
     # (VERDICT r02 item 7): prepared_scan_ms (the factor-once user API),
     # envelope_sustained_ms, assembly_gdofs, pallas_check_rel, contended.
-    print(json.dumps({
+    out = {
         "metric": "phase_scan_360_10kdof",
-        "value": round(ms, 2),
+        "value": None if ms is None else round(ms, 2),
         "unit": "ms",
-        "vs_baseline": round(target_ms / ms, 3),
+        "vs_baseline": None if ms is None else round(target_ms / ms, 3),
         "secondary": secondary,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
