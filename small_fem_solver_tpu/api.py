@@ -307,10 +307,10 @@ _AGG_CACHE: dict = {}
 
 
 def _cached_aggregates(pattern, target_size: int = 32):
-    """Host-side rigid-body-aggregate partition for the two-level PCG
-    preconditioner, memoized per pattern (the graph traversal is O(n) but
-    pure Python)."""
-    from .ops.coarse import aggregates_from_pattern
+    """Host-side rigid-body-aggregate partition + sparse-prolongator slot
+    plan for the two-level PCG preconditioner, memoized per pattern (the
+    graph traversal is O(n) but pure Python).  Returns (agg, n_agg, plan)."""
+    from .ops.coarse import aggregates_from_pattern, plan_sparse_p
     key = (pattern.n_nodes, target_size,
            np.asarray(pattern.block_rows).tobytes(),
            np.asarray(pattern.block_cols).tobytes())
@@ -319,7 +319,9 @@ def _cached_aggregates(pattern, target_size: int = 32):
         if len(_AGG_CACHE) >= 8:
             _AGG_CACHE.clear()
         agg = aggregates_from_pattern(pattern, target_size)
-        hit = (jnp.asarray(agg), int(agg.max()) + 1)
+        n_agg = int(agg.max()) + 1
+        plan = plan_sparse_p(pattern, agg, n_agg)
+        hit = (jnp.asarray(agg), n_agg, plan)
         _AGG_CACHE[key] = hit
     return hit
 
@@ -377,14 +379,15 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
                                  pcg_precond)
     if solver == "pcg":
         pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
-        agg, n_agg = (_cached_aggregates(pattern)
-                      if pcg_precond == "two_level" else (None, None))
+        agg, n_agg, plan = (_cached_aggregates(pattern)
+                            if pcg_precond == "two_level"
+                            else (None, None, None))
     else:
-        pattern, agg, n_agg = None, None, None
+        pattern, agg, n_agg, plan = None, None, None, None
     fn = _analyze_jit if _jit else _analyze_impl
     res = fn(model, wave, case.cast(model.coords.dtype), solver, n_gauss,
              accel, free, fixed, pattern, pcg_tol, pcg_maxiter,
-             lstsq_fallback, stretching, current_alpha, agg, n_agg)
+             lstsq_fallback, stretching, current_alpha, agg, n_agg, plan)
     if solver == "pcg" and res.solver_residual is not None:
         rel = float(res.solver_residual)
         if not rel <= pcg_tol:  # catches NaN too
@@ -448,9 +451,9 @@ def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
     coarse = None
     if pcg_precond == "two_level":
         from .ops.coarse import build_coarse_space
-        agg, n_agg = _cached_aggregates(pattern)
+        agg, n_agg, plan = _cached_aggregates(pattern)
         coarse = build_coarse_space(A, model.coords, model.fixed_mask,
-                                    agg=agg, n_agg=n_agg)
+                                    agg=agg, n_agg=n_agg, plan=plan)
     U, n_iter, resid = distributed_pcg(A, F, model.fixed_mask, mesh,
                                        axis=axis, tol=pcg_tol,
                                        maxiter=pcg_maxiter, coarse=coarse)
@@ -475,7 +478,7 @@ def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
 def _analyze_jit(model, wave, case, solver, n_gauss, accel, free, fixed,
                  pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False,
                  stretching="none", current_alpha=None, agg=None,
-                 n_agg=None):
+                 n_agg=None, coarse_plan=None):
     # XLA:TPU lowers f32 matmuls to bf16 MXU passes by default, which is
     # catastrophic for stiffness algebra; force full-precision accumulation
     # for everything inside the solver pipeline.
@@ -483,13 +486,13 @@ def _analyze_jit(model, wave, case, solver, n_gauss, accel, free, fixed,
         return _analyze_impl(model, wave, case, solver, n_gauss, accel, free,
                              fixed, pattern, pcg_tol, pcg_maxiter,
                              lstsq_fallback, stretching, current_alpha,
-                             agg, n_agg)
+                             agg, n_agg, coarse_plan)
 
 
 def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
                   pattern, pcg_tol, pcg_maxiter, lstsq_fallback=False,
                   stretching="none", current_alpha=None, agg=None,
-                  n_agg=None):
+                  n_agg=None, coarse_plan=None):
     G = case.E / (2.0 * (1.0 + case.nu))                    # (`:443`)
     conn_h, D_m, Cd_h, Cm_h = hydro_members(model, case.marine_growth_mm,
                                             case.Cd, case.Cm)    # (`:610`)
@@ -527,7 +530,7 @@ def _analyze_impl(model, wave, case, solver, n_gauss, accel, free, fixed,
             from .ops.coarse import (build_coarse_space,
                                      two_level_preconditioner)
             cs = build_coarse_space(A, model.coords, model.fixed_mask,
-                                    agg=agg, n_agg=n_agg)
+                                    agg=agg, n_agg=n_agg, plan=coarse_plan)
             pre = two_level_preconditioner(pre, cs)
         res = solve_mod.pcg(op, fmask * F, precond=pre, tol=pcg_tol,
                             maxiter=pcg_maxiter)

@@ -84,14 +84,14 @@ def distributed_pcg(A: BCSRMatrix, b, fixed_mask, mesh: Mesh,
                     maxiter: int = 1000, coarse=None):
     """Solve K u = b (fixed DOFs pinned to zero) across the mesh.
 
-    ``coarse`` (an ``ops.coarse.CoarseSpace``) adds the smoothed
-    rigid-body-aggregate coarse correction to the block-Jacobi
-    preconditioner: the restriction P^T r is a local dense-slab matvec +
-    one ``psum`` of the tiny [6 n_agg] coarse residual over ICI, the
-    coarse Cholesky solve is replicated, and the prolongation is local —
-    so the two-level preconditioner costs one small all-reduce per
-    iteration while cutting iteration counts ~7x on refined frames
-    (see ops/coarse.py).
+    ``coarse`` (an ``ops.coarse.CoarseSpace``, BLOCK-SPARSE prolongator)
+    adds the smoothed rigid-body-aggregate coarse correction to the
+    block-Jacobi preconditioner: the restriction P^T r is a local sparse
+    slot einsum + segment_sum + one ``psum`` of the tiny [6 n_agg] coarse
+    residual over ICI, the coarse Cholesky solve is replicated, and the
+    prolongation is local — so the two-level preconditioner costs one
+    small all-reduce per iteration while cutting iteration counts ~7x on
+    refined frames (see ops/coarse.py).
 
     Returns (u [n_dof], n_iter, rel_residual) gathered on the host layout.
     """
@@ -101,18 +101,24 @@ def distributed_pcg(A: BCSRMatrix, b, fixed_mask, mesh: Mesh,
     n_pad = S.n_nodes_padded
     dtype = A.blocks.dtype
 
-    # row-partitioned coarse-space prolongator (zero rows for padded
+    # row-partitioned sparse prolongator slots (zero blocks for padded
     # nodes, so they contribute nothing to the restriction)
     if coarse is not None:
-        nagg6 = 6 * coarse.n_agg
-        P_np = np.zeros((6 * n_pad, nagg6), np.asarray(coarse.P).dtype)
-        P_np[: 6 * n] = np.asarray(coarse.P)
-        P_d = jnp.asarray(P_np.reshape(n_devices, S.rows_per_dev * 6, nagg6),
-                          dtype)
+        nagg = coarse.n_agg
+        K = coarse.p_cols.shape[1]
+        pc_np = np.zeros((n_pad, K), np.int32)
+        pb_np = np.zeros((n_pad, K, 6, 6), np.asarray(coarse.p_blocks).dtype)
+        pc_np[:n] = np.asarray(coarse.p_cols)
+        pb_np[:n] = np.asarray(coarse.p_blocks)
+        pc_d = jnp.asarray(pc_np.reshape(n_devices, S.rows_per_dev, K))
+        pb_d = jnp.asarray(pb_np.reshape(n_devices, S.rows_per_dev, K, 6, 6),
+                           dtype)
         Lc = jnp.asarray(coarse.L_c, dtype)
         cscale = jnp.asarray(coarse.scale, dtype)
     else:
-        P_d = jnp.zeros((n_devices, S.rows_per_dev * 6, 6), dtype)
+        nagg = 1
+        pc_d = jnp.zeros((n_devices, S.rows_per_dev, 1), jnp.int32)
+        pb_d = jnp.zeros((n_devices, S.rows_per_dev, 1, 6, 6), dtype)
         Lc = jnp.eye(6, dtype=dtype)
         cscale = jnp.zeros((6,), dtype)
 
@@ -135,12 +141,13 @@ def distributed_pcg(A: BCSRMatrix, b, fixed_mask, mesh: Mesh,
     rep = P()
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(spec, spec, spec, spec, spec, spec, spec, rep, rep),
+             in_specs=(spec, spec, spec, spec, spec, spec, spec, spec,
+                       rep, rep),
              out_specs=(spec, rep, rep))
-    def solve(blocks, cols, lrows, Dinv, fmask, b_local, P_loc, Lc, cscale):
+    def solve(blocks, cols, lrows, Dinv, fmask, b_local, pc, pb, Lc, cscale):
         blocks, cols, lrows = blocks[0], cols[0], lrows[0]
         Dinv, fmask, b_local = Dinv[0], fmask[0], b_local[0]
-        P_loc = P_loc[0]
+        pc, pb = pc[0], pb[0]
 
         def op(x_local):
             xm = fmask * x_local
@@ -156,15 +163,23 @@ def distributed_pcg(A: BCSRMatrix, b, fixed_mask, mesh: Mesh,
             z = jnp.einsum("nij,nj->ni", Dinv, rb).reshape(-1)
             if coarse is None:
                 return z
-            # smoothed rigid-body coarse correction (ops/coarse.py): local
-            # slab restriction P_loc^T r, one psum of the tiny [6 n_agg]
+            # smoothed rigid-body coarse correction (ops/coarse.py), sparse
+            # form: local slot restriction P^T r (einsum + segment_sum over
+            # the locally-owned node rows), one psum of the tiny [6 n_agg]
             # coarse residual over ICI, replicated Cholesky solve, local
-            # prolongation
-            rc = jax.lax.psum(P_loc.T @ r, axis)
+            # sparse prolongation
+            c = jnp.einsum("nkuq,nu->nkq", pb, rb,
+                           precision=jax.lax.Precision.HIGHEST)
+            rc = jax.ops.segment_sum(c.reshape(-1, 6), pc.reshape(-1),
+                                     num_segments=nagg).reshape(-1)
+            rc = jax.lax.psum(rc, axis)
             y = cscale * rc
             y = jax.scipy.linalg.solve_triangular(Lc, y, lower=True)
             y = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
-            return z + P_loc @ (cscale * y)
+            yb = (cscale * y).reshape(nagg, 6)
+            zc = jnp.einsum("nkuq,nkq->nu", pb, yb[pc],
+                            precision=jax.lax.Precision.HIGHEST)
+            return z + zc.reshape(-1)
 
         def pdot(a, c):
             return jax.lax.psum(jnp.vdot(a, c), axis)
@@ -199,6 +214,6 @@ def distributed_pcg(A: BCSRMatrix, b, fixed_mask, mesh: Mesh,
         return x[None], it, res
 
     x_d, n_iter, res = solve(S.blocks, S.cols, S.local_rows, Dinv,
-                             fmask_d, b_d, P_d, Lc, cscale)
+                             fmask_d, b_d, pc_d, pb_d, Lc, cscale)
     u = jnp.asarray(x_d).reshape(-1)[: 6 * n]
     return u, n_iter, res

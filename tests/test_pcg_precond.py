@@ -73,6 +73,91 @@ def test_aggregates_cover_and_connect():
     assert n_agg <= 192
 
 
+def _assembled(n_seg):
+    from small_fem_solver_tpu.api import _cached_bcsr_pattern
+    from small_fem_solver_tpu.ops.assembly import assemble_bcsr
+    from small_fem_solver_tpu.ops.beams import element_stiffness
+    model = sf.refine_model(sf.default_3leg_jacket(), n_seg)
+    E, G = 210000.0, 210000.0 / 2.6
+    Kg, _, _, _ = element_stiffness(model.coords, model.conn,
+                                    model.sections, model.sect_id, E, G)
+    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+    return model, assemble_bcsr(Kg, pattern), pattern
+
+
+def test_sparse_prolongator_matches_dense_oracle():
+    """The round-5 block-sparse smoothed prolongator (slot-table P, O(n)
+    apply) must agree to roundoff with the dense-P construction it
+    replaced (the dense form OOM'd the chip at ~100k DOF: 28.4 GB of
+    15.75 GB HBM, VERDICT r04 weak #2)."""
+    from small_fem_solver_tpu.ops.coarse import (
+        aggregates_from_pattern, build_coarse_space,
+        build_coarse_space_dense, coarse_solve, prolong, prolongator_dense,
+        restrict)
+    model, A, pattern = _assembled(12)
+    agg = aggregates_from_pattern(pattern)
+    n_agg = int(agg.max()) + 1
+    cs = build_coarse_space(A, model.coords, model.fixed_mask,
+                            agg=jnp.asarray(agg), n_agg=n_agg)
+    cd = build_coarse_space_dense(A, model.coords, model.fixed_mask,
+                                  agg=jnp.asarray(agg), n_agg=n_agg)
+    Ps = np.asarray(prolongator_dense(cs))
+    Pd = np.asarray(cd.P)
+    scale = np.abs(Pd).max()
+    np.testing.assert_allclose(Ps, Pd, atol=1e-12 * scale)
+    np.testing.assert_allclose(np.asarray(cs.L_c), np.asarray(cd.L_c),
+                               atol=1e-12 * np.abs(np.asarray(cd.L_c)).max())
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.normal(size=model.n_dof))
+    xc = jnp.asarray(rng.normal(size=6 * n_agg))
+    np.testing.assert_allclose(np.asarray(restrict(cs, r)),
+                               Pd.T @ np.asarray(r), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(prolong(cs, xc)),
+                               Pd @ np.asarray(xc), rtol=1e-10)
+    # the full coarse correction P A_c^-1 P^T r agrees too
+    corr_s = np.asarray(prolong(cs, coarse_solve(cs, restrict(cs, r))))
+    corr_d = np.asarray(cd.P @ coarse_solve(cd, cd.P.T @ r))
+    np.testing.assert_allclose(corr_s, corr_d,
+                               atol=1e-10 * np.abs(corr_d).max())
+
+
+def test_two_level_sparse_vs_dense_iterates_10kdof():
+    """VERDICT r05 item 9: at ~10k DOF the sparse-P two-level PCG must
+    reproduce the dense-P preconditioner's convergence trajectory —
+    identical preconditioner => same iterate sequence up to roundoff, so
+    iteration counts match (tiny slack for rounding at the tol check)."""
+    from small_fem_solver_tpu.ops import solve as solve_mod
+    from small_fem_solver_tpu.ops.assembly import (bcsr_block_diagonal,
+                                                   bcsr_matvec)
+    from small_fem_solver_tpu.ops.coarse import (
+        aggregates_from_pattern, build_coarse_space,
+        build_coarse_space_dense, two_level_preconditioner,
+        two_level_preconditioner_dense)
+    model, A, pattern = _assembled(32)
+    assert model.n_dof == 9612
+    agg = aggregates_from_pattern(pattern)
+    n_agg = int(agg.max()) + 1
+    rng = np.random.default_rng(7)
+    fmask = solve_mod.dof_free_mask(model.fixed_mask).astype(A.blocks.dtype)
+    b = fmask * jnp.asarray(rng.normal(size=model.n_dof) * 1e5)
+    op = solve_mod.projected_operator(lambda x: bcsr_matvec(A, x), fmask)
+    bj = solve_mod.block_jacobi_preconditioner(bcsr_block_diagonal(A), fmask)
+    cs = build_coarse_space(A, model.coords, model.fixed_mask,
+                            agg=jnp.asarray(agg), n_agg=n_agg)
+    cd = build_coarse_space_dense(A, model.coords, model.fixed_mask,
+                                  agg=jnp.asarray(agg), n_agg=n_agg)
+    rs = solve_mod.pcg(op, b, precond=two_level_preconditioner(bj, cs),
+                       tol=1e-10, maxiter=20000)
+    rd = solve_mod.pcg(op, b,
+                       precond=two_level_preconditioner_dense(bj, cd),
+                       tol=1e-10, maxiter=20000)
+    assert abs(int(rs.n_iter) - int(rd.n_iter)) <= 2, \
+        (int(rs.n_iter), int(rd.n_iter))
+    scale = float(np.abs(np.asarray(rd.x)).max())
+    np.testing.assert_allclose(np.asarray(rs.x), np.asarray(rd.x),
+                               atol=1e-8 * scale)
+
+
 def test_distributed_pcg_two_level_matches_dense():
     """The coarse correction inside shard_map (one psum of the [6 n_agg]
     coarse residual per iteration) reproduces the dense answer at a scale
