@@ -39,11 +39,12 @@ class StreamSolution:
         self.Q, self.R = Q, R
         self.residual = residual
 
-    # -- direct evaluation (fixed frame, z from MWL, t = 0) --------------
-    def surface(self, x):
-        """eta(x) above MWL via the trigonometric interpolant of the
-        collocation heights (the exact representation of the solution)."""
-        x = np.asarray(x, dtype=float)
+    # -- direct evaluation (fixed frame, z from MWL) ----------------------
+    def surface(self, x, t=0.0):
+        """eta(x, t) above MWL via the trigonometric interpolant of the
+        collocation heights (the exact representation of the solution).
+        Time enters as the steady-wave translation x - c t."""
+        x = np.asarray(x, dtype=float) - self.c * np.asarray(t, dtype=float)
         j = np.arange(1, self.M + 1)
         theta_m = np.pi * np.arange(self.M + 1) / self.M
         w = np.ones(self.M + 1)
@@ -53,9 +54,9 @@ class StreamSolution:
         a[-1] *= 0.5
         return np.cos(np.outer(self.k * x, j)) @ a
 
-    def uw(self, x, z_mwl):
-        """(u, w) in the fixed frame at t = 0 (no dry masking, no clamp)."""
-        x = np.asarray(x, dtype=float)
+    def uw(self, x, z_mwl, t=0.0):
+        """(u, w) in the fixed frame (no dry masking, no clamp)."""
+        x = np.asarray(x, dtype=float) - self.c * np.asarray(t, dtype=float)
         z = np.asarray(z_mwl, dtype=float) + self.d   # height above bed
         j = np.arange(1, self.M + 1)
         jk = j * self.k
@@ -66,6 +67,48 @@ class StreamSolution:
         u_frame = self.B0 + np.sum((jk * self.B) * C * cj, axis=-1)
         w = np.sum((jk * self.B) * S * sj, axis=-1)
         return u_frame + self.c, w
+
+
+def reference_kinematics(sol: StreamSolution, x, z_mwl, t, U_c=0.0,
+                         dt=1e-3):
+    """The reference's EXACT ``RaschiiWave.get_kinematics`` call pattern
+    (`/root/reference/JacketAnalysisGUI_v2.py:259-296`), replayed on the
+    independent oracle solution instead of raschii:
+
+    - eta(x, t) from the wave solution's surface;
+    - dry check z > eta -> all-zero kinematics, submerged = False;
+    - velocity at the RASCHII-CLAMPED height above bed
+      max(0.01, min(z + d, d + eta - 0.01)) (`:272`), current U_c added to
+      the x-component (`:281`);
+    - acceleration by forward finite difference over dt = 1e-3 (`:283-288`)
+      THROUGH the dry-checked, clamped, current-added velocity at t and
+      t + dt (each call re-evaluates its own eta), so U_c cancels and
+      points that emerge within dt see the same one-sided derivative.
+
+    Scalar (x, z, t) in, dict out, mirroring the reference's return shape.
+    raschii itself cannot be installed in this environment (zero egress;
+    pip resolves no distribution), so this is the closest executable form
+    of the reference's nonlinear-wave branch.
+    """
+    def eta_at(tt):
+        return float(np.asarray(sol.surface(np.asarray([x]), tt))[0])
+
+    def vel(tt):
+        e = eta_at(tt)
+        if z_mwl > e:
+            return 0.0, 0.0
+        z_bed = max(0.01, min(z_mwl + sol.d, sol.d + e - 0.01))
+        u, w = sol.uw(np.asarray([x]), np.asarray([z_bed - sol.d]), tt)
+        return float(u[0]) + U_c, float(w[0])
+
+    eta_local = eta_at(t)
+    if z_mwl > eta_local:
+        return dict(u=0.0, w=0.0, du_dt=0.0, dw_dt=0.0, submerged=False,
+                    eta=eta_local)
+    u0, w0 = vel(t)
+    u1, w1 = vel(t + dt)
+    return dict(u=u0, w=w0, du_dt=(u1 - u0) / dt, dw_dt=(w1 - w0) / dt,
+                submerged=True, eta=eta_local)
 
 
 def solve_stream_wave(H, T, d, M=20, g=G) -> StreamSolution:

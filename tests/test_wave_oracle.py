@@ -95,6 +95,61 @@ def test_fenton_oracle_mean_current_convention():
     assert np.abs(np.asarray(u_p).mean()) < 1e-10 * np.abs(np.asarray(u_p)).max()
 
 
+def test_reference_call_pattern_on_jacket_gauss_grid():
+    """VERDICT r05 item 6 closure: raschii cannot be installed (zero
+    egress), so the reference's nonlinear-wave branch
+    (`JacketAnalysisGUI_v2.py:259-296`) is replayed on the independent
+    oracle with the reference's EXACT semantics — dry check, raschii
+    z-clamp, current on u, dt=1e-3 finite-difference acceleration — at the
+    same (x, z, t) grid the golden cases evaluate: the default jacket's
+    51 members x 15 Gauss points projected on the 38-degree wave heading,
+    at several phases of the default storm.  The package's pointwise
+    ``kinematics(accel='fd')`` must match every triplet."""
+    import small_fem_solver_tpu as sf
+    from small_fem_solver_tpu.ops.waves import kinematics
+    from stream_oracle import reference_kinematics
+
+    H, T, d, U_c, M = 17.038, 9.4, 50.0, 1.7, 18
+    sol = _oracle(H, T, d, M)
+    wave = fenton_wave(H, T, d, U_c=U_c, N=M)
+    np.testing.assert_allclose(float(wave.k), sol.k, rtol=1e-10)
+
+    model = sf.default_3leg_jacket()
+    coords = np.asarray(model.coords)                      # [n, 3] metres
+    conn = np.asarray(model.conn)
+    xi, wq = np.polynomial.legendre.leggauss(15)
+    s = 0.5 * (xi + 1.0)
+    p1, p2 = coords[conn[:, 0]], coords[conn[:, 1]]
+    pts = p1[:, None, :] + s[None, :, None] * (p2 - p1)[:, None, :]
+    pts = pts.reshape(-1, 3)                               # [765, 3]
+    theta = np.deg2rad(90.0 - 38.0)                        # compass -> math
+    x_wave = pts[:, 0] * np.cos(theta) + pts[:, 1] * np.sin(theta)
+    z = pts[:, 2]
+
+    for t in (0.0, 0.34, 3.13, 7.05):
+        kin = kinematics(wave, jnp.asarray(x_wave), jnp.asarray(z),
+                         jnp.asarray(t), accel="fd")
+        u_p = np.asarray(kin.u)
+        w_p = np.asarray(kin.w)
+        du_p = np.asarray(kin.du_dt)
+        dw_p = np.asarray(kin.dw_dt)
+        sub_p = np.asarray(kin.submerged)
+        eta_p = np.asarray(kin.eta)
+        uscale = max(np.abs(u_p).max(), np.abs(w_p).max())
+        ascale = max(np.abs(du_p).max(), np.abs(dw_p).max())
+        for i in range(x_wave.shape[0]):
+            ref = reference_kinematics(sol, float(x_wave[i]), float(z[i]),
+                                       t, U_c=U_c)
+            assert abs(eta_p[i] - ref["eta"]) < 1e-8 * H
+            if abs(z[i] - ref["eta"]) < 1e-6:
+                continue   # surface-grazing: dry flag is tolerance-fragile
+            assert bool(sub_p[i]) == ref["submerged"], (i, t)
+            assert abs(u_p[i] - ref["u"]) < 1e-7 * uscale, (i, t)
+            assert abs(w_p[i] - ref["w"]) < 1e-7 * uscale, (i, t)
+            assert abs(du_p[i] - ref["du_dt"]) < 1e-5 * ascale, (i, t)
+            assert abs(dw_p[i] - ref["dw_dt"]) < 1e-5 * ascale, (i, t)
+
+
 def test_stokes_deepwater_literature_expansion():
     """Literature anchor (classical third-order deep-water Stokes wave):
 
