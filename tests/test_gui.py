@@ -12,8 +12,30 @@ def test_gui_module_imports():
     assert "COORDINATE SYSTEM" in gui.INFO_TEXT
 
 
-@pytest.mark.skipif(not os.environ.get("DISPLAY"),
-                    reason="no X display available")
+def _display_works() -> str | None:
+    """Capability probe: can a real Tk root be created?  Returns the skip
+    reason, or None when a display is usable.  Probing Tk() itself (not
+    just $DISPLAY) means the widget-tree test auto-activates the day this
+    environment grows any X server, and skips with the true failure
+    otherwise.  Round-5 environment survey: no Xvfb/Xorg/VNC/Wayland
+    binary exists in the image, /tmp/.X11-unix is absent, and nothing can
+    be installed (zero egress) — so Tk wiring is verifiable here only down
+    to the headless-core seam (parse_params/run_analysis_core, golden-
+    tested below)."""
+    import tkinter as tk
+    try:
+        root = tk.Tk()
+        root.destroy()
+        return None
+    except tk.TclError as e:
+        return f"no usable display: {e}"
+
+
+_SKIP_REASON = _display_works()
+
+
+@pytest.mark.skipif(_SKIP_REASON is not None,
+                    reason=_SKIP_REASON or "display available")
 def test_gui_builds_widget_tree():
     import tkinter as tk
 
