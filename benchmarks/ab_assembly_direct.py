@@ -216,6 +216,19 @@ def main():
     ij_m = jnp.asarray(plan["ij_members"])
     ji_m = jnp.asarray(plan["ji_members"])
 
+    ex_m = jnp.asarray(plan["extra_m"])
+    ex_e = jnp.asarray(plan["extra_e"])
+    ex_s = jnp.asarray(plan["extra_slot"])
+    n_extra = int(plan["extra_m"].shape[0])
+
+    def _extra_vals(e_ii, e_jj, e_ij, e_ji):
+        """3rd+ diag contributions of hub nodes (e 0/1) and duplicate
+        off-diag edges (e 2/3), gathered on the extras lane."""
+        return jnp.where(ex_e == 0, e_ii[ex_m],
+                         jnp.where(ex_e == 1, e_jj[ex_m],
+                                   jnp.where(ex_e == 2, e_ij[ex_m],
+                                             e_ji[ex_m])))
+
     def one_direct_p(s):
         R, coeffs = geometry_lane(cT1, cT2, model.sect_id, s)
         ent = entries(R, coeffs, KEYS_ALL)
@@ -231,11 +244,11 @@ def main():
             e_ji = ent.get(_entry_key(2, k))
             e_ij = jnp.zeros((M,), jnp.float32) if e_ij is None else e_ij
             e_ji = jnp.zeros((M,), jnp.float32) if e_ji is None else e_ji
-            rows.append(jnp.concatenate([diag, e_ij[ij_m], e_ji[ji_m]]))
-        out = jnp.stack(rows, axis=0)                       # [36, nb]
-        if plan["extra_m"].shape[0]:
-            raise NotImplementedError
-        return out
+            row = jnp.concatenate([diag, e_ij[ij_m], e_ji[ji_m]])
+            if n_extra:
+                row = row.at[ex_s].add(_extra_vals(e_ii, e_jj, e_ij, e_ji))
+            rows.append(row)
+        return jnp.stack(rows, axis=0)                      # [36, nb]
 
     # ---- variant direct_c: permuted constants, zero runtime gathers -------
     def perm_consts(mem):
@@ -246,6 +259,7 @@ def main():
     dg = perm_consts(plan["diag_member"])
     ijg = perm_consts(plan["ij_members"])
     jig = perm_consts(plan["ji_members"])
+    exg = perm_consts(plan["extra_m"]) if n_extra else None
 
     KEYS_DIAG = {_entry_key(0, k) for k in range(36)} | \
                 {_entry_key(3, k) for k in range(36)}
@@ -259,6 +273,12 @@ def main():
         ei = entries(Ri, ci, KEYS_IJ)
         Rj, cj = geometry_lane(jig[0], jig[1], jig[2], s)   # [*, n_ji]
         ej = entries(Rj, cj, KEYS_JI)
+        # extras lane: hub 3rd+ diag contributions and duplicate edges,
+        # geometry evaluated per contribution (tiny: n_extra entries)
+        if n_extra:
+            Re, ce = geometry_lane(exg[0], exg[1], exg[2], s)
+            ee = entries(Re, ce, KEYS_ALL)
+            ze = jnp.zeros((n_extra,), jnp.float32)
         zd = jnp.zeros((2 * N,), jnp.float32)
         zi = jnp.zeros((plan["n_ij"],), jnp.float32)
         zj = jnp.zeros((plan["n_ji"],), jnp.float32)
@@ -268,9 +288,20 @@ def main():
             e_jj = ed.get(_entry_key(3, k), zd)
             dvec = jnp.where(d_end == 0, e_ii, e_jj) * d_mask
             diag = dvec.reshape(N, 2).sum(-1)
-            rows.append(jnp.concatenate([
+            row = jnp.concatenate([
                 diag, ei.get(_entry_key(1, k), zi),
-                ej.get(_entry_key(2, k), zj)]))
+                ej.get(_entry_key(2, k), zj)])
+            if n_extra:
+                val = jnp.where(ex_e == 0, ee.get(_entry_key(0, k), ze),
+                                jnp.where(ex_e == 1,
+                                          ee.get(_entry_key(3, k), ze),
+                                          jnp.where(ex_e == 2,
+                                                    ee.get(_entry_key(1, k),
+                                                           ze),
+                                                    ee.get(_entry_key(2, k),
+                                                           ze))))
+                row = row.at[ex_s].add(val)
+            rows.append(row)
         return jnp.stack(rows, axis=0)                      # [36, nb]
 
     # ---- baseline: [36, 4M] lane table + lane gathers ---------------------
