@@ -43,6 +43,24 @@ def _enable_compile_cache():
         pass  # older jax without the knob: compile per process as before
 
 
+def _cost_model(jitted, *args):
+    """XLA cost-model (flops, bytes accessed) of a jitted callable on this
+    backend; returns (flops, bytes) or None when the backend/cost model is
+    unavailable.  Compile-cache hits make this ~free for programs the
+    section already ran."""
+    import jax
+
+    try:
+        cost = jax.jit(jitted).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        fl = float(cost.get("flops", 0.0))
+        by = float(cost.get("bytes accessed", 0.0))
+        return (fl, by) if by > 0 else None
+    except Exception:
+        return None
+
+
 def measure_flagship(repeats: int = 5):
     import contextlib
 
@@ -295,8 +313,25 @@ def measure_scatter():
           f"(marginal {marginal:.2f} ms/state from the 40-state climate; "
           f"max 25-y W-L damage {float(np.max(np.asarray(r.damage_wl))):.2e})",
           file=sys.stderr)
-    return {"scatter_fd_ms_per_state": round(per, 2),
-            "scatter_fd_ms_per_state_marginal": round(marginal, 2)}
+    out = {"scatter_fd_ms_per_state": round(per, 2),
+           "scatter_fd_ms_per_state_marginal": round(marginal, 2)}
+    # marginal cost-model roofline: bytes/flops PER ADDED STATE between the
+    # 40- and 10-state climates, against the marginal ms/state (VERDICT r04
+    # item 5 — every headline metric gets a "% of roofline" denominator)
+    cm10 = _cost_model(lambda: run(states))
+    cm40 = _cost_model(lambda: run(states4))
+    if cm10 is not None and cm40 is not None and marginal > 0:
+        dfl = (cm40[0] - cm10[0]) / 30
+        dby = (cm40[1] - cm10[1]) / 30
+        gbs = dby / (marginal * 1e-3) / 1e9
+        out.update(scatter_gbs=round(gbs, 1),
+                   scatter_hbm_util=round(gbs / 819.0, 4),
+                   scatter_mbytes_per_state=round(dby / 1e6, 1))
+        print(f"[bench] scatter roofline (XLA cost model, marginal): "
+              f"{dfl/1e6:.1f} MFLOP / {dby/1e6:.1f} MB per state -> "
+              f"{gbs:.0f} GB/s ({gbs/819.0:.1%} of HBM roofline)",
+              file=sys.stderr)
+    return out
 
 
 def check_pallas_device():
@@ -451,8 +486,22 @@ def measure_assembly(n_seg: int = 327):
           f"{model.n_dof/single/1e9:.3f} GDOF/s; "
           f"~{bytes_moved/best/1e9:.0f} GB/s effective vs ~819 GB/s "
           f"v5e HBM roofline)", file=sys.stderr)
-    return {"assembly_gdofs": round(gdofs, 4),
-            "assembly_single_gdofs": round(model.n_dof / single / 1e9, 4)}
+    out = {"assembly_gdofs": round(gdofs, 4),
+           "assembly_single_gdofs": round(model.n_dof / single / 1e9, 4)}
+    # XLA cost-model roofline of the sustained program (per assembly):
+    # the "% of roofline" denominator for this tier (VERDICT r04 item 5)
+    cm = _cost_model(sustained, scales)
+    if cm is not None:
+        fl, by = cm[0] / B, cm[1] / B
+        gbs = by / best / 1e9
+        out.update(assembly_gbs=round(gbs, 1),
+                   assembly_hbm_util=round(gbs / 819.0, 4),
+                   assembly_mbytes=round(by / 1e6, 1))
+        print(f"[bench] assembly roofline (XLA cost model): "
+              f"{fl/1e6:.1f} MFLOP / {by/1e6:.1f} MB per assembly -> "
+              f"{gbs:.0f} GB/s ({gbs/819.0:.1%} of HBM roofline)",
+              file=sys.stderr)
+    return out
 
 
 def measure_large(n_seg: int = 327):
@@ -492,16 +541,22 @@ def measure_large(n_seg: int = 327):
           f"{best*1e3:.0f} ms (f64, compile {compile_s:.0f}s) "
           f"max_util={float(res.utilization.max()):.4f}", file=sys.stderr)
 
+    # pcg_chunk: the CG loop runs in bounded segments — a single ~600-
+    # iteration f64 program at this scale exceeds the TPU runtime watchdog
+    # and crashes the worker (reproduced; it killed BENCH_r04).  The
+    # chunked route also engages the entry-major band operators
+    # (ops/structured.py) on this chain-refined mesh.
     t0 = time.time()
-    rp = sf.analyze(refined, wave, case, solver="pcg",
-                    pcg_precond="two_level", pcg_tol=1e-8)
+    rp = sf.analyze(refined, wave, case, solver="pcg", pcg_maxiter=3000,
+                    pcg_precond="two_level", pcg_tol=1e-8, pcg_chunk=200)
     rp.U.block_until_ready()
     compile_p = time.time() - t0
     best_p = float("inf")
     for _ in range(2):
         t0 = time.time()
-        rp = sf.analyze(refined, wave, case, solver="pcg",
-                        pcg_precond="two_level", pcg_tol=1e-8)
+        rp = sf.analyze(refined, wave, case, solver="pcg", pcg_maxiter=3000,
+                        pcg_precond="two_level", pcg_tol=1e-8,
+                        pcg_chunk=200)
         rp.U.block_until_ready()
         best_p = min(best_p, time.time() - t0)
     import numpy as np

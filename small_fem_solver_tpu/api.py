@@ -306,6 +306,23 @@ _PATTERN_CACHE: dict = {}
 _AGG_CACHE: dict = {}
 
 
+_SPLAN_CACHE: dict = {}
+
+
+def _cached_structured_plan(pattern):
+    """Host-side band/irregular classification of the BCSR pattern for the
+    entry-major chunked-PCG path (ops/structured.py), memoized per
+    pattern.  None for meshes without dominant tridiagonal structure."""
+    from .ops.structured import plan_structured
+    key = (pattern.n_nodes, np.asarray(pattern.block_rows).tobytes(),
+           np.asarray(pattern.block_cols).tobytes())
+    if key not in _SPLAN_CACHE:
+        if len(_SPLAN_CACHE) >= 8:
+            _SPLAN_CACHE.clear()
+        _SPLAN_CACHE[key] = plan_structured(pattern)
+    return _SPLAN_CACHE[key]
+
+
 def _cached_aggregates(pattern, target_size: int = 32):
     """Host-side rigid-body-aggregate partition + sparse-prolongator slot
     plan for the two-level PCG preconditioner, memoized per pattern (the
@@ -340,7 +357,7 @@ def _cached_bcsr_pattern(conn, n_nodes: int):
 def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
             solver: str = "chol", n_gauss: int = 15, accel: str = "fd",
             pcg_tol: float = 1e-10, pcg_maxiter: int = 2000,
-            pcg_precond: str = "auto",
+            pcg_precond: str = "auto", pcg_chunk: int = 0,
             lstsq_fallback: bool = False, mesh=None,
             stretching: str = "none", current_alpha=None,
             _jit: bool = True) -> AnalysisResults:
@@ -363,6 +380,13 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
     'two_level' (block-Jacobi + a rigid-body-aggregate coarse correction,
     ops/coarse.py — cuts iteration counts ~5x on refined slender frames).
     'auto' picks 'two_level' for meshes above ~120 nodes.
+
+    ``pcg_chunk`` (>0): run the CG loop in bounded segments of that many
+    iterations per device program, checking convergence on the host
+    between segments.  Required for ~100k-DOF f64 solves on hardware
+    whose runtime watchdog kills multi-10s single programs (the result is
+    iteration-for-iteration identical to the single-program path — same
+    while_loop body, re-entered).
     """
     free_np, fixed_np = solve_mod.free_fixed_dofs(model.fixed_mask)
     free, fixed = jnp.asarray(free_np), jnp.asarray(fixed_np)
@@ -377,6 +401,12 @@ def analyze(model: JacketModel, wave: FourierWave, case: LoadCase,
                                  n_gauss, accel, fixed, mesh, pcg_tol,
                                  pcg_maxiter, stretching, current_alpha,
                                  pcg_precond)
+    if solver == "pcg" and pcg_chunk:
+        return _analyze_pcg_chunked(model, wave,
+                                    case.cast(model.coords.dtype),
+                                    n_gauss, accel, fixed, pcg_tol,
+                                    pcg_maxiter, pcg_chunk, stretching,
+                                    current_alpha, pcg_precond)
     if solver == "pcg":
         pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
         agg, n_agg, plan = (_cached_aggregates(pattern)
@@ -468,6 +498,139 @@ def _analyze_pcg_dist(model, wave, case, n_gauss, accel, fixed, mesh,
             f"distributed PCG did not converge: relative residual "
             f"{rel:.2e} > tol {pcg_tol:.1e} after {int(res.solver_iters)} "
             f"iterations", stacklevel=3)
+    return res
+
+
+# --- chunked (host-segmented) PCG: the large-mesh single-chip route --------
+#
+# A ~600-iteration f64 CG at ~100k DOF as ONE device program runs for tens
+# of seconds and crashes the TPU worker (watchdog; reproduced round 5 —
+# BENCH_r04's `large` section died the same way).  The chunked route reuses
+# the distributed path's split programs (prep / solve / recover) and runs
+# the CG while_loop in bounded segments, carrying the CG state across
+# dispatches; the host checks convergence between segments.  Per-segment
+# dispatch overhead is ~1.6 ms against seconds of compute.
+
+@partial(jax.jit, static_argnames=("n_agg",))
+def _coarse_build_jit(A, coords, fixed_mask, agg, n_agg, plan):
+    from .ops.coarse import build_coarse_space
+    with jax.default_matmul_precision("highest"):
+        return build_coarse_space(A, coords, fixed_mask, agg=agg,
+                                  n_agg=n_agg, plan=plan)
+
+
+def _chunk_ops(A, Dinv, coarse, fmask):
+    op = solve_mod.projected_operator(lambda x: bcsr_matvec(A, x), fmask)
+    pre = solve_mod.block_jacobi_apply(Dinv)
+    if coarse is not None:
+        from .ops.coarse import two_level_preconditioner
+        pre = two_level_preconditioner(pre, coarse)
+    return op, pre
+
+
+@jax.jit
+def _pcg_chunk_init(A, F, fixed_mask):
+    with jax.default_matmul_precision("highest"):
+        fmask = solve_mod.dof_free_mask(fixed_mask).astype(F.dtype)
+        Dinv = solve_mod.block_jacobi_inverse(bcsr_block_diagonal(A), fmask)
+        return fmask, Dinv
+
+
+@jax.jit
+def _pcg_chunk_start(A, Dinv, coarse, fmask, F):
+    with jax.default_matmul_precision("highest"):
+        b = fmask * F
+        op, pre = _chunk_ops(A, Dinv, coarse, fmask)
+        state = solve_mod.pcg_init(op, b, pre)
+        return state, solve_mod.pcg_bnorm(b)
+
+
+@jax.jit
+def _pcg_chunk_run(A, Dinv, coarse, fmask, state, bnorm, tol, it_stop):
+    with jax.default_matmul_precision("highest"):
+        op, pre = _chunk_ops(A, Dinv, coarse, fmask)
+        state = solve_mod.pcg_run(op, pre, state, bnorm, tol, it_stop)
+        rel = jnp.linalg.norm(state[1]) / bnorm
+        return state, rel
+
+
+@jax.jit
+def _pcg_chunk_build_em(A, plan, Dinv, coarse, fmask, F):
+    """Entry-major repack + initial CG state in [6, n] layout
+    (ops/structured.py; one device program per solve)."""
+    from .ops import structured
+    with jax.default_matmul_precision("highest"):
+        sop = structured.build_structured(A, plan, Dinv, fmask, coarse)
+        b = sop.fmask2 * F.reshape(-1, 6).T
+        state = solve_mod.pcg_init(lambda X: structured.projected_matvec(sop, X),
+                                   b, lambda R: structured.precond(sop, R))
+        return sop, state, solve_mod.pcg_bnorm(b)
+
+
+@jax.jit
+def _pcg_chunk_run_em(sop, state, bnorm, tol, it_stop):
+    from .ops import structured
+    with jax.default_matmul_precision("highest"):
+        state = solve_mod.pcg_run(
+            lambda X: structured.projected_matvec(sop, X),
+            lambda R: structured.precond(sop, R), state, bnorm, tol, it_stop)
+        rel = jnp.linalg.norm(state[1]) / bnorm
+        return state, rel
+
+
+def _analyze_pcg_chunked(model, wave, case, n_gauss, accel, fixed,
+                         pcg_tol, pcg_maxiter, pcg_chunk,
+                         stretching="none", current_alpha=None,
+                         pcg_precond="two_level"):
+    """Single-device PCG analysis with the CG loop segmented into
+    ``pcg_chunk``-iteration device programs (see module comment above)."""
+    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+    mor, K_local, T, L_m, F, A = _pcg_dist_prep(
+        model, wave, case, pattern, n_gauss, accel, stretching,
+        current_alpha)
+    coarse = None
+    if pcg_precond == "two_level":
+        agg, n_agg, plan = _cached_aggregates(pattern)
+        coarse = _coarse_build_jit(A, model.coords, model.fixed_mask, agg,
+                                   n_agg=n_agg, plan=plan)
+    fmask, Dinv = _pcg_chunk_init(A, F, model.fixed_mask)
+    splan = _cached_structured_plan(pattern)
+    tol_a = jnp.asarray(pcg_tol, F.dtype)
+    done = 0
+    rel = None
+    if splan is not None:
+        # chain-tridiagonal mesh: entry-major gather-free iteration
+        # (ops/structured.py — 8.4x faster matvec on TPU)
+        sop, state, bnorm = _pcg_chunk_build_em(A, splan, Dinv, coarse,
+                                                fmask, F)
+        while done < pcg_maxiter:
+            stop = min(done + int(pcg_chunk), pcg_maxiter)
+            state, rel = _pcg_chunk_run_em(sop, state, bnorm, tol_a,
+                                           jnp.asarray(stop))
+            if int(state[4]) < stop or float(rel) <= pcg_tol:
+                break
+            done = stop
+        U = (sop.fmask2 * state[0]).T.reshape(-1)
+    else:
+        state, bnorm = _pcg_chunk_start(A, Dinv, coarse, fmask, F)
+        while done < pcg_maxiter:
+            stop = min(done + int(pcg_chunk), pcg_maxiter)
+            state, rel = _pcg_chunk_run(A, Dinv, coarse, fmask, state,
+                                        bnorm, tol_a, jnp.asarray(stop))
+            if int(state[4]) < stop or float(rel) <= pcg_tol:
+                break
+            done = stop
+        U = fmask * state[0]
+    res = _pcg_dist_recover(model, case, A, U, F, fixed, K_local, T, L_m,
+                            mor, state[4], rel)
+    relf = float(res.solver_residual)
+    if not relf <= pcg_tol:
+        import warnings
+        warnings.warn(
+            f"PCG did not converge: relative residual {relf:.2e} > tol "
+            f"{pcg_tol:.1e} after {int(res.solver_iters)} iterations "
+            f"(maxiter {pcg_maxiter}); results may be inaccurate",
+            stacklevel=3)
     return res
 
 

@@ -187,14 +187,21 @@ def plan_sparse_p(pattern, agg, n_agg: int) -> SparsePPlan:
     )
 
 
-class CoarseSpace(NamedTuple):
-    """Smoothed rigid-body coarse space with the BLOCK-SPARSE prolongator."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CoarseSpace:
+    """Smoothed rigid-body coarse space with the BLOCK-SPARSE prolongator.
+
+    ``n_agg`` is static metadata (it shapes reshapes/segment counts), so a
+    built CoarseSpace can cross jit boundaries — the chunked CG driver
+    passes one into every segment program."""
 
     p_cols: jnp.ndarray   # [n, K] aggregate column per slot
     p_blocks: jnp.ndarray  # [n, K, 6, 6] smoothed blocks (fixed rows zero)
     L_c: jnp.ndarray      # lower Cholesky of the scaled coarse operator
     scale: jnp.ndarray    # [6 n_agg] symmetric Jacobi scaling of A_c
-    n_agg: int
+    Ac_inv: jnp.ndarray   # explicit inverse of the scaled coarse operator
+    n_agg: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def _skew(r):
@@ -240,14 +247,27 @@ def _factor_coarse(Ac, n_agg: int):
     """Symmetric Jacobi scaling + tiny shift + Cholesky of A_c; inactive
     coarse DOFs (fully fixed aggregates / zero columns) get identity rows
     so the factor stays defined and the correction is exactly zero
-    there."""
+    there.
+
+    Also returns the EXPLICIT inverse of the scaled operator (via two
+    multi-RHS triangular solves of the factor, build-time only): the
+    per-iteration coarse solve is then one [6 n_agg]^2 mat-vec on the
+    vector units instead of two sequential triangular solves — measured
+    ~19 ms -> ~1 ms per CG iteration at n_agg=225 in f64 on the TPU
+    (triangular solves are latency-bound: 6 n_agg dependent steps).
+    Rounding differences vs the solve form are O(eps kappa(A_c_scaled))
+    and irrelevant to preconditioning quality."""
     d = jnp.diagonal(Ac)
     active = d > 1e-12 * jnp.max(d)
     ds = jnp.where(active, 1.0 / jnp.sqrt(jnp.where(active, d, 1.0)), 0.0)
     Acs = Ac * ds[:, None] * ds[None, :]
     idx = jnp.arange(6 * n_agg)
     Acs = Acs.at[idx, idx].set(jnp.where(active, Acs[idx, idx] + 1e-10, 1.0))
-    return jnp.linalg.cholesky(Acs), ds
+    L = jnp.linalg.cholesky(Acs)
+    eye = jnp.eye(6 * n_agg, dtype=Ac.dtype)
+    Y = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Ainv = jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+    return L, ds, Ainv
 
 
 def build_coarse_space(A: BCSRMatrix, coords, fixed_mask, agg=None,
@@ -294,9 +314,9 @@ def build_coarse_space(A: BCSRMatrix, coords, fixed_mask, agg=None,
     p_blocks = flat.reshape(n, K, 6, 6) * free[:, None, None, None]
 
     Ac = galerkin_coarse_operator(A, plan.p_cols, p_blocks, n_agg)
-    L_c, ds = _factor_coarse(Ac, n_agg)
+    L_c, ds, Ainv = _factor_coarse(Ac, n_agg)
     return CoarseSpace(p_cols=plan.p_cols, p_blocks=p_blocks, L_c=L_c,
-                       scale=ds, n_agg=n_agg)
+                       scale=ds, Ac_inv=Ainv, n_agg=n_agg)
 
 
 def galerkin_coarse_operator(A: BCSRMatrix, p_cols, p_blocks,
@@ -352,11 +372,9 @@ def prolongator_dense(cs: CoarseSpace) -> jnp.ndarray:
 
 
 def coarse_solve(cs, rc):
-    """A_c^{-1} rc through the scaled Cholesky factor."""
-    y = cs.scale * rc
-    y = jax.scipy.linalg.solve_triangular(cs.L_c, y, lower=True)
-    y = jax.scipy.linalg.solve_triangular(cs.L_c.T, y, lower=False)
-    return cs.scale * y
+    """A_c^{-1} rc through the precomputed scaled inverse (one mat-vec;
+    see :func:`_factor_coarse` for why not triangular solves)."""
+    return cs.scale * jnp.dot(cs.Ac_inv, cs.scale * rc, precision=_HI)
 
 
 def two_level_preconditioner(block_jacobi, cs: CoarseSpace):
@@ -375,7 +393,9 @@ def two_level_preconditioner(block_jacobi, cs: CoarseSpace):
 # Dense reference construction (small-scale cross-checks only)
 # ---------------------------------------------------------------------------
 
-class DenseCoarseSpace(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseCoarseSpace:
     """Dense-P coarse space — the pre-round-5 construction, kept as the
     oracle for the sparse builder (NOT for production: the dense P makes
     every CG iteration a multi-GB matmul at ~100k DOF)."""
@@ -383,7 +403,8 @@ class DenseCoarseSpace(NamedTuple):
     P: jnp.ndarray        # [6n, 6 n_agg]
     L_c: jnp.ndarray
     scale: jnp.ndarray
-    n_agg: int
+    Ac_inv: jnp.ndarray
+    n_agg: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def build_coarse_space_dense(A: BCSRMatrix, coords, fixed_mask, agg=None,
@@ -430,8 +451,9 @@ def build_coarse_space_dense(A: BCSRMatrix, coords, fixed_mask, agg=None,
         P = P * free6[:, None]
 
     Ac = P.T @ amat(P)
-    L_c, ds = _factor_coarse(Ac, n_agg)
-    return DenseCoarseSpace(P=P, L_c=L_c, scale=ds, n_agg=n_agg)
+    L_c, ds, Ainv = _factor_coarse(Ac, n_agg)
+    return DenseCoarseSpace(P=P, L_c=L_c, scale=ds, Ac_inv=Ainv,
+                            n_agg=n_agg)
 
 
 def two_level_preconditioner_dense(block_jacobi, cs: DenseCoarseSpace):

@@ -205,27 +205,28 @@ class PCGResult(NamedTuple):
     residual: jnp.ndarray
 
 
-def pcg(matvec: Callable, b, precond: Callable = None, x0=None,
-        tol: float = 1e-10, maxiter: int = 1000) -> PCGResult:
-    """Preconditioned conjugate gradients (lax.while_loop; call under jit).
-
-    ``matvec`` and ``precond`` must be closures over already-masked
-    (BC-projected) operators; convergence on relative residual ||r||/||b||.
-    """
-    if precond is None:
-        precond = lambda r: r
+def pcg_init(matvec: Callable, b, precond: Callable, x0=None):
+    """Initial CG state ``(x, r, p, rz, it)`` (call under jit)."""
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     z = precond(r)
-    p = z
     rz = jnp.vdot(r, z)
-    # dtype-aware floor: 1e-300 underflows to 0.0 in float32 and an all-zero
-    # RHS would then report residual 0/0 = NaN
-    bnorm = jnp.maximum(jnp.linalg.norm(b), jnp.finfo(b.dtype).tiny)
+    return x, r, z, rz, jnp.array(0)
 
+
+def pcg_run(matvec: Callable, precond: Callable, state, bnorm,
+            tol: float, it_stop):
+    """Run CG from ``state`` until convergence or ``it >= it_stop``
+    (lax.while_loop; call under jit).  The state is re-enterable: a host
+    loop can dispatch bounded segments (``it_stop = k*chunk``) and check
+    convergence between dispatches — required on hardware where a single
+    multi-10s device program trips the runtime watchdog (measured: the
+    99,882-DOF f64 solve as ONE program crashes the TPU worker; the same
+    solve in 200-iteration segments completes)."""
     def cond(state):
         x, r, p, rz, it = state
-        return jnp.logical_and(it < maxiter, jnp.linalg.norm(r) / bnorm > tol)
+        return jnp.logical_and(it < it_stop,
+                               jnp.linalg.norm(r) / bnorm > tol)
 
     def body(state):
         x, r, p, rz, it = state
@@ -238,7 +239,27 @@ def pcg(matvec: Callable, b, precond: Callable = None, x0=None,
         p = z + (rz_new / rz) * p
         return x, r, p, rz_new, it + 1
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    return jax.lax.while_loop(cond, body, state)
+
+
+def pcg_bnorm(b):
+    # dtype-aware floor: 1e-300 underflows to 0.0 in float32 and an all-zero
+    # RHS would then report residual 0/0 = NaN
+    return jnp.maximum(jnp.linalg.norm(b), jnp.finfo(b.dtype).tiny)
+
+
+def pcg(matvec: Callable, b, precond: Callable = None, x0=None,
+        tol: float = 1e-10, maxiter: int = 1000) -> PCGResult:
+    """Preconditioned conjugate gradients (lax.while_loop; call under jit).
+
+    ``matvec`` and ``precond`` must be closures over already-masked
+    (BC-projected) operators; convergence on relative residual ||r||/||b||.
+    """
+    if precond is None:
+        precond = lambda r: r
+    state = pcg_init(matvec, b, precond, x0)
+    bnorm = pcg_bnorm(b)
+    x, r, p, rz, it = pcg_run(matvec, precond, state, bnorm, tol, maxiter)
     return PCGResult(x=x, n_iter=it, residual=jnp.linalg.norm(r) / bnorm)
 
 
@@ -275,25 +296,39 @@ def spd_block_inv(D: jnp.ndarray) -> jnp.ndarray:
     return Ds_inv * s[..., :, None] * s[..., None, :]
 
 
-def block_jacobi_preconditioner(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray) -> Callable:
-    """6x6 block-Jacobi preconditioner from BCSR diagonal blocks.
-
-    Fixed DOFs get identity rows so the projected system stays well-posed.
-    ``diag_blocks``: [n_nodes, 6, 6].
-    """
+def block_jacobi_inverse(diag_blocks: jnp.ndarray,
+                         free_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked block-diagonal inverse ``[n, 6, 6]`` (identity at fixed
+    nodes) — the data of the block-Jacobi preconditioner, precomputable
+    once per factorization (the chunked CG driver reuses it across
+    dispatches)."""
     n = diag_blocks.shape[0]
     mask = free_mask.reshape(n, 6)
     eye = jnp.eye(6, dtype=diag_blocks.dtype)
     # zero fixed rows/cols of each block, put 1 on their diagonal
     D = diag_blocks * mask[:, :, None] * mask[:, None, :]
     D = D + eye * (1.0 - mask)[:, :, None]
-    D_inv = spd_block_inv(D)
+    return spd_block_inv(D)
+
+
+def block_jacobi_apply(D_inv: jnp.ndarray) -> Callable:
+    """Preconditioner callable from a precomputed masked block inverse."""
+    n = D_inv.shape[0]
 
     def precond(r):
         rb = r.reshape(n, 6)
         zb = jnp.einsum("nij,nj->ni", D_inv, rb)
         return zb.reshape(-1)
     return precond
+
+
+def block_jacobi_preconditioner(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray) -> Callable:
+    """6x6 block-Jacobi preconditioner from BCSR diagonal blocks.
+
+    Fixed DOFs get identity rows so the projected system stays well-posed.
+    ``diag_blocks``: [n_nodes, 6, 6].
+    """
+    return block_jacobi_apply(block_jacobi_inverse(diag_blocks, free_mask))
 
 
 def jacobi_preconditioner(diag: jnp.ndarray, free_mask: jnp.ndarray) -> Callable:

@@ -200,3 +200,97 @@ def test_distributed_pcg_two_level_matches_dense():
     scale = np.abs(np.asarray(u_ref)).max()
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u_ref),
                                rtol=1e-6, atol=1e-7 * scale)
+
+
+def test_structured_ops_match_generic():
+    """Entry-major band matvec/preconditioner (ops/structured.py) against
+    the generic BCSR forms, single application (operator-level parity is
+    tight; a full CG at tol tau may legitimately return iterates differing
+    by ~tau*cond between arithmetically-reordered but equivalent paths)."""
+    from small_fem_solver_tpu.api import (_cached_aggregates,
+                                          _cached_bcsr_pattern)
+    from small_fem_solver_tpu.ops import solve as solve_mod
+    from small_fem_solver_tpu.ops import structured
+    from small_fem_solver_tpu.ops.assembly import (assemble_bcsr,
+                                                   bcsr_block_diagonal,
+                                                   bcsr_matvec)
+    from small_fem_solver_tpu.ops.beams import element_stiffness
+    from small_fem_solver_tpu.ops.coarse import (build_coarse_space,
+                                                 two_level_preconditioner)
+
+    model = sf.refine_model(sf.default_3leg_jacket(), 12)
+    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+    plan = structured.plan_structured(pattern)
+    assert plan is not None  # refined meshes are chain-tridiagonal
+    E = jnp.float64(210000.0)
+    Kg, _, _, _ = element_stiffness(model.coords, model.conn,
+                                    model.sections, model.sect_id, E,
+                                    E / 2.6)
+    A = assemble_bcsr(Kg, pattern)
+    fmask = solve_mod.dof_free_mask(model.fixed_mask).astype(jnp.float64)
+    Dinv = solve_mod.block_jacobi_inverse(bcsr_block_diagonal(A), fmask)
+    agg, n_agg, splan = _cached_aggregates(pattern)
+    cs = build_coarse_space(A, model.coords, model.fixed_mask, agg=agg,
+                            n_agg=n_agg, plan=splan)
+    sop = structured.build_structured(A, plan, Dinv, fmask, cs)
+
+    n = model.n_nodes
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(6 * n))
+    X = x.reshape(n, 6).T
+
+    y_ref = np.asarray(bcsr_matvec(A, x))
+    y_em = np.asarray(structured.matvec(sop, X)).T.reshape(-1)
+    sc = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_em, y_ref, atol=1e-12 * sc)
+
+    pre_ref = two_level_preconditioner(
+        solve_mod.block_jacobi_apply(Dinv), cs)
+    z_ref = np.asarray(pre_ref(x))
+    z_em = np.asarray(structured.precond(sop, X)).T.reshape(-1)
+    np.testing.assert_allclose(z_em, z_ref,
+                               atol=1e-12 * np.abs(z_ref).max())
+
+    # the generic 21-node jacket has no dominant bands -> generic path
+    assert structured.plan_structured(
+        _cached_bcsr_pattern(sf.default_3leg_jacket().conn, 21)) is None
+
+
+def test_chunked_pcg_matches_single_program():
+    """analyze(pcg_chunk=...) — the watchdog-safe segmented CG — must
+    reproduce the single-program PCG solution: the structured path
+    converges to the same tolerance, and the generic-ops chunk path
+    (forced by disabling the structured plan) is ITERATE-IDENTICAL since
+    it re-enters the very same while_loop body."""
+    import small_fem_solver_tpu.api as api
+
+    wave, case = _storm()
+    model = sf.refine_model(sf.default_3leg_jacket(), 8)
+    r0 = sf.analyze(model, wave, case, solver="pcg", accel="analytic",
+                    pcg_precond="two_level", pcg_tol=1e-9,
+                    pcg_maxiter=8000)
+    r1 = sf.analyze(model, wave, case, solver="pcg", accel="analytic",
+                    pcg_precond="two_level", pcg_tol=1e-9,
+                    pcg_maxiter=8000, pcg_chunk=50)
+    assert float(r1.solver_residual) <= 1e-9
+    scale = np.abs(np.asarray(r0.U)).max()
+    # two converged-at-1e-9 iterates of reordered arithmetic agree to a
+    # few orders above the tolerance on this conditioning
+    np.testing.assert_allclose(np.asarray(r1.U), np.asarray(r0.U),
+                               atol=1e-5 * scale)
+
+    # force the generic chunk path: identical while_loop -> same iterates
+    from small_fem_solver_tpu.api import _cached_bcsr_pattern
+    pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
+    key = (pattern.n_nodes, np.asarray(pattern.block_rows).tobytes(),
+           np.asarray(pattern.block_cols).tobytes())
+    api._SPLAN_CACHE[key] = None
+    try:
+        r2 = sf.analyze(model, wave, case, solver="pcg", accel="analytic",
+                        pcg_precond="two_level", pcg_tol=1e-9,
+                        pcg_maxiter=8000, pcg_chunk=50)
+    finally:
+        api._SPLAN_CACHE.pop(key, None)
+    assert int(r2.solver_iters) == int(r0.solver_iters)
+    du = np.abs(np.asarray(r2.U) - np.asarray(r0.U)).max() / scale
+    assert du < 1e-11, du
