@@ -412,15 +412,20 @@ def measure_assembly(n_seg: int = 327):
     refined jacket in float32 (the large-mesh production dtype for
     assembly; the solve itself needs f64 at this depth).
 
-    Two numbers:
-    - ``assembly_gdofs``: SUSTAINED — B = 32 assemblies inside one device
+    Numbers:
+    - ``assembly_gdofs``: SUSTAINED — B = 64 assemblies inside one device
       program (lax.map), the way production paths (envelopes, sweeps,
       pushover) consume assembly; amortizes the ~1.6 ms relay dispatch
-      floor that otherwise dominates a 0.6 ms computation.
+      floor that otherwise dominates a sub-ms computation.
     - ``assembly_single_gdofs``: one assembly per dispatch (the floor-bound
       number reported in earlier rounds).
-    Formulation (round 4): closed-form per-block element K (no congruence
-    intermediates) + two-tier BCSR gather (benchmarks/ab_assembly.py).
+    - ``assembly_gather_gdofs``: the rounds-3/4 two-tier gather
+      formulation, kept for round-over-round comparison.
+    Formulation (round 5 headline): direct-write gather-free assembly —
+    geometry permuted into [diag | ij | ji] lane order at prepare time,
+    entries emitted in assembled block order
+    (ops/assembly.py::assemble_bcsr_direct, promoted from
+    benchmarks/ab_assembly_direct.py).
     """
     import time as _time
 
@@ -429,36 +434,52 @@ def measure_assembly(n_seg: int = 327):
 
     import small_fem_solver_tpu as sf
     from small_fem_solver_tpu.api import _cached_bcsr_pattern
-    from small_fem_solver_tpu.ops.assembly import assemble_bcsr
+    from small_fem_solver_tpu.ops.assembly import (assemble_bcsr,
+                                                   assemble_bcsr_direct,
+                                                   prepare_direct_assembly)
     from small_fem_solver_tpu.ops.beams import element_global_stiffness
 
     model = sf.refine_model(sf.default_3leg_jacket(dtype=jnp.float32), n_seg)
     pattern = _cached_bcsr_pattern(model.conn, model.n_nodes)
     E = jnp.float32(210000.0)
+    prep = prepare_direct_assembly(model.coords, model.conn, model.sect_id,
+                                   model.n_nodes)
 
     @jax.jit
-    def assemble(coords):
+    def assemble_one(s):
         with jax.default_matmul_precision("highest"):
-            Kg = element_global_stiffness(coords, model.conn,
-                                          model.sections, model.sect_id,
-                                          E, E / 2.6)
-            return assemble_bcsr(Kg, pattern)
+            return assemble_bcsr_direct(prep, model.sections, E, E / 2.6,
+                                        scale=s)
 
-    assemble(model.coords).blocks.block_until_ready()
+    assemble_one(jnp.float32(1.0)).blocks.block_until_ready()
     single = float("inf")
     for _ in range(3):
         t0 = _time.time()
         last = None
-        for _ in range(10):
-            last = assemble(model.coords)
+        for k in range(10):
+            last = assemble_one(jnp.float32(1.0 + 1e-6 * k))
         last.blocks.block_until_ready()
         single = min(single, (_time.time() - t0) / 10)
 
     B = 64
     scales = jnp.linspace(1.0, 1.01, B, dtype=jnp.float32)
 
+    # headline: the direct-write (gather-free) assembler — geometry
+    # permuted into lane order at prepare time, entries emitted in
+    # assembled block order (ops/assembly.py round 5, promoted from
+    # benchmarks/ab_assembly_direct.py)
     @jax.jit
     def sustained(scales):
+        def one(s):
+            with jax.default_matmul_precision("highest"):
+                return assemble_bcsr_direct(prep, model.sections, E,
+                                            E / 2.6, scale=s).blocks.sum()
+        return jax.lax.map(one, scales)
+
+    # the two-tier gather formulation (rounds 3-4 headline), kept as a
+    # secondary for round-over-round comparison
+    @jax.jit
+    def sustained_gather(scales):
         def one(s):
             with jax.default_matmul_precision("highest"):
                 Kg = element_global_stiffness(model.coords * s, model.conn,
@@ -467,27 +488,37 @@ def measure_assembly(n_seg: int = 327):
             return assemble_bcsr(Kg, pattern).blocks.sum()
         return jax.lax.map(one, scales)
 
-    jax.block_until_ready(sustained(scales))
-    best = float("inf")
-    P = 6                      # pipelined calls/round: even a B=64 program
-    for _ in range(4):         # pays the relay floor once per CALL
-        t0 = _time.time()
-        outs = [sustained(scales + 1e-6 * i) for i in range(P)]
-        jax.block_until_ready(outs)
-        best = min(best, (_time.time() - t0) / (B * P))
+    def time_sustained(fn):
+        jax.block_until_ready(fn(scales))
+        best = float("inf")
+        P = 6                  # pipelined calls/round: even a B=64 program
+        for _ in range(4):     # pays the relay floor once per CALL
+            t0 = _time.time()
+            outs = [fn(scales + 1e-6 * i) for i in range(P)]
+            jax.block_until_ready(outs)
+            best = min(best, (_time.time() - t0) / (B * P))
+        return best
+
+    best = time_sustained(sustained)
+    best_gather = time_sustained(sustained_gather)
     gdofs = model.n_dof / best / 1e9
-    # bytes actually moved per assembly (quadrant stack + two tier gathers
-    # + block write + reduce), for the roofline line
+    # bytes if the [nb, 36] block stack were materialized once (the
+    # direct path's nominal write traffic; XLA fuses the bench's reduce
+    # so the cost-model line below reports what actually moves)
     nb = pattern.n_blocks
-    bytes_moved = (4 * model.conn.shape[0] * 36 * 2 + nb * 36 * 3) * 4
-    print(f"[bench] assembly: {model.n_dof} DOF elementK+BCSR "
+    bytes_moved = (nb * 36 + 7 * (2 * model.n_nodes
+                                  + 2 * model.conn.shape[0])) * 4
+    print(f"[bench] assembly: {model.n_dof} DOF direct-write BCSR "
           f"sustained {best*1e3:.2f} ms = {gdofs:.3f} GDOF/s "
           f"(single-dispatch {single*1e3:.2f} ms = "
           f"{model.n_dof/single/1e9:.3f} GDOF/s; "
           f"~{bytes_moved/best/1e9:.0f} GB/s effective vs ~819 GB/s "
-          f"v5e HBM roofline)", file=sys.stderr)
+          f"v5e HBM roofline; gather path {best_gather*1e3:.2f} ms = "
+          f"{model.n_dof/best_gather/1e9:.3f} GDOF/s)", file=sys.stderr)
     out = {"assembly_gdofs": round(gdofs, 4),
-           "assembly_single_gdofs": round(model.n_dof / single / 1e9, 4)}
+           "assembly_single_gdofs": round(model.n_dof / single / 1e9, 4),
+           "assembly_gather_gdofs":
+               round(model.n_dof / best_gather / 1e9, 4)}
     # XLA cost-model roofline of the sustained program (per assembly):
     # the "% of roofline" denominator for this tier (VERDICT r04 item 5)
     cm = _cost_model(sustained, scales)

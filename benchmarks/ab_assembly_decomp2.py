@@ -60,34 +60,54 @@ def main():
     cT2 = jnp.asarray(model.coords)[model.conn[:, 1]].T
 
     def geometry_lane(s):
+        # production conventions (beams.local_axes branch structure and
+        # _VERTICAL_COS threshold), matching ab_assembly_direct.py —
+        # parity vs beams.local_axes printed below
         d = (cT2 - cT1) * s                                # [3, M]
         L = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)    # [M]
         lx = d / L                                         # [3, M]
-        # reference vertical-member convention (beams.local_axes)
-        horiz = jnp.sqrt(lx[0] ** 2 + lx[1] ** 2)
-        vertical = horiz < 1e-6
-        up = lx[2] >= 0.0
-        sgn = jnp.where(up, 1.0, -1.0)
-        # general: ly ~ z_hat x lx (normalized), lz = lx x ly
-        ly_g = jnp.stack([-lx[1], lx[0], jnp.zeros_like(L)], axis=0)
-        ng = jnp.sqrt(ly_g[0] ** 2 + ly_g[1] ** 2 + 1e-30)
-        ly_g = ly_g / ng
-        lz_g = jnp.stack([
-            lx[1] * ly_g[2] - lx[2] * ly_g[1],
-            lx[2] * ly_g[0] - lx[0] * ly_g[2],
-            lx[0] * ly_g[1] - lx[1] * ly_g[0]], axis=0)
-        one = jnp.ones_like(L)
+        horiz2 = lx[0] ** 2 + lx[1] ** 2
+        horiz = jnp.sqrt(horiz2)
+        vertical = jnp.abs(lx[2]) > beams._VERTICAL_COS
         zero = jnp.zeros_like(L)
-        ly_v = jnp.stack([zero, sgn * one, zero], axis=0)
-        lz_v = jnp.stack([-sgn * lx[2] * one, zero, sgn * lx[0] * one],
-                         axis=0)
-        # NOTE: only checking speed here — exact vertical convention parity
-        # is validated against beams.local_axes in the production rewrite.
-        ly = jnp.where(vertical, ly_v, ly_g)
-        lz = jnp.where(vertical, lz_v, lz_g)
+        # vertical: ly = norm(z x lx) fallback (0,1,0); lz = lx x ly
+        degen = horiz <= 1e-10
+        hsafe = jnp.where(degen, 1.0, horiz)
+        lyv = [jnp.where(degen, zero, -lx[1] / hsafe),
+               jnp.where(degen, 1.0, lx[0] / hsafe), zero]
+        lzv = [lx[1] * lyv[2] - lx[2] * lyv[1],
+               lx[2] * lyv[0] - lx[0] * lyv[2],
+               lx[0] * lyv[1] - lx[1] * lyv[0]]
+        # generic: lz = normalize(lx x z), ly = lz x lx
+        gsafe = jnp.where(horiz <= 1e-30, 1.0, horiz)
+        lzg = [lx[1] / gsafe, -lx[0] / gsafe, zero]
+        lyg = [lzg[1] * lx[2] - lzg[2] * lx[1],
+               lzg[2] * lx[0] - lzg[0] * lx[2],
+               lzg[0] * lx[1] - lzg[1] * lx[0]]
+        ly = jnp.stack([jnp.where(vertical, a, b)
+                        for a, b in zip(lyv, lyg)], axis=0)
+        lz = jnp.stack([jnp.where(vertical, a, b)
+                        for a, b in zip(lzv, lzg)], axis=0)
         coeffs = beams.stiffness_coeffs(L * 1000.0, model.sections,
                                         model.sect_id, E, G)
         return (lx, ly, lz), L, coeffs
+
+    # geometry parity vs production local_axes (ADVICE r04: the lane
+    # variant previously used a different vertical convention unchecked)
+    (lxp, lyp, lzp), _, _ = geometry_lane(jnp.float32(1.0))
+    R_lane = jnp.stack([jnp.stack(list(v), 0) for v in
+                        ((lxp[0], lxp[1], lxp[2]),
+                         (lyp[0], lyp[1], lyp[2]),
+                         (lzp[0], lzp[1], lzp[2]))], 0)    # [3, 3, M]
+    _c1 = jnp.asarray(model.coords)[model.conn[:, 0]]
+    _c2 = jnp.asarray(model.coords)[model.conn[:, 1]]
+    _dL = _c2 - _c1
+    R_prod = beams.local_axes(_dL, jnp.linalg.norm(_dL, axis=-1))
+    import numpy as _np
+    _err = _np.abs(_np.asarray(R_prod).transpose(1, 2, 0)
+                   - _np.asarray(R_lane)).max()
+    print(f"geometry_lane vs beams.local_axes max abs err {_err:.2e}",
+          flush=True)
 
     def entry_vectors_lane(rows, coeffs):
         R = rows  # tuple of [3, M]: R[a][r] is the [M] vector R[:, a, r]
