@@ -3251,9 +3251,12 @@ def _design_envelope_condensed_jit(coarse, refined, waves, cases, n_seg,
             coarse, refined, cases, n_seg, n_steps, n_gauss, solve_dtype,
             kinematics, chain_solver, current_alpha, ks_nodes, free,
             stretching)
-        # batch_size vmaps the body per chunk, which the pallas kernel does
-        # not support — the pallas path streams cases sequentially instead
-        # (each case is already a 360-phase batched kernel invocation)
+        # batch_size vmaps the body per chunk.  The pallas path streams
+        # cases sequentially INTENTIONALLY: vmapping the kernel works (the
+        # scal input is 2-D SMEM so the vmapped block stays legal) but
+        # measured SLOWER (3.19 vs 2.22 ms/scan at 100k DOF) — the scan is
+        # kernel-compute-bound, and case-batching only bloats the [C, ...]
+        # recovery intermediates.  The separable path stays batched.
         bs = None if kinematics == "pallas" else case_batch
         ts, per_phase, member_max, tot = jax.lax.map(
             one_case, (waves, cases), batch_size=bs)
@@ -3289,7 +3292,7 @@ def _design_envelope_condensed_sharded(coarse, refined, waves, cases, n_seg,
         def local(wc):
             n_local = wc[1].E.shape[0]
             bs = None if kinematics == "pallas" \
-                else min(case_batch, max(n_local, 1))
+                else min(case_batch, max(n_local, 1))   # see the jit variant
             ts, per_phase, member_max, tot = jax.lax.map(
                 one_case, wc, batch_size=bs)
             member_env = jax.lax.pmax(jnp.max(member_max, axis=0), "cases")

@@ -15,18 +15,22 @@ Layout (see also ops/morison.py::morison_phase_batch for the math):
 - quadrature axis padded to Q = 16 so one 128-lane tile holds exactly 8
   members x 16 Gauss points; padded points carry zero weight and z = +inf
   (always dry), padded members carry zero drag/inertia factors;
-- the five fields' cos+sin spatial coefficients are packed per tile as ONE
-  [64, 640] matrix (rows = 32 cos-harmonic slots | 32 sin slots, columns =
-  5 fields x 128 lanes), so the whole field evaluation is a single
-  [S, 64] x [64, 640] MXU contraction per tile — versus ten [S, 32] x
-  [32, 128] dots, whose K = 32 badly underfills the 128-deep systolic
-  array and whose per-dot pipeline fill dominates;
-- the quadrature reduction is one [S, 384] x [384, 128] matmul (the three
-  force components concatenated on lanes) against a constant weight matrix
-  whose columns pack, per member m (0..7 in the tile):
+- the five fields' cos+sin spatial coefficient matrix ([64, 640]: rows =
+  32 cos-harmonic slots | 32 sin slots, columns = 5 fields x 128 lanes) is
+  generated INSIDE the kernel (VPU, VMEM-resident) from the tile's (x, z)
+  rows and a tiny per-mode constant table — materializing it from XLA cost
+  ~118 MB of HBM writes + a 33 MB kernel read per 100k-DOF envelope scan;
+  the field evaluation is then a single [S, 64] x [64, 640] MXU
+  contraction per tile — versus ten [S, 32] x [32, 128] dots, whose
+  K = 32 badly underfills the 128-deep systolic array;
+- the quadrature reduction is six [S, 128] x [128, 128] matmuls (drag and
+  inertia per force component) against constant weight blocks whose
+  columns pack, per member m (0..7 in the tile):
   col m*6 + c     -> F1_c = sum_q (1 - s_q) f_c   (node-1 share)
   col m*6 + 3 + c -> F2_c = sum_q s_q f_c         (node-2 share)
-  cols 48..53     -> per-tile drag/inertia totals (x, y, z).
+  col 48+c / 51+c -> per-tile drag / inertia totals (weight-1 columns of
+  the drag / inertia blocks — riding the MXU instead of six cross-lane
+  VPU reductions + two concats).
 """
 from __future__ import annotations
 
@@ -52,28 +56,83 @@ N_FIELDS_WHEELER = 13
 
 
 def _reduction_weights(s_q: np.ndarray, n_gauss: int) -> np.ndarray:
-    """The three constant [128, 128] quadrature-reduction matrices."""
-    W = np.zeros((3, 128, 128), dtype=np.float32)
+    """The six constant [128, 128] quadrature-reduction matrices.
+
+    Blocks (in order): drag_x, inertia_x, drag_y, inertia_y, drag_z,
+    inertia_z.  Each maps a [S, 128] per-point force-component array to the
+    packed output columns: per member m, col m*6+c gets the node-1 share
+    (1 - s_q), col m*6+3+c the node-2 share (s_q), and the tile-wide total
+    rides col 48+c (drag blocks) / 51+c (inertia blocks) with weight 1 —
+    folding the totals into the MXU contraction replaces six cross-lane
+    VPU reductions plus two concats per tile (the kernel is VPU-bound:
+    HIGHEST vs DEFAULT MXU precision differs only ~23%)."""
+    W = np.zeros((6, 128, 128), dtype=np.float32)
     for c in range(3):
-        for m in range(MEMBERS_PER_TILE):
-            for q in range(n_gauss):
-                lane = m * QPAD + q
-                W[c, lane, m * 6 + c] = 1.0 - s_q[q]
-                W[c, lane, m * 6 + 3 + c] = s_q[q]
-        # columns 48..53: tile-wide totals; rows weighted 1 (the f arrays
-        # already include the quadrature weight through cd/ci factors)
-        W[c, :, 48 + c] = 0.0   # drag total, filled by caller per component
-        W[c, :, 51 + c] = 0.0   # inertia total
+        for b in (2 * c, 2 * c + 1):        # drag, inertia block
+            for m in range(MEMBERS_PER_TILE):
+                for q in range(n_gauss):
+                    lane = m * QPAD + q
+                    W[b, lane, m * 6 + c] = 1.0 - s_q[q]
+                    W[b, lane, m * 6 + 3 + c] = s_q[q]
+            # tile-wide total (the f arrays already include the quadrature
+            # weight through the cd/ci factors)
+            W[b, :, (48 if b == 2 * c else 51) + c] = 1.0
     return W
 
 
 def _make_kernel(prec, wheeler: bool = False):
-  def _kernel(scal_ref, ctst_ref, AB_ref, rows_ref, W_ref, o_ref):
-    cosw = scal_ref[0]
-    sinw = scal_ref[1]
+  def _kernel(scal_ref, ctst_ref, modes_ref, rows_ref, W_ref, o_ref):
+    # scal is [1, 3] in SMEM (2-D so jax.vmap over the case axis produces a
+    # legal (1, 3) block — the envelope path batches cases into one
+    # dispatch by vmapping this kernel)
+    cosw = scal_ref[0, 0]
+    sinw = scal_ref[0, 1]
+    d_w = scal_ref[0, 2]
+
+    # ---- in-VMEM spatial coefficient build ----
+    # The per-tile [2*NPAD, n_f*128] cos/sin coefficient matrix is computed
+    # HERE from the tile's (x, z) rows and the [NPAD]-mode constants —
+    # previously it was a [n_tiles, 2*NPAD, n_f*128] tensor built by XLA in
+    # HBM (~118 MB of writes + a 33 MB kernel read per envelope scan at
+    # 100k DOF; benchmarks/profile_envelope.py).  Padded modes carry
+    # E = U = 0 so their coefficient rows are exactly zero, matching the
+    # old zero-padding.
+    xw = rows_ref[8:9, :]                       # [1, 128] wave-frame x
+    zr = rows_ref[0:1, :]                       # [1, 128] elevation
+    E = modes_ref[:, 0:1]                       # [NPAD, 1]
+    U = modes_ref[:, 1:2]
+    jw = modes_ref[:, 2:3]                      # j * omega
+    jk = modes_ref[:, 3:4]                      # j * k
+    jkx = jk * xw                               # [NPAD, 128]
+    cjx = jnp.cos(jkx)
+    sjx = jnp.sin(jkx)
+    Aarg = jk * (zr + d_w)
+    Aa = jnp.abs(jnp.clip(Aarg, -80.0, 80.0))
+    Barg = jk * d_w
+    scale = jnp.exp(Aa - Barg) / (1.0 + jnp.exp(-2.0 * Barg))
+    Cj = scale * (1.0 + jnp.exp(-2.0 * Aa))
+    Sj = jnp.sign(Aarg) * scale * (1.0 - jnp.exp(-2.0 * Aa))
+    UC = U * Cj
+    US = U * Sj
+    fields_A = [E * cjx, UC * cjx, US * sjx, UC * jw * sjx, -US * jw * cjx]
+    fields_B = [E * sjx, UC * sjx, -US * cjx, -UC * jw * cjx, -US * jw * sjx]
+    if wheeler:
+        # d/dz and d^2/dz^2 coefficient rows of the four kinematic fields
+        # (order: u_z, w_z, du_z, dw_z, u_zz, w_zz, du_zz, dw_zz — matching
+        # the slice layout below)
+        UZ, WZ = U * jk * Sj, U * jk * Cj
+        UZZ, WZZ = U * jk * jk * Cj, U * jk * jk * Sj
+        fields_A += [UZ * cjx, WZ * sjx, UZ * jw * sjx, -WZ * jw * cjx,
+                     UZZ * cjx, WZZ * sjx, UZZ * jw * sjx, -WZZ * jw * cjx]
+        fields_B += [UZ * sjx, -WZ * cjx, -UZ * jw * cjx, -WZ * jw * sjx,
+                     UZZ * sjx, -WZZ * cjx, -UZZ * jw * cjx,
+                     -WZZ * jw * sjx]
+    AB = jnp.concatenate(
+        [jnp.concatenate(fields_A, axis=1),
+         jnp.concatenate(fields_B, axis=1)], axis=0)  # [2*NPAD, n_f*128]
 
     # one MXU contraction evaluates all fields at all phases
-    fields = jnp.dot(ctst_ref[:], AB_ref[0],
+    fields = jnp.dot(ctst_ref[:], AB,
                      preferred_element_type=jnp.float32,
                      precision=prec)          # [S_pad, N_FIELDS(_W) * 128]
     eta = fields[:, 0:128]
@@ -87,7 +146,6 @@ def _make_kernel(prec, wheeler: bool = False):
         # (same formulation as the separable XLA path).  dz is clipped to
         # +-d so the always-dry padding points (z = 1e30) cannot overflow
         # dz^2 to inf (inf * live-mask 0 would poison the tile with NaNs).
-        d_w = scal_ref[2]
         zrow = rows_ref[0:1, :]
         dz = -(zrow + d_w) * eta / (d_w + eta)
         dz = jnp.clip(dz, -d_w, d_w)
@@ -129,47 +187,40 @@ def _make_kernel(prec, wheeler: bool = False):
     fdx, fdy, fdz = cdf * Upx, cdf * Upy, cdf * Upz
     fix, fiy, fiz = ci * Apx, ci * Apy, ci * Apz
 
-    fcat = jnp.concatenate([fdx + fix, fdy + fiy, fdz + fiz], axis=1)
-    out = jnp.dot(fcat, W_ref[:], preferred_element_type=jnp.float32,
-                  precision=prec)
-    # totals columns (48..53): per-tile sums of drag / inertia components.
-    # (concat into a full-width row block; dynamic-update/scatter is not
-    # available in Mosaic)
-    tot = jnp.stack([
-        jnp.sum(fdx, axis=1), jnp.sum(fdy, axis=1), jnp.sum(fdz, axis=1),
-        jnp.sum(fix, axis=1), jnp.sum(fiy, axis=1), jnp.sum(fiz, axis=1),
-    ], axis=1)                                     # [S_pad, 6]
-    S_pad = out.shape[0]
-    tot_full = jnp.concatenate([
-        jnp.zeros((S_pad, 48), jnp.float32), tot,
-        jnp.zeros((S_pad, 128 - 54), jnp.float32)], axis=1)
-    o_ref[:] = out + tot_full
+    # six component dots (drag/inertia x/y/z) against the fused
+    # quadrature+totals weight blocks — no concats, no cross-lane VPU
+    # reductions; the extra MXU ops hide behind the elementwise work
+    def red(f, b):
+        return jnp.dot(f, W_ref[b * 128:(b + 1) * 128, :],
+                       preferred_element_type=jnp.float32, precision=prec)
+    o_ref[:] = (red(fdx, 0) + red(fix, 1) + red(fdy, 2)
+                + red(fiy, 3) + red(fdz, 4) + red(fiz, 5))
 
   return _kernel
 
 
 def _pallas_call(interpret, n_tiles, S_pad, dtype, prec,
-                 scal, ctst, AB, rows, W, wheeler: bool = False):
-    n_f = N_FIELDS_WHEELER if wheeler else N_FIELDS
+                 scal, ctst, modes, rows, W, wheeler: bool = False):
     return pl.pallas_call(
         _make_kernel(prec, wheeler),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                     # scal
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),                     # scal
             pl.BlockSpec((S_pad, 2 * NPAD), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),                     # ctst
-            pl.BlockSpec((1, 2 * NPAD, n_f * 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),                     # AB
-            pl.BlockSpec((8, 128), lambda i: (0, i),
+            pl.BlockSpec((NPAD, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),                     # modes
+            pl.BlockSpec((16, 128), lambda i: (0, i),
                          memory_space=pltpu.VMEM),                     # rows
-            pl.BlockSpec((3 * 128, 128), lambda i: (0, 0),
+            pl.BlockSpec((6 * 128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),                     # W
         ],
         out_specs=pl.BlockSpec((S_pad, 128), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S_pad, n_tiles * 128), dtype),
         interpret=interpret,
-    )(scal, ctst, AB, rows, W)
+    )(scal, ctst, modes, rows, W)
 
 
 @functools.partial(jax.jit, static_argnames=("n_gauss", "interpret",
@@ -272,70 +323,45 @@ def morison_phase_batch_pallas(
     else:
         frac = jnp.clip((z + f32(wave.d)) / f32(wave.d), 0.0, 1.0)
         Uc_pt = f32(wave.U_c) * frac ** f32(current_alpha)
+    # row 8 carries the wave-frame x coordinate: the spatial harmonic
+    # coefficients are generated INSIDE the kernel (VMEM) from (x, z) and
+    # the tiny per-mode table below — the old XLA-side [n_tiles, 2*NPAD,
+    # n_f*128] HBM tensor cost ~118 MB of writes + a 33 MB kernel read per
+    # envelope scan at 100k DOF (benchmarks/profile_envelope.py); rows 9-15
+    # are alignment padding.
     rows = jnp.stack([z, exr, eyr, ezr, cd_row, ci_row,
-                      Uc_pt * cos_c, Uc_pt * sin_c])
+                      Uc_pt * cos_c, Uc_pt * sin_c, x_wave])
+    rows = jnp.pad(rows, ((0, 16 - rows.shape[0]), (0, 0)))
 
-    # ---- spatial harmonic coefficients [5*NPAD, P] ----
+    # ---- per-mode constants [NPAD, 128]: cols E, U, j*omega, j*k ----
+    # Padded modes carry E = U = 0, so their in-kernel coefficient rows are
+    # exactly zero (same contraction result as the old zero-padded AB).
     N = wave.E.shape[-1]
     if N > NPAD:
         raise ValueError(f"wave n_modes must be <= {NPAD}")
+    if stretching not in ("none", "wheeler"):
+        raise ValueError(f"unknown stretching mode {stretching!r}")
+    n_tiles = P // 128
     j = jnp.arange(1, N + 1, dtype=dtype)
     k = f32(wave.k)
     d = f32(wave.d)
     om = f32(wave.omega)
-    jkx = j[None, :] * k * x_wave[:, None]
-    cjx, sjx = jnp.cos(jkx), jnp.sin(jkx)
-    Aarg = j * k * (z[:, None] + d)
-    Barg = j * k * d
-    Aa = jnp.abs(jnp.clip(Aarg, -80.0, 80.0))
-    scale = jnp.exp(Aa - Barg) / (1.0 + jnp.exp(-2.0 * Barg))
-    Cj = scale * (1.0 + jnp.exp(-2.0 * Aa))
-    Sj = jnp.sign(Aarg) * scale * (1.0 - jnp.exp(-2.0 * Aa))
-    jw = j * om
-    E = f32(wave.E)
-    U = f32(wave.U)
-    UC, US = U * Cj, U * Sj
-    fields_A = [E * cjx, UC * cjx, US * sjx, UC * jw * sjx, -US * jw * cjx]
-    fields_B = [E * sjx, UC * sjx, -US * cjx, -UC * jw * cjx, -US * jw * sjx]
-    if stretching == "wheeler":
-        # z-derivative rows: dC/dz = jk S, dS/dz = jk C (and squared for
-        # the 2nd derivatives) with the SAME trig/time structure as the
-        # parent field — order: u_z, w_z, du_z, dw_z, u_zz, w_zz, du_zz,
-        # dw_zz (matching the kernel's slice layout)
-        jk = j * k
-        UZ, WZ = U * jk * Sj, U * jk * Cj
-        UZZ, WZZ = U * jk**2 * Cj, U * jk**2 * Sj
-        fields_A += [UZ * cjx, WZ * sjx, UZ * jw * sjx, -WZ * jw * cjx,
-                     UZZ * cjx, WZZ * sjx, UZZ * jw * sjx, -WZZ * jw * cjx]
-        fields_B += [UZ * sjx, -WZ * cjx, -UZ * jw * cjx, -WZ * jw * sjx,
-                     UZZ * sjx, -WZZ * cjx, -UZZ * jw * cjx,
-                     -WZZ * jw * sjx]
-    elif stretching != "none":
-        raise ValueError(f"unknown stretching mode {stretching!r}")
-    n_f = len(fields_A)
-
-    # one [2*NPAD, n_f, P] coefficient tensor (cos rows 0..N, sin rows
-    # NPAD..NPAD+N), retiled per member-tile into the kernel's fused
-    # [n_tiles, 64, n_f * 128] layout (columns = field-major n_f x 128)
-    n_tiles = P // 128
-    AB = jnp.zeros((2 * NPAD, n_f, P), dtype=dtype)
-    for f in range(n_f):
-        AB = AB.at[:N, f, :].set(fields_A[f].T)
-        AB = AB.at[NPAD:NPAD + N, f, :].set(fields_B[f].T)
-    AB = AB.reshape(2 * NPAD, n_f, n_tiles, 128) \
-        .transpose(2, 0, 1, 3).reshape(n_tiles, 2 * NPAD, n_f * 128)
+    pad_m = lambda v: jnp.pad(v.astype(dtype), (0, NPAD - N))
+    modes = jnp.stack([pad_m(f32(wave.E)), pad_m(f32(wave.U)),
+                       pad_m(j * om), pad_m(j * k)], axis=1)   # [NPAD, 4]
+    modes = jnp.pad(modes, ((0, 0), (0, 128 - modes.shape[1])))
 
     # ---- phase harmonics [S_pad, 2*NPAD] (cos | sin) ----
     S = ts.shape[0]
     S_pad = -(-S // 8) * 8
-    jt = jw[None, :] * ts.astype(dtype)[:, None]
+    jt = (j * om)[None, :] * ts.astype(dtype)[:, None]
     ctst = jnp.zeros((S_pad, 2 * NPAD), dtype=dtype) \
         .at[:S, :N].set(jnp.cos(jt)) \
         .at[:S, NPAD:NPAD + N].set(jnp.sin(jt))
 
     W = jnp.asarray(_reduction_weights(np.asarray(s_np), n_gauss)
-                    .reshape(3 * 128, 128))
-    scal = jnp.stack([cos_w, sin_w, d])
+                    .reshape(6 * 128, 128))
+    scal = jnp.stack([cos_w, sin_w, d])[None, :]
     # An x64 session makes the BlockSpec index maps (and other pallas-internal
     # index scalars) trace as int64, which Mosaic cannot lower ("failed to
     # legalize 'func.return' (i64)").  Every input is already explicit
@@ -348,7 +374,7 @@ def morison_phase_batch_pallas(
             "default": jax.lax.Precision.DEFAULT}[matmul_precision]
     with jax.enable_x64(False):
         out = _pallas_call(interpret, n_tiles, S_pad, dtype, prec,
-                           scal, ctst, AB, rows, W,
+                           scal, ctst, modes, rows, W,
                            wheeler=stretching == "wheeler")
     # ---- unpack: per-member end forces + totals ----
     out = out[:S].reshape(S, n_tiles, 128)
