@@ -593,13 +593,22 @@ def measure_large(n_seg: int = 327):
     import numpy as np
     du = (np.abs(np.asarray(rp.U) - np.asarray(res.U)).max()
           / max(np.abs(np.asarray(res.U)).max(), 1e-30))
+    # du is bounded by kappa(K) * rel_res (~1e7 * 1e-8 here — slender-beam
+    # K spans ~10 decades), so a few e-2 is the expected conditioning
+    # amplification, not a solver defect; the engineering acceptance is the
+    # UTILIZATION agreement, which contracts the ill-conditioned long-
+    # wavelength error through the member-local stress recovery.
+    duu = (np.abs(np.asarray(rp.utilization) - np.asarray(res.utilization))
+           .max() / max(float(np.asarray(res.utilization).max()), 1e-30))
     print(f"[bench] large-mesh PCG(two-level): {best_p*1e3:.0f} ms "
           f"({int(rp.solver_iters)} iters, rel res "
           f"{float(rp.solver_residual):.1e}, compile {compile_p:.0f}s, "
-          f"U vs condensed rel {du:.1e})", file=sys.stderr)
+          f"U vs condensed rel {du:.1e}, utilization rel {duu:.1e})",
+          file=sys.stderr)
     return {"large_condensed_ms": round(best * 1e3, 1),
             "large_pcg_ms": round(best_p * 1e3, 1),
-            "large_pcg_iters": int(rp.solver_iters)}
+            "large_pcg_iters": int(rp.solver_iters),
+            "large_pcg_util_rel": float(f"{duu:.2e}")}
 
 
 def measure_reference(n_steps: int = 36):
