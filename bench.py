@@ -318,8 +318,33 @@ def measure_scatter():
     # marginal cost-model roofline: bytes/flops PER ADDED STATE between the
     # 40- and 10-state climates, against the marginal ms/state (VERDICT r04
     # item 5 — every headline metric gets a "% of roofline" denominator)
-    cm10 = _cost_model(lambda: run(states))
-    cm40 = _cost_model(lambda: run(states4))
+    # the public API does host-side sea setup (numpy) that an outer
+    # jit.lower() cannot trace; lower the actual jitted device program
+    # (_scatter_spectral_batched) on inputs built by the shared setup
+    # helper instead
+    from small_fem_solver_tpu.api import (_scatter_spectral_batched,
+                                          _scatter_spectral_setup)
+
+    def _cm_scatter(ss):
+        try:
+            sea_b, heads_j, occs_j, _ = _scatter_spectral_setup(
+                prep, case, tuple(tuple(float(v) for v in r) for r in ss),
+                50.0, n_components=32, seed=0, spectrum="jonswap",
+                U_c=0.0, spreading_s=None)
+            cost = _scatter_spectral_batched.lower(
+                prep, case.cast(prep.refined.coords.dtype), sea_b, heads_j,
+                occs_j, None, 15, None, "D-sea-cp", 25.0, 3.0,
+                1.0).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            fl = float(cost.get("flops", 0.0))
+            by = float(cost.get("bytes accessed", 0.0))
+            return (fl, by) if by > 0 else None
+        except Exception:
+            return None
+
+    cm10 = _cm_scatter(states)
+    cm40 = _cm_scatter(states4)
     if cm10 is not None and cm40 is not None and marginal > 0:
         dfl = (cm40[0] - cm10[0]) / 30
         dby = (cm40[1] - cm10[1]) / 30

@@ -2394,6 +2394,53 @@ class ScatterFatigueSpectral(NamedTuple):
     per_state_nu0: np.ndarray       # [n_states, M] upcrossing rate (Hz)
 
 
+def _scatter_spectral_setup(prep: CondensedPrepared, case: LoadCase,
+                            states, d, *, n_components: int, seed: int,
+                            spectrum: str, U_c, spreading_s, mesh=None):
+    """Host-side input build shared by :func:`scatter_fatigue_spectral`
+    and bench.py's cost-model lowering of ``_scatter_spectral_batched``:
+    the stacked random-sea pytree plus per-state heading/occurrence rows.
+
+    The seas are built ON THE HOST CPU device: per-state eager dispersion
+    solves would otherwise each ride the accelerator dispatch path
+    (measured ~0.5 s/state through the TPU relay); one transfer of the
+    stacked tree replaces ~4 dispatches per state.  With ``mesh`` the
+    state axis is zero-occurrence-padded to a device multiple and placed
+    with a 'cases' NamedSharding.
+    """
+    from .ops.spectrum import make_random_sea
+
+    solve_dtype = prep.K_I.dtype
+    ldtype = prep.refined.coords.dtype
+    with jax.default_device(jax.devices("cpu")[0]):
+        seas = [make_random_sea(r[0], r[1], d, n_components=n_components,
+                                seed=seed + i, spectrum=spectrum,
+                                U_c=U_c, spreading_s=spreading_s,
+                                dtype=ldtype)
+                for i, r in enumerate(states)]
+    heads = np.array([r[3] if len(r) == 4
+                      else float(np.asarray(case.wave_dir_deg))
+                      for r in states], np.float64)
+    occs = np.array([r[2] for r in states], np.float64)
+    B = len(states)
+    if mesh is not None:
+        n_pad = (-B) % mesh.size
+        seas += [seas[-1]] * n_pad
+        heads = np.concatenate([heads, np.repeat(heads[-1:], n_pad)])
+        occs = np.concatenate([occs, np.zeros(n_pad)])
+    with jax.default_device(jax.devices("cpu")[0]):
+        sea_b = jax.tree.map(lambda *xs: jnp.stack(xs), *seas)
+    heads_j = jnp.asarray(heads, solve_dtype)
+    occs_j = jnp.asarray(occs, solve_dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cs = NamedSharding(mesh, P("cases"))
+        sea_b = jax.device_put(sea_b, cs)
+        heads_j = jax.device_put(heads_j, cs)
+        occs_j = jax.device_put(occs_j, cs)
+    return sea_b, heads_j, occs_j, B
+
+
 def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
                              states, d, exposure_years: float,
                              curve: str = "D-sea-cp", scf=1.0,
@@ -2458,11 +2505,7 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
         raise ValueError(
             f"scatter-diagram occurrences sum to {total_occ:.3f} > 1")
     _check_no_slam(case, "scatter_fatigue_spectral")
-    from .ops.spectrum import make_random_sea
-
-    solve_dtype = prep.K_I.dtype
-    ldtype = prep.refined.coords.dtype
-    case = case.cast(ldtype)
+    case = case.cast(prep.refined.coords.dtype)
 
     dyn = None
     if dynamic:
@@ -2481,37 +2524,10 @@ def scatter_fatigue_spectral(prep: CondensedPrepared, case: LoadCase,
                                float(case.rho_water))
         dyn = (cb,) + _cb_modal_basis(cb, damping, float(damping_ratio))
 
-    # ---- the whole diagram is one device program ----
-    # build the seas ON THE HOST CPU device: per-state eager dispersion
-    # solves would otherwise each ride the accelerator dispatch path
-    # (measured ~0.5 s/state through the TPU relay); one transfer of
-    # the stacked tree replaces ~4 dispatches per state
-    with jax.default_device(jax.devices("cpu")[0]):
-        seas = [make_random_sea(r[0], r[1], d, n_components=n_components,
-                                seed=seed + i, spectrum=spectrum,
-                                U_c=U_c, spreading_s=spreading_s,
-                                dtype=ldtype)
-                for i, r in enumerate(states)]
-    heads = np.array([r[3] if len(r) == 4
-                      else float(np.asarray(case.wave_dir_deg))
-                      for r in states], np.float64)
-    occs = np.array([r[2] for r in states], np.float64)
-    B = len(states)
+    sea_b, heads_j, occs_j, B = _scatter_spectral_setup(
+        prep, case, states, d, n_components=n_components, seed=seed,
+        spectrum=spectrum, U_c=U_c, spreading_s=spreading_s, mesh=mesh)
     if mesh is not None:
-        n_pad = (-B) % mesh.size
-        seas += [seas[-1]] * n_pad
-        heads = np.concatenate([heads, np.repeat(heads[-1:], n_pad)])
-        occs = np.concatenate([occs, np.zeros(n_pad)])
-    with jax.default_device(jax.devices("cpu")[0]):
-        sea_b = jax.tree.map(lambda *xs: jnp.stack(xs), *seas)
-    heads_j = jnp.asarray(heads, solve_dtype)
-    occs_j = jnp.asarray(occs, solve_dtype)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        cs = NamedSharding(mesh, P("cases"))
-        sea_b = jax.device_put(sea_b, cs)
-        heads_j = jax.device_put(heads_j, cs)
-        occs_j = jax.device_put(occs_j, cs)
         nb, wl, mu, sig, mean_s, nu0 = _scatter_spectral_sharded(
             prep, case, sea_b, heads_j, occs_j, dyn, mesh, n_gauss,
             current_alpha, curve, float(exposure_years),
