@@ -122,6 +122,17 @@ def _add_common(ap: argparse.ArgumentParser):
                         "braces (beyond the reference; default off)")
     s = ap.add_argument_group("solver")
     s.add_argument("--solver", default="chol", choices=["chol", "lu", "pcg"])
+    s.add_argument("--pcg-precond", default="auto",
+                   choices=["auto", "block_jacobi", "two_level"],
+                   help="PCG preconditioner (--solver pcg only; two_level = "
+                        "smoothed rigid-body-aggregation coarse space)")
+    s.add_argument("--pcg-tol", type=float, default=1e-10,
+                   help="PCG relative-residual tolerance")
+    s.add_argument("--pcg-chunk", type=int, default=0,
+                   help="run the CG loop in bounded segments of this many "
+                        "iterations (REQUIRED at ~100k DOF on TPU: one "
+                        "multi-10s device program trips the runtime "
+                        "watchdog; 200 is a good value)")
     s.add_argument("--f32", action="store_true",
                    help="float32 fast mode (default float64)")
     s.add_argument("--accel", default="fd", choices=["fd", "analytic"],
@@ -290,7 +301,8 @@ def cmd_run(args):
         res = sf.analyze_ssi(model, wave, case, spring, accel=args.accel)
     else:
         res = sf.analyze(model, wave, case, solver=args.solver,
-                         accel=args.accel)
+                         accel=args.accel, pcg_precond=args.pcg_precond,
+                         pcg_tol=args.pcg_tol, pcg_chunk=args.pcg_chunk)
     print(render_report(rmodel, wave, case, res, phase_scan=scan))
     _outputs(args, rmodel, res)
 
