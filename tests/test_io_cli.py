@@ -407,3 +407,33 @@ def test_cli_save_results_roundtrip(tmp_path, capsys):
     r2 = sf.load_results(p2)
     assert type(r2).__name__ == "FreqDomainResponse"
     assert np.isfinite(np.asarray(r2.damage_wl)).all()
+
+
+def test_cli_pcg_flags(capsys):
+    """'run --solver pcg --pcg-precond/--pcg-tol/--pcg-chunk' routes the
+    new round-5 solver knobs through analyze() and reproduces the
+    Cholesky utilization (the chunked CG dispatch is iterate-identical
+    to the single-program loop; see docs/API.md)."""
+    import re
+    import sys
+    from small_fem_solver_tpu.cli import main
+    argv = sys.argv
+
+    def max_util(out):
+        m = re.search(r"Maximum utilization: ([0-9.]+)%", out)
+        assert m, out
+        return float(m.group(1))
+
+    try:
+        sys.argv = ["cli", "run", "--wave-model", "airy", "--f32",
+                    "--solver", "pcg", "--pcg-precond", "two_level",
+                    "--pcg-chunk", "50", "--pcg-tol", "1e-9"]
+        main()
+        u_pcg = max_util(capsys.readouterr().out)
+        sys.argv = ["cli", "run", "--wave-model", "airy", "--f32",
+                    "--solver", "chol"]
+        main()
+        u_chol = max_util(capsys.readouterr().out)
+    finally:
+        sys.argv = argv
+    assert abs(u_pcg - u_chol) < 0.02  # percent points
