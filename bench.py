@@ -716,6 +716,49 @@ def main():
     secondary = {}
     errors = {}
 
+    # Global deadline watchdog (round-5 hardening): per-section try/except
+    # cannot catch a HANG — the axon relay serializes jobs across tenants
+    # and a wedged queue blocks a dispatch indefinitely (observed this
+    # round: a bench attempt sat 10+ min in futex with the chip healthy).
+    # If the driver's outer timeout then kills the process, the round's
+    # record is lost exactly like BENCH_r04.  A daemon thread emits the
+    # partial JSON with whatever sections completed and exits cleanly at
+    # the deadline instead.  Override with BENCH_DEADLINE_S.
+    import os
+    import threading as _threading
+
+    record = {"ms": None, "done": False}
+    _emit_lock = _threading.Lock()
+
+    def _render():
+        out = {
+            "metric": "phase_scan_360_10kdof",
+            "value": None if record["ms"] is None else round(record["ms"], 2),
+            "unit": "ms",
+            "vs_baseline": (None if record["ms"] is None
+                            else round(50.0 / record["ms"], 3)),
+            "secondary": secondary,
+        }
+        if errors:
+            out["errors"] = errors
+        return out
+
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+
+    def _watchdog():
+        time.sleep(deadline_s)
+        with _emit_lock:
+            if record["done"]:
+                return
+            errors["deadline"] = (
+                f"global deadline {deadline_s:.0f}s hit (relay wedge or "
+                "pathological compile); partial record emitted")
+            print(json.dumps(_render()))
+            sys.stdout.flush()
+        os._exit(0)
+
+    _threading.Thread(target=_watchdog, daemon=True).start()
+
     # Per-section fault isolation (round-4 lesson: the 100k-DOF PCG OOM in
     # the LAST section zeroed the whole round's perf record because the
     # final JSON line was never printed).  Each section is independently
@@ -734,6 +777,7 @@ def main():
     flag = _section("flagship", lambda: measure_flagship(args.repeats))
     if flag is not None:
         ms, ndof, sec = flag
+        record["ms"] = ms
         secondary.update(sec)
     for name, fn in (("assembly", measure_assembly),
                      ("scatter", measure_scatter),
@@ -752,21 +796,14 @@ def main():
                   f"10x phases at {ndof} DOF with full FEM per phase)",
                   file=sys.stderr)
 
-    target_ms = 50.0  # BASELINE.md north star
-    # one JSON line; the driver parses metric/value/unit/vs_baseline, and
-    # "secondary" carries the parsed round-over-round comparison block
-    # (VERDICT r02 item 7): prepared_scan_ms (the factor-once user API),
-    # envelope_sustained_ms, assembly_gdofs, pallas_check_rel, contended.
-    out = {
-        "metric": "phase_scan_360_10kdof",
-        "value": None if ms is None else round(ms, 2),
-        "unit": "ms",
-        "vs_baseline": None if ms is None else round(target_ms / ms, 3),
-        "secondary": secondary,
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    # one JSON line (50 ms = BASELINE.md north star); the driver parses
+    # metric/value/unit/vs_baseline, and "secondary" carries the parsed
+    # round-over-round comparison block (VERDICT r02 item 7):
+    # prepared_scan_ms (the factor-once user API), envelope_sustained_ms,
+    # assembly_gdofs, pallas_check_rel, contended.
+    with _emit_lock:
+        record["done"] = True
+        print(json.dumps(_render()))
 
 
 if __name__ == "__main__":
